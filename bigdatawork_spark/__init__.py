@@ -1,0 +1,9 @@
+"""bigdatawork_spark — PySpark-native analytics engine.
+
+Importing this package imports every operator module, which populates
+``registry.QUERIES`` / ``registry.ORACLES`` (the driver contract surface).
+"""
+
+from . import schemas  # noqa: F401
+from .operators import aggregations  # noqa: F401
+from .registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,57 @@
+"""SparkSession construction and per-call tuning.
+
+Scale notes (SURVEY.md §7.5): everything here is configuration, not code —
+the same queries run on a 1000-executor cluster by swapping the master URL
+and sizing ``spark.sql.shuffle.partitions`` to ~2-3× total cores.  AQE then
+coalesces/splits at runtime.  Locally we test on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we are handed (the driver
+# owns its own session; these are safe to set post-creation).
+_RUNTIME_CONF = {
+    # UTC everywhere: parquet timestamps are TZ-less; DuckDB (the oracle)
+    # treats them as naive.  (SURVEY.md §5.3.4)
+    "spark.sql.session.timeZone": "UTC",
+    # 32 shuffle partitions ≈ local core count; 200 default wastes seconds
+    # per query at test scale (SURVEY.md §4 AQE row).  At 100 TB this would
+    # be set to ~2-3× executor cores instead.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any toPandas/collect and for pandas UDF exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (driver's session)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — non-fatal
+    return spark
+
+
+def get_spark(app_name: str = "bigdatawork-spark", cpus: int | str | None = None) -> SparkSession:
+    """One tuned local session.  Session startup is ~12 s (BASELINE.md) —
+    always share a single session across a test run / bench batch."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

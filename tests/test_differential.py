@@ -1,0 +1,33 @@
+"""The core gate: every SQL-expressible key vs its DuckDB oracle at sf0.01,
+mirroring the driver's check exactly (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatawork_spark.registry import ORACLES, QUERIES
+
+from .compare import assert_frames_match
+
+
+def _sql_keys():
+    return sorted(k for k in QUERIES if k in ORACLES)
+
+
+def _rows_only_keys():
+    return sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("key", _sql_keys())
+def test_oracle_match(key, spark, duck, sf_dir):
+    spark_pd = QUERIES[key](spark, sf_dir).toPandas()
+    oracle_pd = duck.execute(ORACLES[key]).df()
+    assert_frames_match(spark_pd, oracle_pd, key)
+
+
+@pytest.mark.parametrize("key", _rows_only_keys())
+def test_rows_only(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    df.limit(5).collect()  # schema + execution smoke
