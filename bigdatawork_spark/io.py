@@ -8,12 +8,24 @@ on raw columns (SURVEY.md §4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import tune
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.  Tunes the session on every call so the
-    driver-owned session also gets UTC/AQE/shuffle settings."""
+    driver-owned session also gets UTC/AQE/shuffle settings.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
+    refuses to read natively: we read nanos as long and convert to a µs
+    timestamp with integer division (the data carries no sub-µs component —
+    measured — so this is lossless and matches DuckDB's µs TIMESTAMP).
+    """
     tune(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div` (not /) — ns epoch values overflow double precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -67,3 +67,241 @@ def agg_groupby_q1(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "agg_global",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship,
+       MIN(l_discount) AS min_disc,
+       MAX(l_discount) AS max_disc
+FROM lineitem
+""",
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped aggregate battery — partial agg per partition, single-row
+    final agg (no wide shuffle even at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_quantity")).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_buyers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct per group (Expand + two-phase aggregate in Spark)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_buyers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL approximate distinct — rows-only check (SURVEY.md §7.4.4).
+    At 100 TB this replaces the exact Expand-based distinct: one pass,
+    constant memory per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 55
+ORDER BY c_nationkey
+""",
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 55)
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals: (a,b), (a), () — Expand-based multi-grouping."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def agg_cube(spark, sf_dir):
+    """All 4 grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets ((a),(b),())."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def agg_collect_list(spark, sf_dir):
+    """Per-group array collection, sorted for determinism (§5.3).  At scale
+    collect_list is memory-bounded per group — fine for bounded groups like
+    lines-per-order (≤7), dangerous for unbounded ones."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_discount), 6) AS var_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_tax), 6) AS cov_qty_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates.  Stats chosen over small-magnitude columns so
+    ROUND(x, 6) absorbs cross-engine accumulation-order noise (§7.4.1)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("cov_qty_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(median(l_quantity), 6) AS med_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_median_percentile(spark, sf_dir):
+    """Exact median + continuous percentile per group (Spark ≥3.4 exact
+    percentile; linear interpolation matches DuckDB quantile_cont)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

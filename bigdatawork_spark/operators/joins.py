@@ -1,0 +1,293 @@
+"""§2-C joins (SURVEY.md).  REF:∅.
+
+Scale strategy: dimension tables (region/nation/supplier/customer at test SF)
+ride broadcast hash joins — pinned with ``F.broadcast`` where the plan must
+not regress; the two fact tables (orders⋈lineitem) shuffle on the join key
+(SortMergeJoin), which AQE converts/splits at runtime on skew.  At 100 TB the
+same code holds: bucket orders+lineitem by orderkey to pre-shuffle (§7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .aggregations import _dsum
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_inner_broadcast(spark, sf_dir):
+    """Equi inner join, small dimension → BroadcastHashJoin (pinned)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "join_inner_shuffle",
+    oracle="""
+SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+)
+def join_inner_shuffle(spark, sf_dir):
+    """Two large tables → shuffle join on the key (SortMergeJoin; AQE may
+    flip to broadcast at small SF — both correct, broadcast is the 100 TB
+    anti-pattern only when neither side fits)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
+    )
+
+
+@register(
+    "join_multiway_q5",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def join_multiway_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, revenue by nation.
+
+    Join order: facts first (orders⋈lineitem shuffle), then dims broadcast.
+    Date filter pushed to the orders scan prunes before the join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(rev, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+)
+def join_left_outer(spark, sf_dir):
+    """All customers; nulls for the orderless."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+""",
+)
+def join_right_outer(spark, sf_dir):
+    """Mirror of left outer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer over filtered slices so BOTH null directions appear
+    (high-balance customers without F-orders; F-orders of low-balance
+    customers)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'P')
+""",
+)
+def join_left_semi(spark, sf_dir):
+    """Customers WHERE EXISTS(P-status order) — semi join ships only the
+    key column of the right side, never widening rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'P')
+""",
+)
+def join_left_anti(spark, sf_dir):
+    """Customers WHERE NOT EXISTS — anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark, sf_dir):
+    """Bounded Cartesian product (5×25).  Cross joins only ever on provably
+    tiny inputs — at scale this shape is a broadcast nested loop."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT p_partkey, l_orderkey, l_linenumber, l_quantity, p_size
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+""",
+)
+def join_theta_range(spark, sf_dir):
+    """Equi + theta mix: the equi key drives the hash/merge join, the range
+    predicate is evaluated as a post-join filter on matched pairs — no
+    nested-loop blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey)
+        & li.l_quantity.between(p.p_size - 5, p.p_size + 5),
+    ).select("p_partkey", "l_orderkey", "l_linenumber", "l_quantity", "p_size")
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), enriched AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(click_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS prior_click_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, prior_click_ts
+FROM enriched WHERE event_type = 'purchase'
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join via the union+last(ignore nulls) window trick (SURVEY §2-C
+    join_asof): one shuffle on user_id instead of a per-row range probe —
+    the scalable formulation when Spark lacks a batch ASOF JOIN."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("prior_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_click_ts")
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_interval(spark, sf_dir):
+    """Interval self-join: pairs of same-user events ≤10 min apart.  The
+    equi key (user_id) bounds the pair space; at 100 TB add a coarse time
+    bucket to the join key to cap per-key pair counts (§7.5)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("second_id"),
+        F.col("a.user_id").alias("user_id"),
+    )

@@ -1,0 +1,144 @@
+"""§2-F sorts/limits/top-k and §2-G set operations (SURVEY.md).  REF:∅.
+
+Top-k uses TakeOrderedAndProject (per-partition heap + driver merge) — O(k)
+memory per partition, so LIMIT 10 on 100 TB never materializes a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .aggregations import _dsum
+
+
+@register(
+    "sort_multi",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC
+""",
+)
+def sort_multi(spark, sf_dir):
+    """Multi-key sort with explicit null ordering (range-partitioned
+    exchange + per-partition sort under the hood)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice").orderBy(
+        F.col("o_orderpriority").asc(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@register(
+    "limit_topk_q3",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def limit_topk_q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on orderkey.
+    Revenue summed exactly in decimal so the top-10 cut is identical across
+    engines.  Tiebreak on l_orderkey makes LIMIT deterministic (§5.3.3).
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _event_slice_a(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 50).select("event_id", "user_id", "event_type")
+
+
+def _event_slice_b(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") < 100).select("event_id", "user_id", "event_type")
+
+
+_SLICE_A_SQL = "SELECT event_id, user_id, event_type FROM events WHERE value > 50"
+_SLICE_B_SQL = "SELECT event_id, user_id, event_type FROM events WHERE user_id < 100"
+
+
+@register(
+    "set_union_all",
+    oracle=f"{_SLICE_A_SQL} UNION ALL {_SLICE_B_SQL}",
+)
+def set_union_all(spark, sf_dir):
+    """Bag union — overlapping rows appear twice.  Zero-shuffle: unions are
+    pure partition concatenation."""
+    return _event_slice_a(spark, sf_dir).unionByName(_event_slice_b(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    oracle=f"{_SLICE_A_SQL} UNION {_SLICE_B_SQL}",
+)
+def set_union_distinct(spark, sf_dir):
+    """Set union (distinct after concat — one shuffle on all columns)."""
+    return (
+        _event_slice_a(spark, sf_dir)
+        .unionByName(_event_slice_b(spark, sf_dir))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_intersect(spark, sf_dir):
+    """Set intersection (distinct semantics, like SQL INTERSECT)."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_except(spark, sf_dir):
+    """Bag difference (EXCEPT ALL) — multiplicity-aware subtraction."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)
