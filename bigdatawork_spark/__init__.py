@@ -5,5 +5,6 @@ Importing this package imports every operator module, which populates
 """
 
 from . import schemas  # noqa: F401
-from .operators import aggregations, joins, projections, sorts_sets  # noqa: F401
+from .functions import scalar  # noqa: F401
+from .operators import aggregations, joins, projections, sorts_sets, windows  # noqa: F401
 from .registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,336 @@
+"""§2-E window functions + §2-I batch time windows (SURVEY.md).  REF:∅.
+
+Every window here shuffles once on its partition key and sorts within
+partitions — the canonical scalable shape.  Orderings always carry a unique
+tiebreak column (§5.3.3) so ranks/frames are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+""",
+)
+def win_row_number(spark, sf_dir):
+    """Per-user event sequence."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id", F.row_number().over(w).alias("seq"))
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+""",
+)
+def win_rank_dense(spark, sf_dir):
+    """rank + dense_rank within priority (tie handling is value-identical
+    across engines, so no tiebreak needed for the rank values themselves)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def win_ntile(spark, sf_dir):
+    """Quartile bucketing per nation; c_custkey tiebreak makes bucket
+    boundaries deterministic."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", "c_nationkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark, sf_dir):
+    """Inter-event gap (µs — integer, immune to float noise) + next type."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark, sf_dir):
+    """First/most-recent event type per user over an explicitly-framed
+    ordered window (never bare first/last on groups — §5.3.5)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+""",
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative sum per user (prefix sums accumulate in identical order on
+    both engines; round 6 absorbs any residual)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events
+""",
+)
+def win_moving_avg(spark, sf_dir):
+    """3-row moving average per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         ORDER BY o_totalprice RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+       ) AS DOUBLE) AS nearby_total
+FROM orders
+""",
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE frame ±5000 by totalprice.  Frame sums run in decimal: sliding
+    frames accumulate in engine-specific order (segment trees vs incremental)
+    so double sums would drift — decimal is exact (§7.4.1)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-5000, 5000)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("nearby_total"),
+    )
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+SELECT p_partkey, p_retailprice,
+       ROUND(percent_rank() OVER (ORDER BY p_retailprice), 6) AS pct_rank,
+       ROUND(cume_dist()    OVER (ORDER BY p_retailprice), 6) AS cume
+FROM part
+""",
+)
+def win_percent_cume(spark, sf_dir):
+    """percent_rank / cume_dist of parts by price."""
+    p = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — the scalable top-k-per-group idiom (one
+    shuffle on the group key; no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2-I batch time windows (the oracle-checkable twins of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_time_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def win_time_tumbling(spark, sf_dir):
+    """1-hour tumbling window aggregate per event type (batch twin of
+    stream_tumbling)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register("win_time_sliding")  # rows-only: DuckDB has no sliding-window groupBy
+def win_time_sliding(spark, sf_dir):
+    """1-hour window sliding every 15 min — each event lands in 4 windows
+    (Spark expands via the window generator; row count ≈ 4× tumbling)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "win_time_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_event,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def win_time_session(spark, sf_dir):
+    """Per-user 30-min-gap sessions via ``F.session_window``; the oracle uses
+    the classic gaps-and-islands formulation (SURVEY §4 ⚠️ row).  Emits
+    session_start = first event ts (Spark's window.start) and last_event =
+    max(ts), NOT window.end (Spark defines end = last_ts + gap)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
