@@ -6,5 +6,15 @@ Importing this package imports every operator module, which populates
 
 from . import schemas  # noqa: F401
 from .functions import scalar  # noqa: F401
-from .operators import aggregations, joins, projections, sorts_sets, windows  # noqa: F401
+from .sources import io_ops  # noqa: F401
+from .streaming import stream_ops  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregations,
+    joins,
+    llm_ops,
+    projections,
+    sorts_sets,
+    udfs,
+    windows,
+)
 from .registry import ORACLES, QUERIES  # noqa: F401

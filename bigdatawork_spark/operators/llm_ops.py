@@ -1,0 +1,508 @@
+"""§2-K LLM-data-pipeline operators (SURVEY.md; mandated by BASELINE.json:6:
+dedup, similarity search, multimodal columns, text analysis).  REF:∅.
+
+Scale designs (§7.5): exact dedup groups on a 256-bit content hash (shuffle
+carries hashes, not text); near-dup candidate generation is rare-token-blocked
+(never all-pairs); brute-force cosine is the small-N baseline with MinHash /
+random-projection LSH as the ≥10⁶-vector path.  Vector math folds
+double-cast elements left-to-right, which both Spark and DuckDB execute
+bit-identically — cosine scores need no rounding to hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY keep_id
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content hash, keep min doc_id.  The shuffle key
+    is the 64-hex hash — constant width regardless of document size."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+def _doc_words(spark, sf_dir) -> DataFrame:
+    """Distinct (doc_id, word) pairs."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_near_exactjacc",
+    oracle="""
+WITH words AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+doc_size AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+df AS (SELECT word, COUNT(*) AS df FROM words GROUP BY word),
+rare AS (SELECT word FROM df WHERE df BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM words a
+  JOIN rare r ON a.word = r.word
+  JOIN words b ON b.word = r.word AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / (sa.n_words + sb.n_words - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN doc_size sa ON sa.doc_id = i.doc_a
+JOIN doc_size sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_words + sb.n_words - i.n_common) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_near_exactjacc(spark, sf_dir):
+    """Exact word-set Jaccard for candidate pairs sharing a rare token
+    (2 ≤ df ≤ 5).  Rare-token blocking caps the pair space — the scalable
+    alternative to an all-pairs join; MinHash-LSH (dedup_near_minhash) is
+    the probabilistic twin."""
+    words = _doc_words(spark, sf_dir).cache()
+    doc_size = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    df_tab = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_tab.filter(F.col("df").between(2, 5)).select("word")
+    wa_r = words.join(rare, "word").select(
+        F.col("doc_id").alias("doc_a"), "word"
+    )
+    wb_r = words.join(rare, "word").select(
+        F.col("doc_id").alias("doc_b"), "word"
+    )
+    cand = (
+        wa_r.join(wb_r, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("word").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("wb_doc"), F.col("word").alias("wb"))
+    inter = (
+        cand.join(wa, "doc_a")
+        .join(wb, (F.col("doc_b") == F.col("wb_doc")) & (F.col("wa") == F.col("wb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = doc_size.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    sb = doc_size.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: LSH bucketing is engine-specific
+def dedup_near_minhash(spark, sf_dir):
+    """Near-dup pairs via MinHash-LSH over 3-word shingles (Spark ML
+    RegexTokenizer→NGram→HashingTF→MinHashLSH.approxSimilarityJoin) — the
+    ≥10⁶-document path: candidate pairs come from LSH band buckets, never
+    an all-pairs join.  Seeded for determinism; verified in tests for recall
+    ⊇ the exact-Jaccard twin's pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=3, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    staged = tf.transform(ngram.transform(tok.transform(d)))
+    # LSH requires ≥1 non-zero feature: drop docs with <3 words (no shingles)
+    staged = staged.filter(F.size("shingles") >= 1).cache()
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(staged)
+    pairs = model.approxSimilarityJoin(staged, staged, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _normed_vectors(spark, sf_dir) -> DataFrame:
+    """vec_id, e (array<double>), nrm — shared by cosine/knn ops."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(e, x -> x * x), cast(0.0 as double), (a, x) -> a + x)"
+            )
+        ),
+    )
+
+
+_COSINE_PAIRS_SQL = """
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM v
+)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH {_COSINE_PAIRS_SQL},
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_aggregate(list_transform(list_zip(p.e, c.e),
+                        z -> z[1] * z[2]), 'sum') / (p.nrm * c.nrm) AS cos_raw
+  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id <= 5
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, rn
+FROM ranked WHERE rn <= 5
+ORDER BY probe_id, rn
+""",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for probe set vec_id ≤ 5 — the correctness
+    baseline for ANN (sim_ann_lsh is the scale path).  Probe side broadcasts;
+    the corpus is scanned once."""
+    n = _normed_vectors(spark, sf_dir)
+    p = n.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(pe, ce, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    pairs = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", dot / (F.col("pnrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn"
+        )
+        .orderBy("probe_id", "rn")
+    )
+
+
+@register("sim_ann_lsh")  # rows-only: LSH bucketing is engine-specific
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-projection LSH (Spark ML
+    BucketedRandomProjectionLSH.approxSimilarityJoin, euclidean) for the
+    same probe set — the ≥10⁶-vector path.  Seeded; recall vs brute force
+    asserted in tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") <= 5)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(probes, e, 8.0, distCol="eucl_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round(F.col("eucl_dist"), 6).alias("eucl_dist"),
+        )
+        .orderBy("probe_id", "eucl_dist", "neighbor_id")
+    )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+WITH {_COSINE_PAIRS_SQL},
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS nb, b.label AS nb_label,
+         list_aggregate(list_transform(list_zip(a.e, b.e),
+                        z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, nb_label FROM (
+    SELECT src, nb_label,
+           row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, nb) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT src, nb_label AS pred_label, COUNT(*) AS votes
+  FROM knn GROUP BY src, nb_label
+),
+pred AS (
+  SELECT src, pred_label FROM (
+    SELECT src, pred_label,
+           row_number() OVER (PARTITION BY src ORDER BY votes DESC, pred_label) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT e.vec_id, e.label, p.pred_label,
+       CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END AS is_correct
+FROM embeddings e JOIN pred p ON p.src = e.vec_id
+ORDER BY e.vec_id
+""",
+)
+def knn_classify(spark, sf_dir):
+    """k=5 leave-one-out cosine kNN majority vote (deterministic tiebreak:
+    votes DESC, label ASC).  Builds on the brute-force pair machinery; at
+    scale the pair stage swaps for the LSH candidate generator."""
+    n = _normed_vectors(spark, sf_dir)
+    a = n.select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
+    )
+    b = n.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nb_label"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("nb"))
+        .withColumn("cos_raw", dot / (F.col("anrm") * F.col("bnrm")))
+    )
+    w_knn = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("nb"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= 5)
+        .select("src", "nb_label")
+    )
+    votes = knn.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("src").orderBy(
+        F.col("votes").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w_vote))
+        .filter(F.col("rv") == 1)
+        .select("src", F.col("nb_label").alias("pred_label"))
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        e.join(pred, e.vec_id == pred.src)
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       ROUND(AVG(CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS DOUBLE)), 6) AS avg_words,
+       CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_len_ok
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def text_stats(spark, sf_dir):
+    """Per (lang, source) corpus stats + n_chars integrity check."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(n_words.cast("double")), 6).alias("avg_words"),
+            F.sum(
+                F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+            ).alias("n_len_ok"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 50 AND 400
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 50 AND 400
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_lang_filter(spark, sf_dir):
+    """Quality filter accounting: kept/dropped per source under
+    lang='en' AND 50 ≤ n_chars ≤ 400."""
+    d = load(spark, sf_dir, "documents")
+    keep = (F.col("lang") == "en") & F.col("n_chars").between(50, 400)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tfidf_keywords",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok WHERE word <> ''
+  GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok WHERE word <> ''
+  GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word,
+         ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf t JOIN df ON t.word = df.word CROSS JOIN n
+)
+SELECT doc_id, word, score, rn FROM (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+  FROM scored
+) WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+)
+def tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF terms per document, exact (no ML hashing): tf from
+    wordcount-per-doc, idf = ln(N/df), window top-k.  Ranking happens on the
+    ROUNDED score (+ word tiebreak) so a last-ulp ln() difference between
+    libm and JVM Math cannot reorder the cut."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar aggregate; cheap at any scale
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_tab, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+SELECT label, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY label
+ORDER BY label
+""",
+)
+def multimodal_join(spark, sf_dir):
+    """Text ⋈ vector modality join (doc_id = vec_id) + per-label stats —
+    the id-aligned multimodal pattern (binary/image columns ride the same
+    join; see sources.multimodal for the decode plumbing)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,225 @@
+"""§2-J UDF / UDAF / UDTF surface (SURVEY.md; patterns per SNIPPETS.md
+87-166).  REF:∅.
+
+UDFs are the slow path by design — every key here exists to prove the Python
+extension surface, with an oracle showing the builtin-SQL equivalent.  Pandas
+UDFs ride Arrow record batches (vectorized); the plain ``@F.udf`` key is the
+one deliberate row-at-a-time example.  At 100 TB: pandas UDFs scale linearly
+with partitions; plain Python UDFs would be rewritten as builtins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load
+from ..registry import register
+
+
+# NOTE: all UDF decorators live INSIDE the query builders — @udf/@pandas_udf
+# parse their return type through the active SparkSession, and this module is
+# imported before the driver's session exists.
+
+
+@register(
+    "udf_python",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS band
+FROM lineitem
+""",
+)
+def udf_python(spark, sf_dir):
+    """Plain row-at-a-time Python UDF (pickled rows — the 10-100× slower
+    path; kept as the API-surface proof)."""
+
+    @F.udf("string")
+    def disc_band(d: float) -> str:
+        if d is None:
+            return "unknown"
+        if d < 0.03:
+            return "low"
+        if d < 0.07:
+            return "mid"
+        return "high"
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", disc_band("l_discount").alias("band")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem
+""",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas UDF over Arrow batches (SNIPPETS.md:87-103).
+    Per-row IEEE arithmetic — bit-identical to the SQL expression."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+SELECT l_suppkey,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS w_mean_price
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+)
+def udaf_pandas_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDF: quantity-weighted mean price per supplier
+    (SNIPPETS.md:106-115).  Small groups (~600 rows) keep float
+    accumulation noise far below the 6-dp round."""
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                weighted_mean("l_extendedprice", "l_quantity"), 6
+            ).alias("w_mean_price")
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)  # sample std = stddev_samp
+    pdf = pdf.assign(z=((pdf["value"] - mu) / sd).round(6))
+    return pdf[["event_id", "user_id", "z"]]
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def udtf_grouped_map(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user z-score normalization
+    (SNIPPETS.md:121-166) — the custom-operator escape hatch; one shuffle on
+    the group key, arbitrary pandas per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore, schema="event_id long, user_id long, z double"
+    )
+
+
+def _high_value(batches):
+    for pdf in batches:
+        out = pdf[pdf["value"] > 90.0]
+        yield out.assign(value_x2=out["value"] * 2.0)[
+            ["event_id", "user_id", "value", "value_x2"]
+        ]
+
+
+@register(
+    "udtf_map_in_pandas",
+    oracle="""
+SELECT event_id, user_id, value, value * 2.0 AS value_x2
+FROM events WHERE value > 90.0
+""",
+)
+def udtf_map_in_pandas(spark, sf_dir):
+    """Partition-wise mapInPandas iterator (UDTF-style: n rows in, m rows
+    out) — streams Arrow batches, never materializes a partition."""
+    ev = load(spark, sf_dir, "events")
+    return ev.mapInPandas(
+        _high_value, schema="event_id long, user_id long, value double, value_x2 double"
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, word, length(word) AS wlen
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+""",
+)
+def udtf_python(spark, sf_dir):
+    """Spark 4 Python UDTF: explode text into (word, wlen) rows via a
+    lateral join.  Falls back to explode+builtins if the UDTF API is
+    unavailable (SURVEY §7.4.8) — semantics identical either way."""
+    d = load(spark, sf_dir, "documents")
+    try:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="word: string, wlen: int")
+        class WordSplit:
+            def eval(self, text: str):
+                if text:
+                    for w in text.split(" "):
+                        if w:
+                            yield w, len(w)
+
+        spark.udtf.register("word_split", WordSplit)
+        d.createOrReplaceTempView("udtf_documents")
+        return spark.sql(
+            "SELECT doc_id, word, wlen "
+            "FROM udtf_documents, LATERAL word_split(text)"
+        )
+    except Exception:
+        return (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .select("doc_id", "word", F.length("word").cast("int").alias("wlen"))
+        )
+
+
+@register(
+    "sql_udf_register",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 250000 THEN 'jumbo'
+            WHEN o_totalprice > 100000 THEN 'large'
+            ELSE 'standard' END AS order_class
+FROM orders
+""",
+)
+def sql_udf_register(spark, sf_dir):
+    """Register a Python UDF into the SQL catalog and call it from a SQL
+    string (SNIPPETS.md:48-56 registration pattern)."""
+
+    def order_class(p: float) -> str:
+        if p > 250000:
+            return "jumbo"
+        if p > 100000:
+            return "large"
+        return "standard"
+
+    spark.udf.register("order_class", order_class, "string")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sqludf_orders")
+    return spark.sql(
+        "SELECT o_orderkey, order_class(o_totalprice) AS order_class "
+        "FROM sqludf_orders"
+    )

@@ -1,0 +1,98 @@
+"""§2-A scans / sources / sinks (SURVEY.md).  REF:∅.
+
+Format round-trips (CSV/JSONL) and the parquet sink are rows-only checks:
+the oracle can't see /tmp.  Round-trips use explicit StructTypes from
+``schemas.py`` — never inference — so ingest behavior is schema-stable
+(SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..io import load
+from ..registry import register
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "bdw_io")
+
+
+def _tmp(name: str) -> str:
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    return os.path.join(_TMP_ROOT, name)
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark, sf_dir):
+    """Plain parquet scan, all columns projected."""
+    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register("scan_csv")  # rows-only: oracle can't see the /tmp round-trip
+def scan_csv(spark, sf_dir):
+    """CSV round-trip: write a lineitem sample with header, read back with
+    the canonical explicit schema (no inference)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    path = _tmp("scan_csv")
+    li.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(schemas.LINEITEM)
+        .option("header", True)
+        .csv(path)
+    )
+    return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register("scan_jsonl")  # rows-only
+def scan_jsonl(spark, sf_dir):
+    """JSON-lines round-trip with explicit schema."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 53 == 0)
+    path = _tmp("scan_jsonl")
+    c.write.mode("overwrite").json(path)
+    back = spark.read.schema(schemas.CUSTOMER).json(path)
+    return back.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+@register(
+    "source_inline",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
+  (CAST(2 AS BIGINT), 'beta',  CAST(2.5 AS DOUBLE)),
+  (CAST(3 AS BIGINT), 'gamma', CAST(NULL AS DOUBLE))
+) t(k, name, val)
+""",
+)
+def source_inline(spark, sf_dir):
+    """DataFrame from local rows + explicit StructType (VALUES oracle)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)]
+    return spark.createDataFrame(rows, schema)
+
+
+@register("sink_parquet")  # rows-only
+def sink_parquet(spark, sf_dir):
+    """Write a query result to parquet, re-read it — sink semantics +
+    schema fidelity through the file boundary."""
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    path = _tmp("sink_parquet")
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).orderBy("o_orderstatus")

@@ -1,0 +1,267 @@
+"""§2-I Structured Streaming operators (SURVEY.md).  REF:∅.
+
+All keys are rows-only (streaming results aren't DuckDB-expressible); the
+windowing LOGIC is hash-verified through the batch twins in
+``operators/windows.py`` (SURVEY §2-I evidence note).
+
+Test harness pattern (§5.3 / §3.3): file-source replay of events parquet →
+``trigger(availableNow=True)`` → memory sink → ``awaitTermination`` →
+return the final static table.  Checkpoints live in fresh /tmp dirs so
+reruns never resume stale state.  At scale: same code with a real source
+(Kafka/files), RocksDB state store, and a durable checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_STREAM_ROOT = os.path.join(tempfile.gettempdir(), "bdw_stream")
+
+
+def _fresh_dir(tag: str) -> str:
+    path = os.path.join(_STREAM_ROOT, f"{tag}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _events_source_dir(spark, sf_dir, chunks: list | None = None) -> str:
+    """Write events (µs timestamps — streaming reader also rejects ns) into
+    a fresh dir as one file per chunk predicate, in order."""
+    src = _fresh_dir("src")
+    ev = load(spark, sf_dir, "events")
+    preds = chunks or [F.lit(True)]
+    for i, pred in enumerate(preds):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+    return src
+
+
+def _read_stream(spark: SparkSession, src: str, max_files: int | None = None):
+    ev_schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(ev_schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(src)
+
+
+def _drain_to_memory(sdf, name: str, output_mode: str = "append") -> None:
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _fresh_dir(f"chk-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("source_stream_file")
+def source_stream_file(spark, sf_dir):
+    """File-based streaming source over an events parquet dir → memory."""
+    src = _events_source_dir(spark, sf_dir)
+    sdf = _read_stream(spark, src).filter(F.col("event_type") == "purchase")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name)
+    return spark.table(name).select("event_id", "user_id", "value").orderBy("event_id")
+
+
+@register("source_stream_rate")
+def source_stream_rate(spark, sf_dir):
+    """Synthetic rate source smoke: start, drain what's available, assert
+    plumbing works.  Row count is wall-clock-dependent, so the result is a
+    single schema-stable row."""
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table(name).limit(1).count() == 0:
+            time.sleep(0.3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.when(F.count(F.lit(1)) > 0, 1).otherwise(0).alias("got_rows")
+    )
+
+
+@register("sink_stream_memory")
+def sink_stream_memory(spark, sf_dir):
+    """Stream → in-memory table; rows asserted after full drain."""
+    src = _events_source_dir(spark, sf_dir)
+    sdf = _read_stream(spark, src).select("event_id", "user_id", "event_type")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name)
+    return spark.table(name).orderBy("event_id")
+
+
+@register("sink_stream_foreachbatch")
+def sink_stream_foreachbatch(spark, sf_dir):
+    """Stream → foreachBatch callback writing parquet per micro-batch; the
+    sink dir is read back as the result (the escape hatch for arbitrary
+    batch sinks)."""
+    src = _events_source_dir(spark, sf_dir)
+    out = _fresh_dir("fb-out")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    sdf = _read_stream(spark, src).select("event_id", "user_id", "value")
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", _fresh_dir("chk-fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("event_id", "user_id", "value").orderBy(
+        "event_id"
+    )
+
+
+@register("stream_tumbling")
+def stream_tumbling(spark, sf_dir):
+    """Streaming twin of win_time_tumbling: 1-hour windows, update mode.
+    Single source file → single micro-batch → final table equals the batch
+    twin (asserted in tests/test_streaming.py)."""
+    src = _events_source_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="update")
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register("stream_watermark_late")
+def stream_watermark_late(spark, sf_dir):
+    """10-min watermark, append mode: batch 1 (recent data) advances the
+    watermark; batch 2 (old data) arrives entirely late and is dropped.
+    Output = finalized windows built from batch 1 only."""
+    cut = F.lit("2024-01-15").cast("timestamp")
+    src = _events_source_dir(
+        spark, sf_dir, chunks=[F.col("ts") >= cut, F.col("ts") < cut]
+    )
+    sdf = (
+        _read_stream(spark, src, max_files=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+@register("stream_dedup")
+def stream_dedup(spark, sf_dir):
+    """Duplicate events arrive in two micro-batches; state-backed
+    dropDuplicatesWithinWatermark keeps one copy per event_id."""
+    src = _events_source_dir(spark, sf_dir, chunks=[F.lit(True), F.lit(True)])
+    sdf = (
+        _read_stream(spark, src, max_files=1)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="append")
+    return spark.table(name).orderBy("event_id")
+
+
+@register("stream_stateful_count")
+def stream_stateful_count(spark, sf_dir):
+    """Arbitrary stateful per-user running event count via
+    applyInPandasWithState (SURVEY §7.4.8 fallback API — stable in 4.1.2;
+    transformWithStateInPandas is the newer equivalent).  State lives with
+    the shuffle partition of user_id (§3.3)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = _events_source_dir(spark, sf_dir)
+
+    def count_events(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    sdf = (
+        _read_stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="update")
+    return spark.table(name).orderBy("user_id")
+
+
+@register("stream_static_join")
+def stream_static_join(spark, sf_dir):
+    """Enrich the stream with a static dimension (event_type → weight) —
+    stream-static joins need no state; the static side broadcasts."""
+    src = _events_source_dir(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0),
+         ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    sdf = (
+        _read_stream(spark, src)
+        .join(F.broadcast(weights), "event_type")
+        .select("event_id", "event_type", "value", "weight")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name)
+    return spark.table(name).orderBy("event_id")
+
+
+def cleanup() -> None:
+    """Remove stream scratch dirs (best-effort)."""
+    shutil.rmtree(_STREAM_ROOT, ignore_errors=True)
