@@ -12,6 +12,7 @@ from .operators import (  # noqa: F401
     aggregations,
     joins,
     llm_ops,
+    pipeline_ops,
     projections,
     sorts_sets,
     udfs,

@@ -1,0 +1,434 @@
+"""Training-data-pipeline operators beyond SURVEY §2 — the LLM-scale data
+prep surface (BASELINE.json:6 north star: dedup, similarity search,
+multimodal columns, text analysis).  REF:∅.
+
+Every op here is a `queries()` entry with a DuckDB oracle on the corpus
+tables unless physically impossible.  Scale notes per op docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .llm_ops import _normed_vectors
+
+
+@register(
+    "text_langid",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+           / length(text) AS vowel_ratio,
+         CAST(length(text) AS DOUBLE)
+           / len(list_filter(string_split(text, ' '), w -> w <> '')) AS avg_wlen
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN vowel_ratio >= 0.32 THEN 'en'
+            WHEN vowel_ratio >= 0.28 THEN 'es'
+            WHEN avg_wlen >= 6.5 THEN 'de'
+            WHEN avg_wlen >= 5.5 THEN 'fr'
+            ELSE 'zh' END AS lang_guess,
+       ROUND(vowel_ratio, 6) AS vowel_ratio
+FROM feat
+ORDER BY doc_id
+""",
+)
+def text_langid(spark, sf_dir):
+    """Character-statistics language-ID heuristic (vowel ratio + mean word
+    length buckets).  A real n-gram model would ride the same shape: one
+    narrow projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    vowel_ratio = (
+        F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", "")).cast("double")
+        / F.length("text")
+    )
+    avg_wlen = F.length("text").cast("double") / F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.when(vowel_ratio >= 0.32, "en")
+            .when(vowel_ratio >= 0.28, "es")
+            .when(avg_wlen >= 6.5, "de")
+            .when(avg_wlen >= 5.5, "fr")
+            .otherwise("zh")
+            .alias("lang_guess"),
+            F.round(vowel_ratio, 6).alias("vowel_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       ROUND(
+         LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.5
+         + LEAST(CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS DOUBLE) / 60.0, 1.0) * 0.3
+         + CASE WHEN length(regexp_replace(text, '[a-z ]', '', 'g')) = 0
+                THEN 0.2 ELSE 0.0 END,
+       6) AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality score: length saturation (0.5) + word-count
+    saturation (0.3) + clean-charset bonus (0.2) — the filter-stage scoring
+    pattern for pretraining corpora; pure codegen expressions."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("double")
+    clean = F.length(F.regexp_replace("text", "[a-z ]", "")) == 0
+    quality = (
+        F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0)) * 0.5
+        + F.least(n_words / 60.0, F.lit(1.0)) * 0.3
+        + F.when(clean, 0.2).otherwise(0.0)
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+       len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), t -> t <> ''))
+         AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_est_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex word pieces,
+    and the chars/4 billing estimate — the budget accounting op."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    bpe = F.size(F.filter(F.split("text", "[^a-z0-9]+"), lambda t: t != ""))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_est_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
+         AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')))
+         AS n_same
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-normalized content fingerprint: md5 over the sorted distinct
+    word set — catches shuffled/reordered duplicates that exact text hashing
+    misses.  n_same > 1 marks fingerprint collisions (= word-set dups)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+                )
+            ),
+            " ",
+        )
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_same", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY doc_id, word
+),
+bits AS (
+  SELECT t.doc_id, g.j,
+         SUM(t.tf * (2 * ((strpos('0123456789abcdef',
+                                  substring(md5(t.word), CAST(g.j // 4 AS INTEGER) + 1, 1)) - 1
+                           >> (3 - CAST(g.j % 4 AS INTEGER))) & 1) - 1)) AS signal
+  FROM tf t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+  GROUP BY t.doc_id, g.j
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN signal >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_same
+FROM sig
+ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signature per document from md5-derived word bits
+    (cross-engine-stable: no engine hash functions), tf-weighted.  n_same
+    counts signature collisions (hamming-0 near-dups).  At 100 TB the
+    hamming-≤k search runs on banded substrings of this signature —
+    same shuffle shape as MinHash bands."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("wmd5", F.md5("word"))
+    )
+    bits = (
+        tf.select(
+            "doc_id",
+            "tf",
+            "wmd5",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        )
+        .withColumn(
+            "nibble",
+            F.expr(
+                "locate(substring(wmd5, cast(j / 4 as int) + 1, 1), '0123456789abcdef') - 1"
+            ),
+        )
+        .withColumn("bit", F.expr("shiftright(nibble, 3 - cast(j % 4 as int)) & 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("tf") * (2 * F.col("bit") - 1)).alias("signal"))
+    )
+    sig = (
+        bits.withColumn(
+            "b", F.when(F.col("signal") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "b"))), lambda s: s["b"]
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+    w = Window.partitionBy("simhash")
+    return (
+        sig.withColumn("n_same", F.count(F.lit(1)).over(w)).orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_aggregate(list_transform(list_zip(a.e, b.e),
+                            z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm), 6)
+         AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(list_zip(a.e, b.e),
+                     z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) >= 0.55
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.55 — chosen to
+    yield hits on the synthetic corpus).  All-pairs here; above ~10⁶
+    vectors the candidate stage swaps for IVF buckets (sim_ann_ivf) or LSH
+    (sim_ann_lsh) with this exact scorer as the re-rank."""
+    n = _normed_vectors(spark, sf_dir)
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("be"), F.col("nrm").alias("bnrm")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    cos = dot / (F.col("anrm") * F.col("bnrm"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.55)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM v
+),
+centroids AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id <= 8),
+assign AS (
+  SELECT vec_id, e, nrm, cid FROM (
+    SELECT x.vec_id, x.e, x.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(x.e, c.ce),
+                      z -> z[1] * z[2]), 'sum') / (x.nrm * c.cnrm) DESC, c.cid
+           ) AS rc
+    FROM n x CROSS JOIN centroids c
+  ) WHERE rc = 1
+),
+probes AS (SELECT * FROM assign WHERE vec_id <= 5),
+cand AS (
+  SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+         list_aggregate(list_transform(list_zip(p.e, x.e),
+                        z -> z[1] * z[2]), 'sum') / (p.nrm * x.nrm) AS cos_raw
+  FROM probes p JOIN assign x
+    ON x.cid = p.cid AND x.vec_id <> p.vec_id
+)
+SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= 5
+ORDER BY probe_id, rn
+""",
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate NN, fully deterministic (centroids = first
+    8 vectors; assignment = max cosine).  Probes search only their inverted
+    list — the candidate set shrinks ~|centroids|-fold; at scale centroids
+    come from sampled k-means and the assignment is a broadcast join, which
+    is exactly the shape here."""
+    n = _normed_vectors(spark, sf_dir).select("vec_id", "e", "nrm")
+    cents = n.filter(F.col("vec_id") <= 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm")
+    )
+    dot_c = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        (dot_c / (F.col("nrm") * F.col("cnrm"))).desc(), F.col("cid")
+    )
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("rc", F.row_number().over(w_assign))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "e", "nrm", "cid")
+    )
+    probes = assign.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+        F.col("cid").alias("pcid"),
+    )
+    dot_p = F.expr(
+        "aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assign,
+            (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .withColumn("cos_raw", dot_p / (F.col("pnrm") * F.col("nrm")))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn")
+        .orderBy("probe_id", "rn")
+    )
+
+
+@register(
+    "multimodal_extract_stub",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_md5,
+       ascii(substring(text, 1, 1)) AS first_byte,
+       ascii(substring(text, CAST(length(text) // 2 AS INTEGER) + 1, 1)) AS mid_byte,
+       ascii(substring(text, length(text), 1)) AS last_byte
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_extract_stub(spark, sf_dir):
+    """Multimodal-column plumbing: an opaque ``binary`` payload column is
+    carried through ``mapInPandas`` and "decoded" by a deterministic stub
+    (real decode would call an image/audio lib here — not in this
+    container; see SURVEY §2-K / prompt note).  The Spark-side plumbing is
+    real: binary Arrow batches, schema, partition-parallel extraction.
+    Emits byte length, content digest, and 3 sampled bytes ("frame
+    sample")."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_stub(batches):
+        # STUB: stands in for image/audio decode + frame sampling.  The
+        # deterministic fake reads real bytes from the binary column.
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "first_byte": payloads.map(lambda b: b[0]),
+                    "mid_byte": payloads.map(lambda b: b[len(b) // 2]),
+                    "last_byte": payloads.map(lambda b: b[-1]),
+                }
+            )
+
+    return d.mapInPandas(
+        decode_stub,
+        schema=(
+            "doc_id long, n_bytes long, content_md5 string, "
+            "first_byte int, mid_byte int, last_byte int"
+        ),
+    ).orderBy("doc_id")
