@@ -170,12 +170,18 @@ def stream_tumbling(spark, sf_dir):
 
 @register("stream_watermark_late")
 def stream_watermark_late(spark, sf_dir):
-    """10-min watermark, append mode: batch 1 (recent data) advances the
-    watermark; batch 2 (old data) arrives entirely late and is dropped.
-    Output = finalized windows built from batch 1 only."""
+    """10-min watermark, append mode: batch 0 (recent data) advances the
+    watermark; the old data then arrives entirely late and is dropped.
+    Output = finalized windows built from the on-time batch only.
+
+    Note (measured on PySpark 4.1.2): the aggregate's late-row filter
+    applies the watermark one batch AFTER the progress log reports it, so
+    an empty spacer batch sits between the on-time and late files."""
     cut = F.lit("2024-01-15").cast("timestamp")
     src = _events_source_dir(
-        spark, sf_dir, chunks=[F.col("ts") >= cut, F.col("ts") < cut]
+        spark,
+        sf_dir,
+        chunks=[F.col("ts") >= cut, F.lit(False), F.col("ts") < cut],
     )
     sdf = (
         _read_stream(spark, src, max_files=1)

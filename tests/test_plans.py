@@ -1,0 +1,81 @@
+"""Plan-shape assertions (SURVEY §4, prompt: '.explain the plan and iterate
+until it's the plan you'd want').
+
+These lock in the physical properties that matter at 100 TB: filters reach
+the parquet scan, projections prune columns, small dims broadcast, the
+UDF-free paths stay inside WholeStageCodegen, and top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+from bigdatawork_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    return QUERIES[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, sf_dir, key: str) -> str:
+    df = QUERIES[key](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(spark, sf_dir, "filter_simple")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan, plan[:2000]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _formatted(spark, sf_dir, "project_select")
+    # 4 of 11 lineitem columns read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_broadcast_join_pinned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_uses_broadcasts_for_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_q5")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_left_anti")
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_topk_q3")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    df = QUERIES["agg_groupby_q1"](spark, sf_dir)
+    df.collect()  # materialize THIS plan so AQE finalizes it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(n)" operator prefixes mark WholeStageCodegen stages in plan strings
+    assert "*(1)" in plan and "*(2)" in plan
+    # partial + final HashAggregate pair → map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_no_python_udf_in_builtin_paths(spark, sf_dir):
+    for key in ("agg_groupby_q1", "join_multiway_q5", "wordcount", "math_funcs"):
+        plan = _plan(spark, sf_dir, key)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    # even with the ns→µs ts rewrite, unused columns must not be read
+    plan = _formatted(spark, sf_dir, "win_row_number")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema, read_schema

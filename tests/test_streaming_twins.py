@@ -1,0 +1,73 @@
+"""Streaming correctness (SURVEY §5.2): final streaming state must equal the
+hash-verified batch twin; late data must be dropped; LSH must recall its
+exact twin's pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatawork_spark.registry import QUERIES
+
+from .compare import assert_frames_match
+
+
+def test_stream_tumbling_equals_batch_twin(spark, sf_dir):
+    stream_pd = QUERIES["stream_tumbling"](spark, sf_dir).toPandas()
+    batch_pd = QUERIES["win_time_tumbling"](spark, sf_dir).toPandas()
+    assert_frames_match(stream_pd, batch_pd, "stream_tumbling≡batch")
+
+
+def test_stream_dedup_removes_cross_batch_duplicates(spark, sf_dir):
+    deduped = QUERIES["stream_dedup"](spark, sf_dir)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert deduped.count() == n_events  # 2× input files → exactly 1 copy each
+
+
+def test_stream_watermark_drops_late_rows(spark, sf_dir):
+    out = QUERIES["stream_watermark_late"](spark, sf_dir).toPandas()
+    # batch 2 (ts < 2024-01-15) arrived past the watermark: no window from
+    # the first half of the month may appear
+    assert (out["window_start"] >= "2024-01-15").all(), out.head()
+    # and the on-time half must be materialized
+    assert len(out) > 100
+
+
+def test_stream_stateful_count_matches_batch_groupby(spark, sf_dir):
+    stateful = QUERIES["stream_stateful_count"](spark, sf_dir).toPandas()
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert_frames_match(stateful, batch, "stream_stateful≡batch")
+
+
+def test_minhash_recalls_exact_jaccard_pairs(spark, sf_dir):
+    """dedup_near_minhash (approx) must recover ≥80% of the exact twin's
+    high-similarity pairs (SURVEY §5.2 LSH recall contract)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near_exactjacc"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    if not exact:  # sf0.001 has no dups — self-union would be needed
+        return
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall={recall} exact={exact} approx={approx}"
+
+
+def test_ann_ivf_overlaps_brute_force(spark, sf_dir):
+    """IVF top-5 must overlap brute-force top-5 (same probes) on ≥40% of
+    neighbor slots — sanity for the bucketed candidate generator."""
+    bf = QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    ivf = QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    bf_set = {(r.probe_id, r.neighbor_id) for r in bf}
+    ivf_set = {(r.probe_id, r.neighbor_id) for r in ivf}
+    overlap = len(bf_set & ivf_set) / len(bf_set)
+    assert overlap >= 0.4, f"overlap={overlap}"
