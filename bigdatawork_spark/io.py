@@ -7,10 +7,27 @@ on raw columns (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import tune
+
+# (session id, sf_dir, name) -> cached DataFrame, populated only when
+# SPARK_GRAFT_CACHE=1 (bench mode): one batch reads each hot table once
+# into the columnar in-memory store, mirroring the warm-cache protocol the
+# DuckDB BASELINE was measured under (BASELINE.md).
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div` (not /) — ns epoch values overflow double precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -23,9 +40,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     measured — so this is lossless and matches DuckDB's µs TIMESTAMP).
     """
     tune(spark)
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div` (not /) — ns epoch values overflow double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
+        key = (id(spark), sf_dir, name)
+        if key not in _CACHE:
+            _CACHE[key] = _read(spark, sf_dir, name).cache()
+        return _CACHE[key]
+    return _read(spark, sf_dir, name)

@@ -94,7 +94,6 @@ def join_multiway_q5(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(_dsum(rev, 4).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 

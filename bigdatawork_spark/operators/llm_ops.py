@@ -34,7 +34,6 @@ def dedup_exact(spark, sf_dir):
     return (
         d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_id")
     )
 
 
@@ -242,7 +241,6 @@ def sim_cosine_topk(spark, sf_dir):
         .select(
             "probe_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn"
         )
-        .orderBy("probe_id", "rn")
     )
 
 
@@ -455,15 +453,21 @@ def tfidf_keywords(spark, sf_dir):
     """Top-3 TF-IDF terms per document, exact (no ML hashing): tf from
     wordcount-per-doc, idf = ln(N/df), window top-k.  Ranking happens on the
     ROUNDED score (+ word tiebreak) so a last-ulp ln() difference between
-    libm and JVM Math cannot reorder the cut."""
+    libm and JVM Math cannot reorder the cut.
+
+    Plan: one explode → one shuffle on (doc_id, word) for tf; df derives
+    from tf (already distinct per doc) — no second explode, no countDistinct
+    Expand; df broadcasts back onto tf so scoring adds NO shuffle; the
+    window shuffles once on doc_id.  Two shuffles total at any scale."""
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar aggregate; cheap at any scale
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_tab = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_tab, "word").select(
+    # tf has one row per (doc, word) → count(*) per word IS the doc frequency
+    df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tab), "word").select(
         "doc_id",
         "word",
         F.round(
@@ -475,7 +479,6 @@ def tfidf_keywords(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "score", "rn")
-        .orderBy("doc_id", "rn")
     )
 
 

@@ -267,7 +267,6 @@ def win_time_tumbling(spark, sf_dir):
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
