@@ -1,0 +1,44 @@
+"""Physical-plan inspection utilities.
+
+Used by tests/test_plans.py to lock in scale-critical plan properties and
+at the REPL to iterate on plans ('.explain until it's the plan you'd want').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    """Compact executed-plan string (pre-execution; AQE not yet final)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain('formatted')` text: operator tree + per-scan details
+    (PushedFilters, ReadSchema, PartitionFilters)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def final_plan_string(df: DataFrame) -> str:
+    """Materialize the DataFrame so AQE finalizes, then return the plan.
+    '*(n)' operator prefixes mark WholeStageCodegen stages."""
+    df.collect()
+    return plan_string(df)
+
+
+def read_schema_lines(df: DataFrame) -> list[str]:
+    """The ReadSchema lines of every scan — what actually gets read."""
+    return [l for l in formatted_plan(df).splitlines() if "ReadSchema" in l]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lines of every scan."""
+    return [l for l in formatted_plan(df).splitlines() if "PushedFilters" in l]
+
+
+def count_operator(df: DataFrame, name: str) -> int:
+    """Occurrences of a physical operator (e.g. 'BroadcastHashJoin')."""
+    return plan_string(df).count(name)

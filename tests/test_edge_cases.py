@@ -1,0 +1,105 @@
+"""Operator unit tests on tiny inline frames (SURVEY §5.2): null/empty/edge
+semantics that the corpus-backed differential tests can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_df(spark):
+    return spark.createDataFrame([], "k int, v double")
+
+
+def test_agg_on_empty_input(empty_df):
+    row = empty_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    ).first()
+    assert row["n"] == 0 and row["s"] is None and row["a"] is None
+
+
+def test_groupby_on_empty_input_yields_no_groups(empty_df):
+    assert empty_df.groupBy("k").count().count() == 0
+
+
+def test_join_with_empty_side(spark, empty_df):
+    left = spark.createDataFrame([(1, "a")], "k int, tag string")
+    assert left.join(empty_df, "k", "inner").count() == 0
+    outer = left.join(empty_df, "k", "left").collect()
+    assert len(outer) == 1 and outer[0]["v"] is None
+
+
+def test_all_null_group_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (1, 3.0)], "k int, v double"
+    )
+    got = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    # SQL semantics: NULL keys form ONE group
+    assert got[None] == 3.0 and got[1] == 3.0
+
+
+def test_null_keys_never_join(spark):
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k int, tag string")
+    b = spark.createDataFrame([(None, "p"), (1, "q")], "k int, other string")
+    assert a.join(b, "k", "inner").count() == 1  # NULL ≠ NULL in join keys
+
+
+def test_window_frame_shorter_than_partition(spark):
+    df = spark.createDataFrame([(1, 1, 10.0)], "k int, o int, v double")
+    w = Window.partitionBy("k").orderBy("o").rowsBetween(-2, 0)
+    assert df.select(F.avg("v").over(w).alias("m")).first()["m"] == 10.0
+
+
+def test_lag_at_partition_edge_is_null(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], "k int, o int")
+    w = Window.partitionBy("k").orderBy("o")
+    rows = df.select("o", F.lag("o").over(w).alias("p")).orderBy("o").collect()
+    assert rows[0]["p"] is None and rows[1]["p"] == 1
+
+
+def test_ntile_with_fewer_rows_than_buckets(spark):
+    df = spark.createDataFrame([(1,), (2,)], "o int")
+    w = Window.orderBy("o")
+    tiles = [r["t"] for r in df.select(F.ntile(4).over(w).alias("t")).collect()]
+    assert tiles == [1, 2]  # buckets beyond row count are simply unused
+
+
+def test_exceptall_multiplicity(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    b = spark.createDataFrame([(1,)], "k int")
+    assert sorted(r["k"] for r in a.exceptAll(b).collect()) == [1, 2]
+
+
+def test_explode_on_empty_array_drops_row(spark):
+    df = spark.createDataFrame([(1, []), (2, ["a"])], "k int, xs array<string>")
+    assert df.select("k", F.explode("xs")).count() == 1
+
+
+def test_division_by_zero_semantics(spark):
+    """Spark 4 runs ANSI mode by default: ANY x/0 (even double) raises
+    DIVIDE_BY_ZERO, while DuckDB yields NULL.  try_divide restores DuckDB
+    parity.  Engine queries therefore either guarantee nonzero divisors
+    (Jaccard denominators ≥1, vector norms >0, weight sums >0) or would use
+    try_divide."""
+    df = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.select((F.col("a") / F.col("b")).alias("q")).first()
+    assert df.select(F.try_divide("a", "b").alias("q")).first()["q"] is None
+
+
+def test_dedup_exact_finds_injected_duplicates(spark, sf_dir):
+    """SURVEY §7.4.6: sf0.01 documents have no natural text dups — verify
+    dedup on self-unioned input where every text occurs twice."""
+    from bigdatawork_spark.io import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    deduped = (
+        doubled.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = deduped.collect()
+    assert all(r["n"] >= 2 for r in rows)  # every text occurs ≥2×
+    assert all(r["keep"] <= 1_000_000 for r in rows)  # keeps the original id

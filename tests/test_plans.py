@@ -8,58 +8,52 @@ UDF-free paths stay inside WholeStageCodegen, and top-k never global-sorts.
 
 from __future__ import annotations
 
+from bigdatawork_spark.plans.explain import (
+    count_operator,
+    final_plan_string,
+    formatted_plan,
+    plan_string,
+    read_schema_lines,
+)
 from bigdatawork_spark.registry import QUERIES
 
 
-def _plan(spark, sf_dir, key: str) -> str:
-    return QUERIES[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(spark, sf_dir, key: str) -> str:
-    df = QUERIES[key](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+def _q(spark, sf_dir, key):
+    return QUERIES[key](spark, sf_dir)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    plan = _formatted(spark, sf_dir, "filter_simple")
+    plan = formatted_plan(_q(spark, sf_dir, "filter_simple"))
     assert "PushedFilters: [" in plan
     assert "GreaterThan(l_quantity,30.0)" in plan, plan[:2000]
 
 
 def test_column_pruning(spark, sf_dir):
-    plan = _formatted(spark, sf_dir, "project_select")
+    read_schema = read_schema_lines(_q(spark, sf_dir, "project_select"))[0]
     # 4 of 11 lineitem columns read
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_extendedprice" in read_schema and "l_shipdate" not in read_schema
     assert "l_tax" not in read_schema
 
 
 def test_broadcast_join_pinned(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "join_inner_broadcast")
-    assert "BroadcastHashJoin" in plan
+    assert count_operator(_q(spark, sf_dir, "join_inner_broadcast"), "BroadcastHashJoin") == 1
 
 
 def test_q5_uses_broadcasts_for_dims(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "join_multiway_q5")
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert count_operator(_q(spark, sf_dir, "join_multiway_q5"), "BroadcastHashJoin") >= 3
 
 
 def test_semi_anti_join_operators(spark, sf_dir):
-    assert "LeftSemi" in _plan(spark, sf_dir, "join_left_semi")
-    assert "LeftAnti" in _plan(spark, sf_dir, "join_left_anti")
+    assert "LeftSemi" in plan_string(_q(spark, sf_dir, "join_left_semi"))
+    assert "LeftAnti" in plan_string(_q(spark, sf_dir, "join_left_anti"))
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "limit_topk_q3")
-    assert "TakeOrderedAndProject" in plan, plan
+    assert "TakeOrderedAndProject" in plan_string(_q(spark, sf_dir, "limit_topk_q3"))
 
 
 def test_q1_whole_stage_codegen_and_partial_agg(spark, sf_dir):
-    df = QUERIES["agg_groupby_q1"](spark, sf_dir)
-    df.collect()  # materialize THIS plan so AQE finalizes it
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan_string(_q(spark, sf_dir, "agg_groupby_q1"))
     assert "isFinalPlan=true" in plan
     # "*(n)" operator prefixes mark WholeStageCodegen stages in plan strings
     assert "*(1)" in plan and "*(2)" in plan
@@ -70,12 +64,21 @@ def test_q1_whole_stage_codegen_and_partial_agg(spark, sf_dir):
 
 def test_no_python_udf_in_builtin_paths(spark, sf_dir):
     for key in ("agg_groupby_q1", "join_multiway_q5", "wordcount", "math_funcs"):
-        plan = _plan(spark, sf_dir, key)
+        plan = plan_string(_q(spark, sf_dir, key))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
 
 
 def test_events_scan_prunes_columns(spark, sf_dir):
     # even with the ns→µs ts rewrite, unused columns must not be read
-    plan = _formatted(spark, sf_dir, "win_row_number")
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    read_schema = read_schema_lines(_q(spark, sf_dir, "win_row_number"))[0]
     assert "props" not in read_schema, read_schema
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    # document-frequency table must broadcast back onto tf (no 3rd shuffle)
+    assert count_operator(_q(spark, sf_dir, "tfidf_keywords"), "BroadcastHashJoin") >= 1
+
+
+def test_ivf_probe_side_broadcasts(spark, sf_dir):
+    assert count_operator(_q(spark, sf_dir, "sim_ann_ivf"), "BroadcastNestedLoopJoin") >= 1 or \
+        count_operator(_q(spark, sf_dir, "sim_ann_ivf"), "BroadcastHashJoin") >= 1
