@@ -14,6 +14,7 @@ from .operators import (  # noqa: F401
     llm_ops,
     pipeline_ops,
     projections,
+    reshape,
     sorts_sets,
     udfs,
     windows,

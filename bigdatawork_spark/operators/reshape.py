@@ -1,0 +1,121 @@
+"""Pivot / unpivot / bucketed-join operators (beyond SURVEY §2 — standard
+analytics-engine surface).  REF:∅.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot order counts: status rows × priority columns.  Explicit value
+    list (no discovery pass) — at scale an unlisted pivot would first scan
+    for distinct values; listing them keeps it a single aggregate."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted
+    for src, dst in zip(_PRIORITIES, _PRIORITY_COLS):
+        renamed = renamed.withColumnRenamed(src, dst)
+    exprs = [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _PRIORITY_COLS]
+    return renamed.select("o_orderstatus", *exprs).orderBy("o_orderstatus")
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT c_custkey, metric, val FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+  FROM customer
+)
+ORDER BY c_custkey, metric
+""",
+)
+def reshape_unpivot(spark, sf_dir):
+    """Unpivot (melt): wide customer columns → long (metric, val) rows.
+    Zero-shuffle: unpivot is a per-row generator."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@register("join_bucketed_colocated")  # rows-only: bucketed tables live in the local warehouse
+def join_bucketed_colocated(spark, sf_dir):
+    """The SCALE.md bucketing story, executed: write orders+lineitem
+    bucketed by the join key (8 buckets), join the bucketed tables.  Both
+    sides arrive pre-partitioned, so the join plan contains NO shuffle
+    exchange (asserted in tests/test_plans.py) — at 100 TB this deletes the
+    dominant cost of fact⋈fact joins."""
+    warehouse = os.path.join(tempfile.gettempdir(), "bdw_warehouse")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"bdw_orders_b_{tag}", f"bdw_lineitem_b_{tag}"
+    if not spark.catalog.tableExists(ot):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(warehouse, ot))  # external table
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+    if not spark.catalog.tableExists(lt):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(warehouse, lt))  # external table
+            .mode("overwrite")
+            .saveAsTable(lt)
+        )
+    # merge hint: at test SF the small side would broadcast (also fine, but
+    # the point here is the bucketed SMJ that 100 TB facts would use)
+    o = spark.table(ot).hint("merge")
+    li = spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

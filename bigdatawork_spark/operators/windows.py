@@ -270,10 +270,27 @@ def win_time_tumbling(spark, sf_dir):
     )
 
 
-@register("win_time_sliding")  # rows-only: DuckDB has no sliding-window groupBy
+@register(
+    "win_time_sliding",
+    oracle="""
+SELECT ws AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - (g.k * INTERVAL '15 minutes') AS ws,
+         event_type, value, CAST(ts AS TIMESTAMP) AS tsv
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) g
+)
+WHERE tsv >= ws AND tsv < ws + INTERVAL '1 hour'
+GROUP BY ws, event_type
+ORDER BY ws, event_type
+""",
+)
 def win_time_sliding(spark, sf_dir):
     """1-hour window sliding every 15 min — each event lands in 4 windows
-    (Spark expands via the window generator; row count ≈ 4× tumbling)."""
+    (Spark expands via the window generator; row count ≈ 4× tumbling).
+    Oracle reproduces the expansion with generate_series × time_bucket."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")

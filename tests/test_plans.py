@@ -82,3 +82,15 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
 def test_ivf_probe_side_broadcasts(spark, sf_dir):
     assert count_operator(_q(spark, sf_dir, "sim_ann_ivf"), "BroadcastNestedLoopJoin") >= 1 or \
         count_operator(_q(spark, sf_dir, "sim_ann_ivf"), "BroadcastHashJoin") >= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The SCALE.md bucketing claim, proven on the plan: a join of two
+    tables bucketed by the join key needs no Exchange before the join."""
+    df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+    plan = plan_string(df)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # exchanges may exist ABOVE the join (final groupBy) but none may feed it
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
