@@ -119,3 +119,34 @@ def join_bucketed_colocated(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sql_interface",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_interface(spark, sf_dir):
+    """The ad-hoc SQL façade (sql_api.sql): corpus registered as views, an
+    arbitrary Spark SQL string executed — the entry point a reference user
+    reaches first."""
+    from ..sql_api import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )
