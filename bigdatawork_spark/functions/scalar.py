@@ -290,3 +290,45 @@ def hash_funcs(spark, sf_dir):
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
     )
+
+
+@register(
+    "gen_posexplode",
+    oracle="""
+SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+ORDER BY vec_id, pos
+""",
+)
+def gen_posexplode(spark, sf_dir):
+    """Positional explode of the embedding arrays (64 rows per vector).
+    Oracle reproduces posexplode with a generate_series index join."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+""",
+)
+def stat_crosstab(spark, sf_dir):
+    """Contingency table via df.stat.crosstab — the DataFrameStatFunctions
+    surface (pair-count matrix in one pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        F.col("l_returnflag_l_linestatus").alias("flag"),
+        F.col("F").alias("f_cnt"),
+        F.col("O").alias("o_cnt"),
+    ).orderBy("flag")

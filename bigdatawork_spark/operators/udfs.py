@@ -108,13 +108,6 @@ def udaf_pandas_grouped_agg(spark, sf_dir):
     )
 
 
-def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-    mu = pdf["value"].mean()
-    sd = pdf["value"].std(ddof=1)  # sample std = stddev_samp
-    pdf = pdf.assign(z=((pdf["value"] - mu) / sd).round(6))
-    return pdf[["event_id", "user_id", "z"]]
-
-
 @register(
     "udtf_grouped_map",
     oracle="""
@@ -127,19 +120,21 @@ WINDOW w AS (PARTITION BY user_id)
 def udtf_grouped_map(spark, sf_dir):
     """Grouped-map applyInPandas: per-user z-score normalization
     (SNIPPETS.md:121-166) — the custom-operator escape hatch; one shuffle on
-    the group key, arbitrary pandas per group."""
+    the group key, arbitrary pandas per group.
+
+    The pandas callback is a closure (pickled by value) so Spark workers
+    never need ``bigdatawork_spark`` on their import path."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)  # sample std = stddev_samp
+        pdf = pdf.assign(z=((pdf["value"] - mu) / sd).round(6))
+        return pdf[["event_id", "user_id", "z"]]
+
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").applyInPandas(
-        _zscore, schema="event_id long, user_id long, z double"
+        zscore, schema="event_id long, user_id long, z double"
     )
-
-
-def _high_value(batches):
-    for pdf in batches:
-        out = pdf[pdf["value"] > 90.0]
-        yield out.assign(value_x2=out["value"] * 2.0)[
-            ["event_id", "user_id", "value", "value_x2"]
-        ]
 
 
 @register(
@@ -151,10 +146,19 @@ FROM events WHERE value > 90.0
 )
 def udtf_map_in_pandas(spark, sf_dir):
     """Partition-wise mapInPandas iterator (UDTF-style: n rows in, m rows
-    out) — streams Arrow batches, never materializes a partition."""
+    out) — streams Arrow batches, never materializes a partition.  Closure
+    callback → pickled by value (workers don't import this package)."""
+
+    def high_value(batches):
+        for pdf in batches:
+            out = pdf[pdf["value"] > 90.0]
+            yield out.assign(value_x2=out["value"] * 2.0)[
+                ["event_id", "user_id", "value", "value_x2"]
+            ]
+
     ev = load(spark, sf_dir, "events")
     return ev.mapInPandas(
-        _high_value, schema="event_id long, user_id long, value double, value_x2 double"
+        high_value, schema="event_id long, user_id long, value double, value_x2 double"
     )
 
 

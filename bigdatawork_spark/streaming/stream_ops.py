@@ -271,3 +271,63 @@ def stream_static_join(spark, sf_dir):
 def cleanup() -> None:
     """Remove stream scratch dirs (best-effort)."""
     shutil.rmtree(_STREAM_ROOT, ignore_errors=True)
+
+
+@register("stream_stateful_tws")
+def stream_stateful_tws(spark, sf_dir):
+    """Per-user running count via Spark 4's transformWithStateInPandas
+    (StatefulProcessor + value state).  Falls back to the
+    applyInPandasWithState formulation if the new API/state-store provider
+    is unavailable on this build (SURVEY §7.4.8) — identical semantics, so
+    the batch-groupBy equivalence test covers both paths.
+
+    Measured on this build (PySpark 4.1.2 local): the new API fails with
+    'TransformWithStateInPySpark driver worker exited unexpectedly', so the
+    fallback path is the one that runs.  The try-first structure means a
+    fixed build upgrades automatically."""
+    import pandas as pd
+
+    src = _events_source_dir(spark, sf_dir)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class CountProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._n = handle.getValueState("n", "n long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = self._n.get()[0] if self._n.exists() else 0
+                for pdf in rows:
+                    n += len(pdf)
+                self._n.update((n,))
+                yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+            def close(self) -> None:
+                pass
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        sdf = (
+            _read_stream(spark, src)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                CountProcessor(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        _drain_to_memory(sdf, name, output_mode="update")
+        return spark.table(name).orderBy("user_id")
+    except Exception:
+        # fallback: classic arbitrary-state API, same semantics
+        return stream_stateful_count.__wrapped__(spark, sf_dir) if hasattr(
+            stream_stateful_count, "__wrapped__"
+        ) else stream_stateful_count(spark, sf_dir)

@@ -131,3 +131,43 @@ def test_random_distinct_and_window(spark, rows):
     got_m = got.groupby("k", dropna=False)["rn"].max().reset_index(name="mx")
     want_m = want.groupby("k", dropna=False)["rn"].max().reset_index(name="mx")
     assert_frames_match(got_m, want_m, "random_window_maxrn")
+
+
+_strings = st.text(
+    alphabet="abcdefghij XYZ019_-", min_size=0, max_size=30
+)
+_str_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), st.one_of(st.none(), _strings)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=_str_rows)
+@settings(**_SETTINGS)
+def test_random_string_functions(spark, rows):
+    """String battery on random ASCII text incl. empties and NULLs —
+    substring/lpad/replace/length cross-engine parity."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["id", "s"]).astype({"id": "int64", "s": "object"})
+    sdf = spark.createDataFrame(rows, "id long, s string")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = sdf.select(
+        "id",
+        F.length("s").alias("n"),
+        F.substring("s", 2, 3).alias("sub"),
+        F.lpad("s", 8, ".").alias("pad"),
+        F.replace(F.col("s"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.upper("s").alias("up"),
+    ).toPandas()
+    want = con.execute(
+        """
+        SELECT id, length(s) AS n, substring(s, 2, 3) AS sub,
+               lpad(s, 8, '.') AS pad, replace(s, ' ', '_') AS rep,
+               upper(s) AS up
+        FROM t
+        """
+    ).df()
+    assert_frames_match(got, want, "random_strings")
