@@ -457,8 +457,12 @@ def tfidf_keywords(spark, sf_dir):
 
     Plan: one explode → one shuffle on (doc_id, word) for tf; df derives
     from tf (already distinct per doc) — no second explode, no countDistinct
-    Expand; df broadcasts back onto tf so scoring adds NO shuffle; the
-    window shuffles once on doc_id.  Two shuffles total at any scale."""
+    Expand.  The tf⋈df join carries NO broadcast hint on purpose: at test
+    scale AQE converts it to BroadcastHashJoin at runtime (same speed as a
+    pinned hint, measured), while at 100 TB a billion-token vocabulary would
+    OOM the driver if pinned — unhinted, AQE falls back to a skew-handled
+    SortMergeJoin.  (A count-window over word was measured faster locally
+    but puts every row of a stopword in ONE task — rejected for skew.)"""
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar aggregate; cheap at any scale
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
@@ -467,7 +471,7 @@ def tfidf_keywords(spark, sf_dir):
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     # tf has one row per (doc, word) → count(*) per word IS the doc frequency
     df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_tab), "word").select(
+    scored = tf.join(df_tab, "word").select(
         "doc_id",
         "word",
         F.round(

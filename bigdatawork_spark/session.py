@@ -18,10 +18,12 @@ _RUNTIME_CONF = {
     # UTC everywhere: parquet timestamps are TZ-less; DuckDB (the oracle)
     # treats them as naive.  (SURVEY.md §5.3.4)
     "spark.sql.session.timeZone": "UTC",
-    # 32 shuffle partitions ≈ local core count; 200 default wastes seconds
-    # per query at test scale (SURVEY.md §4 AQE row).  At 100 TB this would
-    # be set to ~2-3× executor cores instead.
-    "spark.sql.shuffle.partitions": "32",
+    # 8 shuffle partitions for local test SFs — measured ~13% faster than 32
+    # on the sf0.1 headline batch (per-task dispatch dominates at ≤600k rows);
+    # the 200 default wastes seconds per query (SURVEY.md §4 AQE row).  At
+    # 100 TB this is sized to ~2-3× total executor cores via the env knob —
+    # AQE then coalesces/splits at runtime either way.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
