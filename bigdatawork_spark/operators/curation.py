@@ -1,0 +1,311 @@
+"""Data-curation operators for training-data pipelines — sampling, quality
+filtering, PII scrubbing, n-gram near-dup, mergeable sketches.  REF:∅
+(reference snapshot empty — SURVEY.md §0); these extend §2-K per the
+north-star mandate (BASELINE.json:6).
+
+Scale notes: every op is one narrow projection + at most one keyed shuffle;
+the deterministic (hash-ranked) samplers exist precisely because seeded RNG
+sampling is not reproducible across engines or across re-partitions — at
+100 TB a content-hash threshold gives the same sample on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, substr(md5(text), 1, 2) AS h2
+FROM documents
+WHERE substr(md5(text), 1, 2) <= '19'
+ORDER BY doc_id
+""",
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Content-hash Bernoulli sample: keep docs whose md5 hex prefix is
+    <= '19' (26/256 ~ 10.2%).  Unlike df.sample(seed), the kept set is a
+    pure function of content — identical across engines, partitionings, and
+    cluster sizes, and re-running on appended data never resamples old rows.
+    Plan: narrow filter, no shuffle; the md5 predicate is not scan-pushable
+    but evaluates inside WholeStageCodegen."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5("text"), 1, 2)
+    return (
+        d.select("doc_id", h2.alias("h2"))
+        .filter(h2 <= "19")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= CAST(ceil(0.1 * n_lang) AS BIGINT)
+ORDER BY lang, rk
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: top 10% of each ``lang`` stratum
+    ranked by content hash (md5) — equal sampling pressure per stratum
+    regardless of stratum skew.  (df.stat.sampleBy offers seeded-RNG strata
+    sampling, but its kept set depends on row order → not cross-engine
+    reproducible; the hash rank is.)  Plan: one shuffle on lang for the
+    window; at 100 TB strata are few → salting not needed because the rank
+    window is per-stratum and AQE splits oversized partitions."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.1 * F.col("n_lang")).cast("long"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "quality_filter_gopher",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+         ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+           AS mean_wlen,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a', 'data', 'key')))
+                    AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+           AS stop_frac
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen, stop_frac,
+       (n_words BETWEEN 5 AND 1000)
+         AND (mean_wlen BETWEEN 3.0 AND 10.0)
+         AND (stop_frac < 0.3) AS keep
+FROM feat
+ORDER BY doc_id
+""",
+)
+def quality_filter_gopher(spark, sf_dir):
+    """Gopher-style rule-based quality gate (word-count bounds, mean word
+    length band, stopword-fraction cap) computed as pure column expressions
+    — one narrow pass, no shuffle, trivially 100 TB-parallel.  The keep
+    flag is emitted (not filtered) so downstream stages can audit drop
+    reasons."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words,
+        6,
+    )
+    stop_frac = F.round(
+        F.size(
+            F.filter(words, lambda w: w.isin("the", "a", "data", "key"))
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            mean_wlen.alias("mean_wlen"),
+            stop_frac.alias("stop_frac"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_words").between(5, 1000)
+            & F.col("mean_wlen").between(3.0, 10.0)
+            & (F.col("stop_frac") < 0.3),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH raw AS (
+  SELECT c_custkey,
+         c_name || ' <' || lower(c_mktsegment) || c_custkey
+           || '@example.com> id ' || CAST(1000000 + c_custkey AS VARCHAR)
+           AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(contact, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+         '[0-9]{4,}', '[NUM]', 'g') AS scrubbed
+FROM raw
+ORDER BY c_custkey
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """Regex PII redaction — emails then long digit runs — over a
+    synthesized contact string (the slim test schema carries no real PII,
+    so the op builds one from customer fields; the scrub rules are the
+    real artifact).  Pure regexp_replace column expressions: no shuffle,
+    JVM-side, linear at any scale.  DuckDB needs the 'g' flag to match
+    Spark's replace-all default (SURVEY §5.3)."""
+    c = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower("c_mktsegment"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> id "),
+        (F.col("c_custkey") + 1000000).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]"),
+        r"[0-9]{4,}",
+        "[NUM]",
+    )
+    return (
+        c.select("c_custkey", scrubbed.alias("scrubbed")).orderBy("c_custkey")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - 2),
+           i -> substr(text, i, 3)))) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_both
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 10
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup: probe docs (doc_id < 10) against
+    the corpus, emit pairs with Jaccard >= 0.5.  Complements the word-level
+    exact Jaccard (llm_ops.dedup_near_exactjacc) and the MinHash/SimHash
+    approximations with the n-gram-set formulation.
+
+    Plan: one explode to distinct grams, gram-key equi-join for the
+    intersection (probe side is tiny → AQE broadcasts it), two shuffles.
+    At 100 TB the probe-set pattern IS the scalable shape — all-pairs would
+    be quadratic; real pipelines block by LSH bucket (dedup_near_minhash)
+    and verify candidates with exactly this operator."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.filter(F.col("doc_id") < 10).withColumnRenamed("doc_id", "id_a")
+    b = grams.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
+    jacc = F.col("both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jacc >= 0.5)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jacc"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("agg_hll_sketch")
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4 builtins):
+    per-event-type user sketches, then a sketch UNION for the global
+    distinct — the two-level mergeable-sketch pattern that replaces exact
+    countDistinct at 100 TB (partials merge associatively; no row-level
+    shuffle of the key space, constant-size state per group).
+
+    rows-only: sketch estimates are engine-specific (DuckDB's HLL differs);
+    tests/test_edge_cases.py bounds the estimate against the exact count."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("ALL").alias("event_type"), F.col("est"))
+    per_type_est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    return per_type_est.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "pandas_api_bridge",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def pandas_api_bridge(spark, sf_dir):
+    """pandas-on-Spark round trip: Spark DF → ``pandas_api()`` → pandas-
+    style groupby/agg → ``to_spark()``.  Proves the third API surface
+    (DataFrame, SQL, pandas-on-Spark) compiles to the same distributed
+    plan — the pandas syntax is sugar over Catalyst, not a collect."""
+    import pyspark.pandas as ps  # noqa: F401 — requires active session
+
+    d = load(spark, sf_dir, "documents")
+    psdf = d.pandas_api()
+    out = psdf.groupby("lang").agg(
+        n_docs=("doc_id", "count"), avg_chars=("n_chars", "mean")
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avg_chars", 6).alias("avg_chars"),
+    ).orderBy("lang")

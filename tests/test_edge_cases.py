@@ -103,3 +103,38 @@ def test_dedup_exact_finds_injected_duplicates(spark, sf_dir):
     rows = deduped.collect()
     assert all(r["n"] >= 2 for r in rows)  # every text occurs ≥2×
     assert all(r["keep"] <= 1_000_000 for r in rows)  # keeps the original id
+
+
+def test_hll_sketch_estimate_near_exact(spark, sf_dir):
+    """agg_hll_sketch is rows-only (sketch estimates are engine-specific) —
+    compensate by bounding the DataSketches estimate against the exact
+    distinct count: <2% error at this cardinality, and the merged union
+    must estimate the global distinct, not the sum of per-group ones."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.registry import QUERIES
+
+    ev = load(spark, sf_dir, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["est"] for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()}
+    assert abs(got["ALL"] - exact_all) <= max(2, 0.02 * exact_all)
+    for et, n in exact_per.items():
+        assert abs(got[et] - n) <= max(2, 0.02 * n), (et, got[et], n)
+
+
+def test_deterministic_samplers_are_stable(spark, sf_dir):
+    """Hash-based samplers must return the identical kept set on re-run
+    (the whole point vs seeded RNG) and respect stratum proportions."""
+    from bigdatawork_spark.registry import QUERIES
+
+    a = sorted(r["doc_id"] for r in QUERIES["sample_hash_deterministic"](spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in QUERIES["sample_hash_deterministic"](spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    strat = QUERIES["sample_stratified"](spark, sf_dir).groupBy("lang").count().collect()
+    # 10% of each stratum, ceil'd — every stratum represented
+    assert all(r["count"] >= 1 for r in strat) and len(strat) == 5
