@@ -290,3 +290,61 @@ def join_interval(spark, sf_dir):
         F.col("b.event_id").alias("second_id"),
         F.col("a.user_id").alias("user_id"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+WITH lhs AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+              ELSE l_orderkey % 97 END AS k,
+         l_quantity
+  FROM lineitem
+),
+dim AS (
+  SELECT g.k AS k, g.k * 2 + 1 AS weight
+  FROM (SELECT unnest(generate_series(0, 96)) AS k) g
+)
+SELECT lhs.k, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity * weight), 6) AS total
+FROM lhs JOIN dim ON lhs.k = dim.k
+GROUP BY lhs.k
+ORDER BY lhs.k
+""",
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted join for skewed keys: ~70% of lineitem rows collapse onto
+    key 0 (synthesized skew), which would put 70% of the shuffle in ONE
+    task.  The fact side appends salt = pmod(l_linenumber, 8); the dim side
+    explodes ×8 so every (k, salt) pair exists; joining on (k, salt) fans
+    the hot key across 8 tasks.  The salt never escapes: the post-join
+    aggregate groups by k alone, so the result is hash-identical to the
+    unsalted join (the oracle IS the unsalted join).  At 100 TB this is the
+    manual fallback when AQE skew-join can't split (e.g. a single hot key
+    inside one map output); salt width scales with observed skew."""
+    li = load(spark, sf_dir, "lineitem")
+    k = F.when(F.col("l_orderkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_orderkey") % 97
+    )
+    lhs = li.select(
+        k.cast("long").alias("k"),
+        F.pmod(F.col("l_linenumber"), F.lit(8)).cast("int").alias("salt"),
+        "l_quantity",
+    )
+    dim = (
+        spark.range(0, 97)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2 + 1).alias("weight"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt"),
+        )
+    )
+    return (
+        lhs.join(dim, ["k", "salt"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("weight")), 6).alias("total"),
+        )
+        .orderBy("k")
+    )

@@ -142,3 +142,24 @@ def set_except(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "sort_range_partitioned",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+)
+def sort_range_partitioned(spark, sf_dir):
+    """Cluster-layout sort: repartitionByRange on o_totalprice (sampled
+    range bounds → disjoint per-partition value ranges) + sortWithinPartitions
+    — the write-side layout that makes downstream scans min/max-skippable
+    without paying a global merge, exactly how a 100 TB table is laid out
+    before ZORDER-less data skipping.  The oracle hash-verifies content
+    preservation (the driver compare is order-insensitive); the ordering
+    property itself — disjoint ranges, sorted within partition — is asserted
+    in tests/test_plans.py and tests/test_properties.py."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+    )

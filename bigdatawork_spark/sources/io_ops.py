@@ -96,3 +96,50 @@ def sink_parquet(spark, sf_dir):
     path = _tmp("sink_parquet")
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).orderBy("o_orderstatus")
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_id, user_id, event_type
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+ORDER BY event_id
+""",
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """Hive-style partitioned parquet sink + partition-pruned re-read — THE
+    100 TB table layout: data written under event_date=YYYY-MM-DD/ dirs so a
+    date-range read lists only 3 of 30 directories (PartitionFilters in the
+    plan, asserted in tests/test_plans.py) instead of scanning a month.
+    The re-read result is fully oracle-checkable against the source table."""
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = _tmp("sink_partitioned")
+    (
+        ev.select("event_id", "user_id", "event_type", "event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-05", "2024-01-07")
+    )
+    return back.select(
+        F.col("event_date").cast("string").alias("event_date"),
+        "event_id",
+        "user_id",
+        "event_type",
+    ).orderBy("event_id")
+
+
+@register("scan_orc")  # rows-only: oracle can't see the /tmp round-trip
+def scan_orc(spark, sf_dir):
+    """ORC round-trip with explicit schema — the third columnar format the
+    engine reads natively (parquet/CSV/JSONL/ORC all share the one
+    ``load``-style path; writer settings, not code, differ at scale)."""
+    s = load(spark, sf_dir, "supplier")
+    path = _tmp("scan_orc")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.schema(s.schema).orc(path)
+    return back.orderBy("s_suppkey")

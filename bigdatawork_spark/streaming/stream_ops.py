@@ -331,3 +331,77 @@ def stream_stateful_tws(spark, sf_dir):
         return stream_stateful_count.__wrapped__(spark, sf_dir) if hasattr(
             stream_stateful_count, "__wrapped__"
         ) else stream_stateful_count(spark, sf_dir)
+
+
+@register("stream_sliding")
+def stream_sliding(spark, sf_dir):
+    """Streaming twin of win_time_sliding: 1-hour windows every 15 min,
+    update mode, single micro-batch → final table equals the batch twin
+    (asserted in tests/test_streaming_twins.py)."""
+    src = _events_source_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="update")
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register("stream_session")
+def stream_session(spark, sf_dir):
+    """Streaming twin of win_time_session: per-user 30-min-gap session
+    windows (state-backed session merging).  Session aggregation only
+    supports APPEND mode (update raises STREAMING_OUTPUT_MODE on 4.1.2),
+    and append emits a session only once the watermark passes its close —
+    so two sentinel micro-batches with far-future timestamps advance the
+    watermark past every real session (the watermark application lags the
+    progress log by one batch, hence TWO sentinels — same measured quirk
+    as stream_watermark_late).  Sentinel rows are excluded from output.
+    Equals the batch twin on real users (test_streaming_twins)."""
+    src = _fresh_dir("src")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    for i, day in enumerate((15, 16)):
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+        spark.sql(
+            f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
+            f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
+            " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
+            " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
+        ).coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        _read_stream(spark, src, max_files=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_event"),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

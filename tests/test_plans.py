@@ -98,3 +98,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """The date filter must become PartitionFilters (directory pruning),
+    not a row-level PushedFilter — the 100 TB layout contract."""
+    df = QUERIES["sink_partitioned_parquet"](spark, sf_dir)
+    plan = formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0], plan[:2000]
+
+
+def test_range_partitioned_sort_has_no_global_sort(spark, sf_dir):
+    """sort_range_partitioned: a RangePartitioning exchange + per-partition
+    sort, NOT a single-reducer global Sort."""
+    import re
+
+    plan = plan_string(QUERIES["sort_range_partitioned"](spark, sf_dir))
+    assert "rangepartitioning(o_totalprice" in plan, plan
+    # SortExec.toString renders "Sort [keys], <global>, 0" — global must be false
+    assert re.search(r"Sort \[o_totalprice[^\]]*\], false", plan), plan

@@ -82,3 +82,32 @@ def test_outer_join_row_accounting(rand_df, spark):
     left_only = rand_df.join(right, "k", "left_anti").count()
     left = rand_df.join(right, "k", "left").count()
     assert left == inner + left_only
+
+
+def test_range_partitions_are_disjoint_and_sorted(spark, sf_dir):
+    """sort_range_partitioned layout property: within every partition rows
+    are sorted, and partition [min,max] value ranges do not overlap."""
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.registry import QUERIES
+
+    df = QUERIES["sort_range_partitioned"](spark, sf_dir)
+    parts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    bounds = [(r["lo"], r["hi"]) for r in parts if r["lo"] is not None]
+    assert all(b[0] <= b[1] for b in bounds)
+    assert all(bounds[i][1] <= bounds[i + 1][0] for i in range(len(bounds) - 1))
+
+    def check_sorted(it):
+        import pandas as pd
+        for pdf in it:
+            ok = pdf["o_totalprice"].is_monotonic_increasing
+            yield pd.DataFrame({"ok": [bool(ok)]})
+
+    flags = df.select("o_totalprice").mapInPandas(check_sorted, "ok boolean").collect()
+    assert all(r["ok"] for r in flags)

@@ -71,3 +71,18 @@ def test_ann_ivf_overlaps_brute_force(spark, sf_dir):
     ivf_set = {(r.probe_id, r.neighbor_id) for r in ivf}
     overlap = len(bf_set & ivf_set) / len(bf_set)
     assert overlap >= 0.4, f"overlap={overlap}"
+
+
+def test_stream_sliding_equals_batch_twin(spark, sf_dir):
+    stream_pd = QUERIES["stream_sliding"](spark, sf_dir).toPandas()
+    batch_pd = QUERIES["win_time_sliding"](spark, sf_dir).toPandas()
+    assert_frames_match(stream_pd, batch_pd, "stream_sliding≡batch")
+
+
+def test_stream_session_equals_batch_twin(spark, sf_dir):
+    """Append-mode session windows (sentinel-advanced watermark) must agree
+    with the gaps-and-islands batch twin on (user, start, count)."""
+    cols = ["user_id", "session_start", "n_events"]
+    stream_pd = QUERIES["stream_session"](spark, sf_dir).toPandas()[cols]
+    batch_pd = QUERIES["win_time_session"](spark, sf_dir).toPandas()[cols]
+    assert_frames_match(stream_pd, batch_pd, "stream_session≡batch")
