@@ -10,6 +10,7 @@ from .sources import io_ops  # noqa: F401
 from .streaming import stream_ops  # noqa: F401
 from .operators import (  # noqa: F401
     aggregations,
+    analytics,
     curation,
     joins,
     llm_ops,

@@ -1,0 +1,213 @@
+"""Warehouse / product-analytics composite operators — SCD2 dimension
+builds, funnel conversion, cohort retention, bucketed interval joins.
+REF:∅ (reference snapshot empty — SURVEY.md §0); these widen §2's query
+capabilities with the canonical analytics shapes a user of the reference
+would expect to run.
+
+Scale notes: all four compile to window functions + keyed aggregations —
+one shuffle per distinct partitioning key, no driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "cdc_scd2",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(ts AS TIMESTAMP) AS valid_from,
+         lead(CAST(ts AS TIMESTAMP))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         lag(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT user_id, event_type AS state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM seq
+WHERE prev_type IS NULL OR prev_type <> event_type
+ORDER BY user_id, valid_from
+""",
+)
+def cdc_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build from an event log: collapse
+    consecutive same-state events, emit one versioned row per state change
+    with [valid_from, valid_to) and an is_current flag — the CDC-to-
+    dimension pattern.  One shuffle on user_id serves both windows (lag for
+    change detection, lead for interval close); Catalyst computes them in a
+    single Window operator.
+
+    Note the lead() is taken BEFORE the change-filter in both engines, so
+    valid_to is the next raw event's ts (when the state was re-asserted or
+    changed), matching a real CDC feed where any newer record supersedes."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("state")))
+        .select(
+            "user_id",
+            "state",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM stages
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the earliest
+    timestamp of each stage via conditional MIN — ONE aggregation pass, no
+    self-joins (the naive 3-way self-join is quadratic per user; this is
+    the linear formulation) — then strict time-ordering between stages.
+    A NULL stage timestamp fails the > comparison in both engines, so
+    missing stages drop out without explicit null checks."""
+    ev = load(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_cnt(viewed).alias("viewed"),
+        as_cnt(clicked).alias("clicked_after_view"),
+        as_cnt(purchased).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         date_trunc('week', f.first_day) AS cohort_week,
+         CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+              AS BIGINT) AS week_no
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week, week_no,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, week_no
+ORDER BY cohort_week, week_no
+""",
+)
+def retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    as active in each subsequent week offset.  Two shuffles (first-seen per
+    user, then the cohort×week distinct-count); the first-seen table is
+    user-cardinality — at 100 TB it broadcasts or bucket-joins back onto
+    the raw events.  Dates emitted as strings (SURVEY §5.3 DATE delta)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("ts"), F.col("first_day")) / 7)
+            .cast("long")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_no")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_no",
+            "active_users",
+        )
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Scale path for join_interval (joins.py): add a coarse 10-minute time
+    bucket to the equi key so each left row joins only its own and the next
+    bucket instead of every same-user row — per-key pair counts drop from
+    O(events_per_user²) to O(events_per_bucket²)·2.  Same result set as the
+    plain interval join (the oracle IS the unbucketed join); the bucket is
+    pure execution strategy, like the salt in join_salted_skew."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 600).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_a"),
+        bucket.alias("bk"),
+    )
+    # right side lands in its own bucket AND the previous one: a match is
+    # ≤10 min after ts_a, so it lives in bucket(ts_a) or bucket(ts_a)+1 —
+    # explode the LEFT row into both candidate buckets instead of the right
+    b = ev.select(
+        F.col("event_id").alias("second_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("bk"),
+    )
+    a2 = a.withColumn("bk", F.explode(F.array(F.col("bk"), F.col("bk") + 1)))
+    return (
+        a2.join(b, ["user_id", "bk"])
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("first_id", "second_id", "user_id")
+    )
