@@ -211,3 +211,63 @@ def join_interval_bucketed(spark, sf_dir):
         )
         .select("first_id", "second_id", "user_id")
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+),
+batch AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new:' || c_name, 0.0
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT COALESCE(b.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(b.c_name, t.c_name) AS c_name,
+       COALESCE(b.c_acctbal, t.c_acctbal) AS c_acctbal,
+       CASE WHEN t.c_custkey IS NULL THEN 'insert'
+            WHEN b.c_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM target t FULL OUTER JOIN batch b USING (c_custkey)
+ORDER BY c_custkey
+""",
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (upsert) expressed as a full-outer join —
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, unmatched
+    target rows pass through.  The CDC batch is derived deterministically
+    from the snapshot itself (every 7th key updated, every 97th key
+    re-inserted under a shifted key) so the oracle sees the same inputs.
+
+    At 100 TB: this is the Delta/Iceberg MERGE pattern without the table
+    format — one shuffle on the merge key; with the target bucketed on
+    c_custkey (see join_bucketed_colocated) the target side doesn't
+    re-shuffle, and AQE handles batch-side skew.  The +100.0 stays
+    un-rounded: one IEEE add on identical inputs is bit-equal across
+    engines, while round() would expose half-up vs half-away deltas."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new:"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    batch = updates.unionByName(inserts)
+    t, b = c.alias("t"), batch.alias("b")
+    merged = t.join(b, "c_custkey", "full_outer").select(
+        F.col("c_custkey"),
+        F.coalesce("b.c_name", "t.c_name").alias("c_name"),
+        F.coalesce("b.c_acctbal", "t.c_acctbal").alias("c_acctbal"),
+        F.when(F.col("t.c_name").isNull(), "insert")
+        .when(F.col("b.c_name").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.orderBy("c_custkey")

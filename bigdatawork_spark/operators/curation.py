@@ -309,3 +309,157 @@ def pandas_api_bridge(spark, sf_dir):
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round("avg_chars", 6).alias("avg_chars"),
     ).orderBy("lang")
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - 2),
+           i -> substr(text, i, 3)))) AS g
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_both
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.45
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT doc_id AS id FROM grams),
+reach AS (
+  WITH RECURSIVE r(id, v) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.id, s.dst FROM r JOIN sym s ON r.v = s.src
+  )
+  SELECT * FROM r
+)
+SELECT id AS doc_id, CAST(MIN(v) AS BIGINT) AS component
+FROM reach GROUP BY id ORDER BY doc_id
+""",
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Connected-components clustering of near-dup pairs — the step that
+    turns pairwise similarity (dedup_ngram_jaccard et al.) into dedup
+    groups ("keep one doc per component").  Distributed min-label
+    propagation: each iteration joins labels across edges and keeps the
+    per-node minimum; converges in O(diameter) rounds (here ≤ a handful).
+    localCheckpoint() truncates lineage each round so the plan stays flat.
+    The oracle computes the same components with a recursive CTE.
+
+    At 100 TB: same loop with the alternating large-star/small-star
+    optimization (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) to bound per-round shuffle; the driver-side loop is
+    control flow only — all data movement stays distributed."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.withColumnRenamed("doc_id", "id_a")
+    b = grams.withColumnRenamed("doc_id", "id_b")
+    pairs = (
+        a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
+    jacc = F.col("n_both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_both")
+    )
+    edges = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jacc >= 0.45)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = d.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+    while True:
+        # neighbor minimum, then fold in the node's own label
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").cast("long").alias("component")
+    ).orderBy("doc_id")
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+   AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM blocked
+WHERE levenshtein(name_a, name_b) <= 4
+ORDER BY name_a, name_b
+""",
+)
+def fuzzy_match_levenshtein(spark, sf_dir):
+    """Blocked fuzzy string matching — the entity-resolution building
+    block: candidate pairs share a blocking key (here the noun, the 2nd
+    token of p_name) and survive if edit distance ≤ 4.  Blocking turns the
+    O(n²) all-pairs comparison into per-block Cartesian products, which is
+    the only way fuzzy matching scales: at 100 TB you block on several
+    cheap keys (token, prefix, phonetic code, MinHash band) and union the
+    candidate sets, never crossing the full corpus with itself.  All
+    JVM-side: levenshtein() is a builtin, no Python UDF."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    key = F.split(F.col("p_name"), " ").getItem(1)
+    a = names.select(F.col("p_name").alias("name_a"), key.alias("bk"))
+    b = names.select(F.col("p_name").alias("name_b"), key.alias("bk"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 4)
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
