@@ -171,3 +171,110 @@ def test_random_string_functions(spark, rows):
         """
     ).df()
     assert_frames_match(got, want, "random_strings")
+
+
+_dates = st.one_of(
+    st.none(),
+    st.dates(min_value=pd.Timestamp("2000-01-01").date(),
+             max_value=pd.Timestamp("2030-12-28").date()).map(str),
+)
+_date_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _dates, st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=_date_rows)
+@settings(**_SETTINGS)
+def test_random_date_functions(spark, rows):
+    """Date battery on random ISO dates incl. NULLs — extraction, offset
+    arithmetic, truncation, last_day cross-engine parity.  Dates travel as
+    VARCHAR (the pandas DATE materialization trap) and dayofweek is
+    emitted 0-based to bridge the Spark-1=Sunday / DuckDB-0=Sunday delta."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["id", "s", "off"]).astype(
+        {"id": "int64", "s": "object", "off": "int64"}
+    )
+    sdf = spark.createDataFrame(rows, "id long, s string, off int")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    d = F.to_date("s")
+    got = sdf.select(
+        "id",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.dayofweek(d) - 1).alias("dow0"),
+        F.date_add(d, F.col("off")).cast("string").alias("shifted"),
+        F.datediff(d, F.lit("2022-01-01").cast("date")).alias("days_since"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+    ).toPandas()
+    want = con.execute(
+        """
+        WITH b AS (SELECT id, CAST(s AS DATE) AS d, off FROM t)
+        SELECT id, year(d) AS y, month(d) AS m, day(d) AS dom,
+               dayofweek(d) AS dow0,
+               CAST(CAST(d + to_days(CAST(off AS INTEGER)) AS DATE) AS VARCHAR) AS shifted,
+               datediff('day', DATE '2022-01-01', d) AS days_since,
+               CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+               CAST(last_day(d) AS VARCHAR) AS month_end
+        FROM b
+        """
+    ).df()
+    assert_frames_match(got, want, "random_dates")
+
+
+_arr_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+        ),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(rows=_arr_rows)
+@settings(**_SETTINGS)
+def test_random_array_functions(spark, rows):
+    """Array battery on random int lists incl. NULL lists and empties —
+    size/sort/distinct/higher-order transform/filter/aggregate parity.
+    distinct is sorted on both sides (DuckDB list_distinct does not
+    preserve first-occurrence order); aggregate sum goes via BIGINT cast
+    (DuckDB list sum widens to HUGEINT → float64 in pandas)."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["id", "xs"]).astype({"id": "int64"})
+    sdf = spark.createDataFrame(rows, "id long, xs array<long>")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = sdf.select(
+        "id",
+        F.size("xs").alias("n"),
+        F.sort_array("xs").alias("sorted_xs"),
+        F.sort_array(F.array_distinct("xs")).alias("uniq"),
+        F.expr("transform(xs, x -> x * 2)").alias("doubled"),
+        F.size(F.expr("filter(xs, x -> x > 0)")).alias("n_pos"),
+        F.expr("aggregate(xs, 0L, (acc, x) -> acc + x)").alias("total"),
+        F.array_contains("xs", 7).alias("has7"),
+    ).toPandas()
+    want = con.execute(
+        """
+        SELECT id, len(xs) AS n, list_sort(xs) AS sorted_xs,
+               list_sort(list_distinct(xs)) AS uniq,
+               list_transform(xs, x -> x * 2) AS doubled,
+               len(list_filter(xs, x -> x > 0)) AS n_pos,
+               CASE WHEN xs IS NULL THEN NULL
+                    ELSE COALESCE(CAST(list_aggregate(xs, 'sum') AS BIGINT), 0)
+               END AS total,
+               list_contains(xs, 7) AS has7
+        FROM t
+        """
+    ).df()
+    assert_frames_match(got, want, "random_arrays")
