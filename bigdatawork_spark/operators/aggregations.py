@@ -304,3 +304,47 @@ def agg_median_percentile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentiles per group (Spark's percentile_approx — a
+    Greenwald-Khanna-style quantile summary).  The accuracy knob (1000)
+    bounds state per group to a CONSTANT independent of row count — at
+    100 TB this replaces exact percentile's full-sort-per-group with
+    mergeable map-side summaries, same shape as the HLL pattern.
+
+    rows-only: quantile-summary implementations are engine-specific
+    (DuckDB approx_quantile uses t-digest); tests/test_edge_cases.py
+    bounds each estimate against the exact percentile instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(1000),
+            ).alias("pcts")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_heavy_hitters")
+def agg_heavy_hitters(spark, sf_dir):
+    """Approximate frequent items (``df.stat.freqItems`` — the one-pass
+    Karp/Shenker/Papadimitriou counter): every value with frequency above
+    the support threshold is guaranteed present (no false negatives;
+    false positives possible).  One pass, constant memory per counter —
+    the heavy-hitter primitive for skew detection at 100 TB (find the
+    hot keys BEFORE deciding to salt them; see join_salted_skew).
+
+    rows-only: the false-positive set is engine/ordering-specific;
+    tests/test_edge_cases.py asserts the no-false-negative guarantee
+    against exact frequencies."""
+    ev = load(spark, sf_dir, "events")
+    hits = ev.select("event_type").stat.freqItems(["event_type"], 0.15)
+    return hits.select(
+        F.sort_array(F.col("event_type_freqItems")).alias("frequent_types")
+    )

@@ -268,6 +268,53 @@ def stream_static_join(spark, sf_dir):
     return spark.table(name).orderBy("event_id")
 
 
+@register("stream_stream_join")
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join — both sides are unbounded, so
+    Spark keeps per-side join state; the event-time range condition plus
+    the watermarks is what lets it EVICT that state (a left row older than
+    watermark-10min can never match again).  Replayed as two microbatches
+    (maxFilesPerTrigger=1) so pairs spanning the batch boundary prove the
+    state actually carries across triggers.  Semantics are exactly the
+    batch ``join_interval`` twin (same-user pairs ≤10 min apart), which is
+    hash-verified against DuckDB; the twin-equality test in
+    tests/test_streaming_twins.py closes the loop.
+
+    At 100 TB: same code over Kafka sources; state store → RocksDB; the
+    watermark bounds state to (watermark + range) × per-user rate."""
+    mid = F.expr("timestamp '2024-01-15 00:00:00'")
+    src = _events_source_dir(
+        spark, sf_dir, chunks=[F.col("ts") < mid, F.col("ts") >= mid]
+    )
+    left = (
+        _read_stream(spark, src, max_files=1)
+        .select(
+            F.col("event_id").alias("first_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "30 minutes")
+    )
+    right = (
+        _read_stream(spark, src, max_files=1)
+        .select(
+            F.col("event_id").alias("second_id"),
+            F.col("user_id").alias("uid_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "30 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("uid_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("first_id", "second_id", "user_id")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(joined, name)
+    return spark.table(name).orderBy("first_id", "second_id")
+
+
 def cleanup() -> None:
     """Remove stream scratch dirs (best-effort)."""
     shutil.rmtree(_STREAM_ROOT, ignore_errors=True)

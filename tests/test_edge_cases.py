@@ -138,3 +138,56 @@ def test_deterministic_samplers_are_stable(spark, sf_dir):
     strat = QUERIES["sample_stratified"](spark, sf_dir).groupBy("lang").count().collect()
     # 10% of each stratum, ceil'd — every stratum represented
     assert all(r["count"] >= 1 for r in strat) and len(strat) == 5
+
+
+def test_approx_percentile_bounds_error(spark, sf_dir):
+    """agg_approx_percentile is rows-only (quantile summaries are
+    engine-specific) — compensate by bounding each estimate against the
+    exact percentile: with accuracy=1000 the rank error is ≤1/1000, so
+    the estimated value must land between the exact p±2% rank values."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.registry import QUERIES
+
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["ex"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.48), F.lit(0.52), F.lit(0.88),
+                        F.lit(0.92), F.lit(0.97), F.lit(1.0)),
+            ).alias("ex")
+        )
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: r["pcts"]
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    for flag, (p50, p90, p99) in got.items():
+        lo = exact[flag]
+        assert lo[0] <= p50 <= lo[1], (flag, "p50", p50, lo[0], lo[1])
+        assert lo[2] <= p90 <= lo[3], (flag, "p90", p90, lo[2], lo[3])
+        assert lo[4] <= p99 <= lo[5], (flag, "p99", p99, lo[4], lo[5])
+
+
+def test_heavy_hitters_no_false_negatives(spark, sf_dir):
+    """agg_heavy_hitters is rows-only (false-positive set is engine-
+    specific) — compensate with the algorithm's hard guarantee: every
+    value whose true frequency exceeds the support threshold MUST appear."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.registry import QUERIES
+
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    truly_frequent = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / total > 0.15
+    }
+    assert truly_frequent  # corpus has ~5 types at ~20% each
+    got = set(
+        QUERIES["agg_heavy_hitters"](spark, sf_dir).collect()[0]["frequent_types"]
+    )
+    assert truly_frequent <= got, (truly_frequent, got)

@@ -86,3 +86,12 @@ def test_stream_session_equals_batch_twin(spark, sf_dir):
     stream_pd = QUERIES["stream_session"](spark, sf_dir).toPandas()[cols]
     batch_pd = QUERIES["win_time_session"](spark, sf_dir).toPandas()[cols]
     assert_frames_match(stream_pd, batch_pd, "stream_session≡batch")
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    """Stream-stream join state must carry pairs across the two replayed
+    microbatches — result equals the (DuckDB-verified) batch interval
+    self-join row-for-row."""
+    stream_pd = QUERIES["stream_stream_join"](spark, sf_dir).toPandas()
+    batch_pd = QUERIES["join_interval"](spark, sf_dir).toPandas()
+    assert_frames_match(stream_pd, batch_pd, "stream_stream_join≡batch")
