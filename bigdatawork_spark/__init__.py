@@ -18,6 +18,7 @@ from .operators import (  # noqa: F401
     projections,
     reshape,
     sorts_sets,
+    subqueries,
     udfs,
     windows,
 )

@@ -348,3 +348,42 @@ def join_salted_skew(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "join_interval_left",
+    oracle="""
+SELECT a.event_id AS first_id, a.user_id AS user_id, b.event_id AS second_id
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+ORDER BY first_id, second_id
+""",
+)
+def join_interval_left(spark, sf_dir):
+    """Left-outer interval join: every event, paired with same-user
+    purchases ≤10 min later — NULL second_id when none exists (the
+    "did this event lead to a purchase?" attribution shape).  Batch twin
+    of stream_stream_left_join: the streaming version must emit exactly
+    these rows, including the NULL-extended ones."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .select(
+            F.col("a.event_id").alias("first_id"),
+            F.col("a.user_id").alias("user_id"),
+            F.col("b.event_id").alias("second_id"),
+        )
+        .orderBy("first_id", "second_id")
+    )

@@ -315,6 +315,64 @@ def stream_stream_join(spark, sf_dir):
     return spark.table(name).orderBy("first_id", "second_id")
 
 
+@register("stream_stream_left_join")
+def stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join — the attribution shape
+    ("did this event lead to a purchase ≤10 min later?").  Outer emission
+    is the hard part: a NULL-extended left row may only emit once the
+    watermark proves no future right match can arrive, so two far-future
+    sentinel batches advance the watermark past every real row (the
+    watermark application lags the progress log by one batch — same
+    measured quirk as stream_session / stream_watermark_late).  The right
+    side filters to purchases BUT keeps sentinels, otherwise its watermark
+    would never advance and the NULL rows would never flush.  Twin-equal
+    to the DuckDB-verified batch join_interval_left."""
+    src = _fresh_dir("src")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    for i, day in enumerate((15, 16)):
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+        spark.sql(
+            f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
+            f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
+            " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
+            " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
+        ).coalesce(1).write.mode("append").parquet(src)
+    left = (
+        _read_stream(spark, src, max_files=1)
+        .select(
+            F.col("event_id").alias("first_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        _read_stream(spark, src, max_files=1)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("second_id"),
+            F.col("user_id").alias("uid_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("uid_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("first_id", "user_id", "second_id")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(joined, name)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("first_id", "second_id")
+    )
+
+
 def cleanup() -> None:
     """Remove stream scratch dirs (best-effort)."""
     shutil.rmtree(_STREAM_ROOT, ignore_errors=True)

@@ -118,3 +118,20 @@ def test_range_partitioned_sort_has_no_global_sort(spark, sf_dir):
     assert "rangepartitioning(o_totalprice" in plan, plan
     # SortExec.toString renders "Sort [keys], <global>, 0" — global must be false
     assert re.search(r"Sort \[o_totalprice[^\]]*\], false", plan), plan
+
+
+def test_subquery_decorrelation_plan_shapes(spark, sf_dir):
+    """The subquery ops must decorrelate to single-pass join plans: the
+    EXISTS shape runs as one semi join (no per-row subquery), and the
+    scalar-correlated shape contains exactly one aggregation over the
+    threshold key (not one per outer row)."""
+    from bigdatawork_spark.plans.explain import count_operator, plan_string
+    from bigdatawork_spark.registry import QUERIES
+
+    q4 = QUERIES["subquery_exists_q4"](spark, sf_dir)
+    assert "SemiJoin" in plan_string(q4) or "LeftSemi" in plan_string(q4)
+
+    q17 = QUERIES["subquery_scalar_q17"](spark, sf_dir)
+    # partial+final pairs for the per-part threshold agg and the outer agg
+    # — bounded, not proportional to outer rows
+    assert count_operator(q17, "HashAggregate") <= 8

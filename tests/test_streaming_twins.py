@@ -95,3 +95,12 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
     stream_pd = QUERIES["stream_stream_join"](spark, sf_dir).toPandas()
     batch_pd = QUERIES["join_interval"](spark, sf_dir).toPandas()
     assert_frames_match(stream_pd, batch_pd, "stream_stream_join≡batch")
+
+
+def test_stream_stream_left_join_equals_batch(spark, sf_dir):
+    """Left-outer stream-stream join: NULL-extended rows only emit once
+    the (sentinel-advanced) watermark proves no future match — result
+    must equal the DuckDB-verified batch left interval join."""
+    stream_pd = QUERIES["stream_stream_left_join"](spark, sf_dir).toPandas()
+    batch_pd = QUERIES["join_interval_left"](spark, sf_dir).toPandas()
+    assert_frames_match(stream_pd, batch_pd, "stream_stream_left_join≡batch")
