@@ -432,3 +432,75 @@ def multimodal_extract_stub(spark, sf_dir):
             "first_byte int, mid_byte int, last_byte int"
         ),
     ).orderBy("doc_id")
+
+
+def _kmeans(spark, sf_dir, k: int = 8, iters: int = 5):
+    """Lloyd's k-means loop over the embedding column.  Returns the final
+    assignment DataFrame (vec_id, cluster_id, d2) and the per-iteration
+    SSE list (computed from the assignment BEFORE each centroid update).
+
+    Deterministic end-to-end: init = first k vectors; argmin tie-broken by
+    (d2, cid); centroid means computed with decimal-exact sums so partition
+    order can never flip a last-ulp tie in the next round's distances.
+    Driver-side state is only the k×dim centroid matrix (constant in
+    corpus size) — the same loop shape as MLlib's trainer."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cents = {
+        r["vec_id"]: list(r["v"])
+        for r in e.filter(F.col("vec_id") <= k).collect()
+    }
+    sse_trace = []
+    assign = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(cid, c) for cid, c in sorted(cents.items())],
+            "cid long, c array<double>",
+        )
+        d2 = F.expr(
+            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            e.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("cid").alias("cluster_id"), "d2")
+            .localCheckpoint()  # flat plan: next round rebuilds from here
+        )
+        sse_trace.append(assign.agg(F.sum("d2")).collect()[0][0])
+        new_rows = (
+            assign.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("decimal(28,12)")).cast("double").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        for r in new_rows:  # empty clusters keep their old centroid
+            cents[r["cluster_id"]] = [p["m"] for p in r["pm"]]
+    return assign, sse_trace
+
+
+@register("kmeans_iterative")
+def kmeans_iterative(spark, sf_dir):
+    """K-means clustering of the embedding corpus (k=8, 5 synchronous
+    Lloyd iterations) — the centroid trainer whose output feeds an IVF
+    index (sim_ann_ivf's docstring: "at scale centroids come from sampled
+    k-means"; this is that trainer).  Second iterative-algorithm pattern
+    next to dedup_cluster_cc: per round one broadcast (k×dim), one narrow
+    distance map, one keyed aggregation; driver holds centroids only.
+
+    rows-only: per-cluster SSE folds doubles in partition order, so exact
+    cross-engine hashes don't apply; tests/test_edge_cases.py asserts the
+    Lloyd guarantee (SSE monotonically non-increasing) and full coverage."""
+    assign, _ = _kmeans(spark, sf_dir)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster_id")
+    )

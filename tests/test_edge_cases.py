@@ -191,3 +191,29 @@ def test_heavy_hitters_no_false_negatives(spark, sf_dir):
         QUERIES["agg_heavy_hitters"](spark, sf_dir).collect()[0]["frequent_types"]
     )
     assert truly_frequent <= got, (truly_frequent, got)
+
+
+def test_kmeans_sse_monotone_and_covering(spark, sf_dir):
+    """kmeans_iterative is rows-only — compensate with Lloyd's invariant:
+    SSE is monotonically non-increasing across iterations (each of the
+    two half-steps only ever lowers it), every vector is assigned exactly
+    once, and rerunning reproduces the identical assignment (decimal-exact
+    centroid means make the loop deterministic)."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.operators.pipeline_ops import _kmeans
+
+    assign, sse = _kmeans(spark, sf_dir, k=8, iters=4)
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(sse, sse[1:])), sse
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert assign.count() == n_total
+    assert assign.select("vec_id").distinct().count() == n_total
+    sizes1 = sorted(
+        (r["cluster_id"], r["n"])
+        for r in assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assign2, _ = _kmeans(spark, sf_dir, k=8, iters=4)
+    sizes2 = sorted(
+        (r["cluster_id"], r["n"])
+        for r in assign2.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes1 == sizes2
