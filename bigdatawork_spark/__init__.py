@@ -19,6 +19,7 @@ from .operators import (  # noqa: F401
     reshape,
     sorts_sets,
     subqueries,
+    tpch_extra,
     udfs,
     windows,
 )
