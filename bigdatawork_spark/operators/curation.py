@@ -463,3 +463,155 @@ def fuzzy_match_levenshtein(spark, sf_dir):
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "dedup_keep_representative",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - 2),
+           i -> substr(text, i, 3)))) AS g
+  FROM documents WHERE doc_id < 60
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_both
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.45
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT doc_id AS id FROM grams),
+reach AS (
+  WITH RECURSIVE r(id, v) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.id, s.dst FROM r JOIN sym s ON r.v = s.src
+  )
+  SELECT * FROM r
+)
+SELECT id AS doc_id
+FROM reach GROUP BY id HAVING id = MIN(v)
+ORDER BY doc_id
+""",
+)
+def dedup_keep_representative(spark, sf_dir):
+    """The dedup pipeline's last step: keep ONE document per near-dup
+    component (the minimum doc_id — any deterministic choice works).
+    Composes dedup_cluster_cc: a doc survives iff its label equals its own
+    id.  At 100 TB the kept set is written back as the curated corpus;
+    everything upstream (shingle → candidate pairs → verify → components)
+    already ran distributed, so this is one narrow filter."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    return (
+        labels.filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def dedup_latest_by_key(spark, sf_dir):
+    """CDC compaction: latest record per key (here: each user's most
+    recent event, event_id as the deterministic tiebreak).  One shuffle
+    on the key; at 100 TB this is the standard log→snapshot compaction —
+    run it partition-by-partition over a date-partitioned log and the
+    shuffle only ever sees one partition's keys."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (5000-wide price bins) — binning IS the
+    aggregation key, so the histogram of 100 TB is one partial-agg
+    shuffle of #bins rows per task.  FLOOR goes via BIGINT cast on the
+    oracle side (DuckDB FLOOR returns DOUBLE, Spark LONG)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000.0).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "dq_referential_audit",
+    oracle="""
+SELECT 'lineitem_without_order' AS relation, COUNT(*) AS n_orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'order_without_customer', COUNT(*)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'customer_without_order', COUNT(*)
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY relation
+""",
+)
+def dq_referential_audit(spark, sf_dir):
+    """Data-quality audit: orphan counts across the FK graph, as one
+    small result — each relation is a LEFT ANTI join that ships only key
+    columns (the audit of a 100 TB fact table moves <1% of its bytes).
+    The first two counts assert integrity (0 on this corpus); the third
+    is the business-meaningful "customers who never ordered"."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def orphans(name, left, right, lk, rk):
+        return (
+            left.join(right, F.col(lk) == F.col(rk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem_without_order", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(orphans("order_without_customer", o, c, "o_custkey", "c_custkey"))
+        .unionByName(orphans("customer_without_order", c, o, "c_custkey", "o_custkey"))
+        .orderBy("relation")
+    )
