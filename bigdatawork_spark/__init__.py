@@ -20,6 +20,7 @@ from .operators import (  # noqa: F401
     sorts_sets,
     subqueries,
     tpch_extra,
+    tpch_full,
     udfs,
     windows,
 )
