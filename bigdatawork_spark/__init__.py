@@ -12,6 +12,7 @@ from .operators import (  # noqa: F401
     aggregations,
     analytics,
     curation,
+    graph_ops,
     joins,
     llm_ops,
     pipeline_ops,
