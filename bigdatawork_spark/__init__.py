@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401
     subqueries,
     tpch_extra,
     tpch_full,
+    training_ops,
     udfs,
     windows,
 )

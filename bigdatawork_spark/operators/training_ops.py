@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: benchmark-contamination screening,
+context-window sequence packing, inverted-index build, and
+temperature-balanced mixture resampling.  REF:∅ (reference snapshot empty —
+SURVEY.md §0); extends the curation family (curation.py) with the
+pretraining-corpus operations a 100 TB text pipeline runs between dedup and
+tokenization.
+
+Scale notes: contamination is a broadcast semi-join of training-doc shingles
+against the (small) benchmark shingle set; packing windows PARTITION BY
+source so no global ordering bottleneck exists; the inverted index shuffles
+once on token; mixture resampling derives per-source keep rates from a
+broadcast 1-row-per-source aggregate and filters by content hash — the same
+engine/layout-independent discipline as sample_hash_deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 4),
+           i -> array_to_string(ws[i:i+4], ' ')))) AS g
+  FROM words WHERE len(ws) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+FROM train JOIN bench ON train.g = bench.g
+GROUP BY train.doc_id
+ORDER BY train.doc_id
+""",
+)
+def contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination screen: flag training documents sharing any
+    word 5-gram with a held-out benchmark set (proxied as doc_id % 97 = 0)
+    and count the distinct overlapping shingles per document.  The
+    benchmark shingle set is DISTINCT and small, so the overlap join
+    broadcasts it against the exploded training shingles — no shuffle of
+    the big side.  At 100 TB this is exactly the decontamination pass run
+    against eval suites before pretraining (shingles of the benchmark fit
+    in memory by construction)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 5
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws(' ', slice(ws, i, 5)))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE)
+                    / 512.0) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+)
+def pack_sequences(spark, sf_dir):
+    """Context-window sequence packing: assign documents to 512-token
+    training windows by running token count, packing within each source
+    shard in doc_id order (bin = floor(preceding-tokens / 512) — the
+    streaming-concatenation layout).  PARTITION BY source keeps the
+    running sum shard-local, so at 100 TB each shard packs independently
+    — no global sort, no single-partition window.  Counts are
+    integer-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / F.lit(512.0)
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS token
+  FROM documents WHERE doc_id < 300
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       list_sort(list(doc_id)) AS postings
+FROM tok
+WHERE length(token) >= 4
+GROUP BY token
+ORDER BY token
+""",
+)
+def inverted_index(spark, sf_dir):
+    """Inverted-index build: token → document frequency + sorted posting
+    list (distinct tokens per doc; tokens ≥ 4 chars; doc_id < 300 slice).
+    One shuffle on token; posting lists sort inside the aggregation
+    (sort_array over collect_list — both engines emit ascending arrays).
+    At 100 TB postings for frequent tokens are the skew risk — production
+    shards them into (token, bucket) segment files; doc_freq here is the
+    statistic that drives that split."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).filter(F.length("token") >= 4)
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+@register(
+    "mixture_resample",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n,
+         sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS keep_rate
+  FROM counts
+),
+thresh AS (
+  SELECT source, n, keep_rate,
+         lower(lpad(to_hex(CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)),
+                    8, '0')) AS hex_thresh
+  FROM rates
+)
+SELECT t.source,
+       t.n AS n_before,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       ROUND(t.keep_rate, 6) AS keep_rate
+FROM documents d
+JOIN thresh t ON d.source = t.source
+WHERE substr(md5(d.text), 1, 8) < t.hex_thresh
+GROUP BY t.source, t.n, t.keep_rate
+ORDER BY t.source
+""",
+)
+def mixture_resample(spark, sf_dir):
+    """Temperature-balanced mixture resampling: downsample each source
+    toward the smallest one with keep-rate sqrt(min_count / count) — the
+    alpha=0.5 temperature reweighting used to flatten pretraining source
+    mixtures.  The rate maps to a 32-bit hex threshold and rows are kept
+    when their content-hash prefix falls below it, so the kept set is a
+    pure function of content and rates — identical across engines,
+    partitionings, and reruns on appended data (old rows never resample).
+    Per-source rates come from a broadcast aggregate; the filter is
+    narrow, no shuffle of the fact side before the final count."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n",
+        F.sqrt(F.col("min_n").cast("double") / F.col("n").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    thresh = rates.withColumn(
+        "hex_thresh",
+        F.lower(
+            F.lpad(
+                F.hex(F.floor(F.col("keep_rate") * F.lit(4294967296.0))), 8, "0"
+            )
+        ),
+    )
+    return (
+        d.join(F.broadcast(thresh), "source")
+        .filter(F.substring(F.md5("text"), 1, 8) < F.col("hex_thresh"))
+        .groupBy("source", "n", "keep_rate")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+        .select(
+            "source",
+            F.col("n").alias("n_before"),
+            "n_after",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
