@@ -1,0 +1,189 @@
+"""Fluent curation-pipeline façade: chainable document-curation stages a
+reference user composes instead of hand-writing DataFrame chains.  REF:∅
+(reference snapshot empty — SURVEY.md §0); this is the user-facing API layer
+over the curation/training operator family (curation.py, training_ops.py).
+
+Every stage is a named, lazy ``DataFrame -> DataFrame`` transformation built
+ONLY from JVM-side column expressions, so a composed pipeline stays one
+Catalyst plan — filters collapse and push to the scan, and the whole prefix
+of narrow stages runs in a single WholeStageCodegen pass regardless of how
+many stages the user chains.  ``describe()`` exposes the stage list for
+audit logs.
+
+Scale notes: lang/quality/sample stages are narrow (no shuffle at any data
+size); dedup_exact is the pipeline's one shuffle (hash-partition on the
+dedup key); stage order therefore matters and the cheap narrow filters
+should come first — exactly how this module's composed example orders them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .io import load
+from .registry import register
+
+_STOPWORDS = ("the", "a", "data", "key")
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+class CurationPipeline:
+    """Ordered, lazily-applied document-curation stages.
+
+    >>> pipe = (CurationPipeline()
+    ...         .lang_filter("en")
+    ...         .quality_gate()
+    ...         .dedup_exact()
+    ...         .hash_sample("7f"))
+    >>> curated = pipe.apply(docs_df)
+    """
+
+    def __init__(self) -> None:
+        self._stages: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
+
+    def stage(self, name: str, fn: Callable[[DataFrame], DataFrame]) -> "CurationPipeline":
+        """Append a custom named stage."""
+        self._stages.append((name, fn))
+        return self
+
+    def lang_filter(self, *langs: str) -> "CurationPipeline":
+        """Keep documents whose ``lang`` is in ``langs`` (narrow, pushable)."""
+        return self.stage(
+            f"lang_filter({','.join(langs)})",
+            lambda df: df.filter(F.col("lang").isin(*langs)),
+        )
+
+    def quality_gate(
+        self,
+        min_words: int = 5,
+        max_words: int = 1000,
+        wlen_band: tuple[float, float] = (3.0, 10.0),
+        stop_cap: float = 0.3,
+    ) -> "CurationPipeline":
+        """Gopher-style rule gate (same features as quality_filter_gopher);
+        keeps passing rows and retains ``n_words`` for downstream stats."""
+
+        def gate(df: DataFrame) -> DataFrame:
+            words = _words()
+            n_words = F.size(words)
+            mean_wlen = F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                    "double"
+                )
+                / n_words,
+                6,
+            )
+            stop_frac = F.round(
+                F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+                / n_words,
+                6,
+            )
+            return df.withColumn("n_words", n_words.cast("long")).filter(
+                F.col("n_words").between(min_words, max_words)
+                & mean_wlen.between(*wlen_band)
+                & (stop_frac < stop_cap)
+            )
+
+        return self.stage(f"quality_gate({min_words},{max_words})", gate)
+
+    def dedup_exact(self, key: str = "text", order: str = "doc_id") -> "CurationPipeline":
+        """Keep the first row (by ``order``) per exact ``key`` — the
+        pipeline's one shuffle, hash-partitioned on the dedup key."""
+
+        def dedup(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy(key).orderBy(order)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        return self.stage(f"dedup_exact({key})", dedup)
+
+    def hash_sample(self, prefix_le: str = "7f", key: str = "text") -> "CurationPipeline":
+        """Content-hash Bernoulli sample: keep rows whose md5 hex prefix is
+        <= ``prefix_le`` — deterministic across engines and layouts."""
+        return self.stage(
+            f"hash_sample(<={prefix_le})",
+            lambda df: df.filter(
+                F.substring(F.md5(key), 1, len(prefix_le)) <= prefix_le
+            ),
+        )
+
+    def describe(self) -> list[str]:
+        """Stage names in application order (for audit logging)."""
+        return [name for name, _ in self._stages]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Compose all stages onto ``df`` (still lazy — one Catalyst plan)."""
+        for _, fn in self._stages:
+            df = fn(df)
+        return df
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+         ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+           AS mean_wlen,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a', 'data', 'key')))
+                    AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+           AS stop_frac
+  FROM documents WHERE lang = 'en'
+),
+kept AS (
+  SELECT doc_id, source, text, n_words FROM feat
+  WHERE n_words BETWEEN 5 AND 1000
+    AND mean_wlen BETWEEN 3.0 AND 10.0
+    AND stop_frac < 0.3
+),
+deduped AS (
+  SELECT doc_id, source, text, n_words FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped WHERE substr(md5(text), 1, 2) <= '7f'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM sampled GROUP BY source ORDER BY source
+""",
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """End-to-end composed curation pipeline (the façade's flagship):
+    English filter → quality gate → exact dedup (first doc_id wins) →
+    50% content-hash sample, then per-source doc/token totals.  Narrow
+    stages precede the dedup shuffle so they collapse into the scan pass;
+    the oracle mirrors the same four stages as nested CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    pipe = (
+        CurationPipeline()
+        .lang_filter("en")
+        .quality_gate()
+        .dedup_exact()
+        .hash_sample("7f")
+    )
+    return (
+        pipe.apply(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
