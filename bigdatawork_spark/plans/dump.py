@@ -39,6 +39,13 @@ EXTRA_NOTES = {
     "q22_dormant_customers": "decimal-exact scalar threshold broadcast + LEFT ANTI join shipping only keys",
     "dq_referential_audit": "three anti joins over key columns only; union of 1-row aggregates",
     "merge_upsert": "MERGE INTO as a single full-outer join on the key",
+    "q2_min_cost_supplier": "correlated MIN decorrelated: region-filtered offer relation computes once, per-part MIN joins back on partkey; top-100 via TakeOrderedAndProject",
+    "q21_waiting_suppliers": "double correlated EXISTS/NOT EXISTS as one-pass non-equi LEFT SEMI + LEFT ANTI joins on orderkey (3-column lineitem projections)",
+    "q13_cust_order_distribution": "filter-inside-LEFT-JOIN pushed to the orders scan; double aggregation, second one over ~distinct-count rows",
+    "graph_pagerank": "final PageRank iteration: rank⋈transition broadcast join → keyed decimal-exact contribution sum (5 driver-loop rounds, data stays distributed)",
+    "contamination_ngram": "benchmark shingle set DISTINCT then broadcast; training shingles never shuffle — LEFT SEMI probe + keyed count",
+    "mixture_resample": "per-source keep rates via broadcast 1-row-per-source aggregate; content-hash filter narrow over the fact side",
+    "pipeline_curate_corpus": "4 chained façade stages collapse to one scan pass + single dedup shuffle (row_number on text) + final keyed agg",
 }
 
 
