@@ -16,6 +16,7 @@ from .operators import (  # noqa: F401
     joins,
     llm_ops,
     pipeline_ops,
+    platform_ops,
     projections,
     reshape,
     sorts_sets,

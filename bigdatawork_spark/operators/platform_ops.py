@@ -1,0 +1,305 @@
+"""Data-platform operators: table reconciliation diff, single-pass column
+profiling, time-series resampling with forward fill, and Z-order clustering
+keys.  REF:∅ (reference snapshot empty — SURVEY.md §0); these are the
+operational tools around the query surface — migration validation, data
+discovery, gap repair, and layout optimization.
+
+Scale notes: table_diff is one full-outer join on the key (the only
+correct-by-construction way to reconcile 100 TB tables — checksum
+strategies degrade to this on mismatch); profile_table computes every
+column's stats in ONE aggregation pass then unpivots driver-side-free;
+ts_resample's spine explodes per entity so no global series materializes;
+zorder_cluster is a narrow expression — the sort it feeds is
+range-partitioned by Spark's global orderBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "table_diff",
+    oracle="""
+WITH lhs AS (
+  SELECT event_id, value FROM events WHERE event_id % 5 <> 0
+),
+rhs AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 11 <> 0
+),
+j AS (
+  SELECT COALESCE(lhs.event_id, rhs.event_id) AS k,
+         lhs.event_id IS NULL AS only_right,
+         rhs.event_id IS NULL AS only_left,
+         lhs.value AS lv, rhs.value AS rv
+  FROM lhs FULL OUTER JOIN rhs ON lhs.event_id = rhs.event_id
+)
+SELECT CASE WHEN only_left THEN 'only_left'
+            WHEN only_right THEN 'only_right'
+            WHEN lv = rv THEN 'equal'
+            ELSE 'differs' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY status ORDER BY status
+""",
+)
+def table_diff(spark, sf_dir):
+    """Table reconciliation: classify every key of two table versions as
+    equal / differs / only_left / only_right (versions derived
+    deterministically from events: left drops ids ≡0 mod 5, right drops
+    ≡0 mod 11 and perturbs values ≡0 mod 7).  One full-outer join on the
+    key, then a tiny keyed count — the migration-validation pass.  The
+    value comparison is exact (both sides derive from identical parquet
+    doubles).  At 100 TB both sides shuffle once on the key; comparing
+    only a hash of the payload columns shrinks the shuffle further."""
+    ev = load(spark, sf_dir, "events")
+    lhs = ev.filter(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").alias("lk"), F.col("value").alias("lv")
+    )
+    rhs = ev.filter(F.col("event_id") % 11 != 0).select(
+        F.col("event_id").alias("rk"),
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("rv"),
+    )
+    status = (
+        F.when(F.col("rk").isNull(), "only_left")
+        .when(F.col("lk").isNull(), "only_right")
+        .when(F.col("lv") == F.col("rv"), "equal")
+        .otherwise("differs")
+    )
+    return (
+        lhs.join(rhs, lhs.lk == rhs.rk, "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       NULL, NULL, CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+FROM orders
+ORDER BY col
+""",
+)
+def profile_table(spark, sf_dir):
+    """Column profiler over orders: per column — null count, exact
+    distinct count, min/max (numerics as DOUBLE, strings/dates as
+    VARCHAR).  Spark computes EVERY column's stats in ONE aggregation
+    (a single scan pass; the oracle's UNION ALL of six scans states the
+    semantics, not the plan) and unpivots the 1-row result with stack().
+    At 100 TB this is the discovery/stats pass — one job regardless of
+    column count; swap COUNT(DISTINCT) for approx_count_distinct when
+    ±2% suffices."""
+    o = load(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols + ["o_orderdate"]:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__min_num"),
+            F.max(c).cast("double").alias(f"{c}__max_num"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min_str"), F.max(c).alias(f"{c}__max_str")]
+    aggs += [
+        F.min("o_orderdate").cast("date").cast("string").alias("o_orderdate__min_str"),
+        F.max("o_orderdate").cast("date").cast("string").alias("o_orderdate__max_str"),
+    ]
+    one = o.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"named_struct('col', '{c}', 'n_nulls', {c}__nulls,"
+            f" 'n_distinct', {c}__distinct, 'min_num', {c}__min_num,"
+            f" 'max_num', {c}__max_num, 'min_str', CAST(NULL AS STRING),"
+            " 'max_str', CAST(NULL AS STRING))"
+        )
+    for c in str_cols + ["o_orderdate"]:
+        rows.append(
+            f"named_struct('col', '{c}', 'n_nulls', {c}__nulls,"
+            f" 'n_distinct', {c}__distinct, 'min_num', CAST(NULL AS DOUBLE),"
+            f" 'max_num', CAST(NULL AS DOUBLE), 'min_str', {c}__min_str,"
+            f" 'max_str', {c}__max_str)"
+        )
+    stacked = one.select(F.expr("inline(array(" + ", ".join(rows) + "))"))
+    return stacked.orderBy("col")
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events WHERE user_id < 5 GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_value
+  FROM events WHERE user_id < 5 GROUP BY user_id, hour
+)
+SELECT s.user_id, CAST(s.hour AS VARCHAR) AS hour,
+       h.avg_value IS NOT NULL AS observed,
+       last_value(h.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour) AS value_ffill
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+ORDER BY s.user_id, s.hour
+""",
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Time-series resampling: per entity, build a dense hourly spine
+    between its first and last event, left-join the observed hourly
+    aggregate, and forward-fill gaps with the last observation.  The
+    spine generates per entity (sequence + explode), so no global
+    timeline materializes and the window partitions by entity — at
+    100 TB each entity's series fills independently inside its shuffle
+    partition.  Hourly averages are decimal-exact then rounded, so the
+    filled values are bit-stable."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy(spine.user_id)
+        .orderBy(spine.hour)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(
+        hourly,
+        (spine.user_id == hourly.user_id) & (spine.hour == hourly.hour),
+        "left_outer",
+    ).select(
+        spine.user_id,
+        spine.hour,
+        F.col("avg_value").isNotNull().alias("observed"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+    return joined.select(
+        "user_id",
+        F.col("hour").cast("string").alias("hour"),
+        "observed",
+        "value_ffill",
+    ).orderBy("user_id", "hour")
+
+
+@register(
+    "zorder_cluster",
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 1024 AS BIGINT) AS x,
+         CAST(dayofyear(o_orderdate) % 512 AS BIGINT) AS y
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey,
+         CAST(list_sum(list_transform(generate_series(0, 9),
+              i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+              AS BIGINT) AS zval
+  FROM keyed
+)
+SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(zval) AS BIGINT) AS z_min,
+       CAST(MAX(zval) AS BIGINT) AS z_max
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+""",
+)
+def zorder_cluster(spark, sf_dir):
+    """Z-order clustering key: interleave the bits of two dimensions
+    (customer bucket, day-of-year) into one Morton code, then summarize
+    occupancy per Z-range bucket.  The interleave is a pure JVM-side
+    bit-fold (aggregate over sequence(0,9) — no UDF).  This is the sort
+    key a layout-optimization pass writes files by: range-partitioning on
+    zval gives every file a tight bounding box in BOTH dimensions, so
+    min/max file skipping prunes on either predicate.  The bucket
+    summary here is the occupancy histogram that validates the layout."""
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).cast("bigint").alias("x"),
+        (F.dayofyear("o_orderdate") % 512).cast("bigint").alias("y"),
+    )
+    zval = F.expr(
+        "aggregate(sequence(0, 9), 0L, (acc, i) -> acc"
+        " + shiftleft(shiftright(x, i) & 1, 2*i)"
+        " + shiftleft(shiftright(y, i) & 1, 2*i + 1))"
+    )
+    return (
+        keyed.select(zval.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / 4096).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
