@@ -271,3 +271,52 @@ def merge_upsert(spark, sf_dir):
         .alias("action"),
     )
     return merged.orderBy("c_custkey")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE next_type IS NOT NULL
+  AND next_ts <= ts + INTERVAL 30 MINUTE
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+""",
+)
+def event_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov counts): per user,
+    pair each event with its successor (ordered by ts with event_id
+    tiebreak) and count from→to pairs occurring within a 30-minute
+    session bound.  One shuffle on user_id feeds the lead() window; the
+    pair count re-shuffles only the (from, to) aggregate — tiny.  This is
+    the path-analysis primitive behind next-step prediction and funnel
+    discovery."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        seq.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

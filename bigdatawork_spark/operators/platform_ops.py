@@ -303,3 +303,129 @@ def zorder_cluster(spark, sf_dir):
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events WHERE user_id < 5 GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_value
+  FROM events WHERE user_id < 5 GROUP BY user_id, hour
+),
+ctx AS (
+  SELECT s.user_id, s.hour, h.avg_value,
+         last_value(h.avg_value IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hour) AS pv,
+         last_value(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                    IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hour) AS ph,
+         first_value(h.avg_value IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hour
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                     IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hour
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+)
+SELECT user_id, CAST(hour AS VARCHAR) AS hour,
+       avg_value IS NOT NULL AS observed,
+       ROUND(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(epoch(hour) - epoch(ph) AS DOUBLE)
+                             / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+         ELSE pv END, 6) AS value_interp
+FROM ctx
+ORDER BY user_id, hour
+""",
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear-interpolation resampling: like ts_resample_ffill, but gap
+    hours take the time-weighted blend of the surrounding observations
+    (prev + (next-prev) * elapsed-fraction); trailing gaps fall back to
+    forward fill.  prev/next value-and-timestamp pairs come from IGNORE
+    NULLS windows (preceding-inclusive and following-exclusive), so each
+    entity interpolates in one windowed pass inside its shuffle partition
+    — no self-join of observation pairs.  The elapsed fraction divides
+    exact epoch-second integers, and endpoints are the same rounded
+    doubles on both engines, so the blend is bit-stable before the final
+    ROUND."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour"
+            ),
+        )
+    )
+    joined = spine.join(
+        hourly,
+        (spine.user_id == hourly.user_id) & (spine.hour == hourly.hour),
+        "left_outer",
+    ).select(spine.user_id, spine.hour, "avg_value")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "user_id",
+        "hour",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("ph"),
+        F.first("avg_value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.col("pv"))
+    )
+    return ctx.select(
+        "user_id",
+        F.col("hour").cast("string").alias("hour"),
+        F.col("avg_value").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("value_interp"),
+    ).orderBy("user_id", "hour")
