@@ -429,3 +429,54 @@ def ts_interpolate_linear(spark, sf_dir):
         F.col("avg_value").isNotNull().alias("observed"),
         F.round(interp, 6).alias("value_interp"),
     ).orderBy("user_id", "hour")
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: the base partition's partial
+    aggregates (count, decimal-exact sum per key) merge with a delta
+    batch's partials by summing — and the merged result must equal the
+    full recompute, which is exactly what the oracle verifies.  This is
+    the mergeable-state contract that lets a 100 TB rollup absorb a new
+    partition by aggregating ONLY the delta (seconds) instead of
+    rescanning history (hours); decimal sums are associative so the
+    merge is exact, and avg derives from merged (sum, count) — never
+    averaged averages."""
+    ev = load(spark, sf_dir, "events")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    base = partials(ev.filter(F.col("event_id") % 10 != 0))
+    delta = partials(ev.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    ).orderBy("event_type")
