@@ -320,3 +320,152 @@ def event_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 50
+""",
+)
+def basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order at least twice, top-50 by support.  Distinct (order, part)
+    first so repeated lines don't inflate support; the canonical a < b
+    self-join materializes each pair once.  One shuffle on orderkey for
+    the self-join (baskets are small, so fan-out is bounded by
+    basket-size²); the pair aggregate re-shuffles only pair keys.  At
+    100 TB prune to frequent items first (apriori) so the self-join
+    side shrinks before the shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type, e.value,
+         (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+  FROM events e JOIN stats USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       ROUND(MAX(abs(z)), 6) AS max_abs_z
+FROM scored GROUP BY event_type ORDER BY event_type
+""",
+)
+def anomaly_zscore(spark, sf_dir):
+    """Z-score anomaly flagging: per event type, score every value
+    against the type's mean and population std (computed from
+    decimal-exact sum and sum-of-squares, so the moments are bit-stable)
+    and count |z| > 2.5 outliers.  Two passes over events — the stats
+    aggregate broadcasts back onto the scan (no row explosion) — the
+    standard streaming-friendly shape for 100 TB anomaly sweeps; MAX of
+    a deterministic double is order-independent."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    scored = ev.join(F.broadcast(stats), ev.event_type == F.col("et")).select(
+        "event_type", ((F.col("value") - mean) / std).alias("z")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.abs("z") > 2.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_winsorized",
+    oracle="""
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p1,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(e.value, b.p1), b.p99) AS v
+  FROM events e JOIN bands b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM clipped GROUP BY event_type ORDER BY event_type
+""",
+)
+def stats_winsorized(spark, sf_dir):
+    """Winsorized mean per event type: clip values to the exact
+    [P1, P99] band, then take the decimal-exact mean of the clipped
+    values — the robust-statistics pass that tames heavy tails before
+    downstream modeling.  Spark's exact percentile() and DuckDB's
+    quantile_cont use the same linear interpolation (verified
+    bit-identical on this corpus), and LEAST/GREATEST of identical
+    doubles is exact, so the clipped sums agree bitwise.  At 100 TB
+    swap percentile() for approx_percentile(…, ε) — the clip bands
+    tolerate sketch error by construction."""
+    ev = load(spark, sf_dir, "events")
+    bands = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.expr("percentile(value, 0.01)").alias("p1"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(bands), ev.event_type == F.col("et")).select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p1")), F.col("p99")).alias("v"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
