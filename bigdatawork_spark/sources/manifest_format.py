@@ -1,0 +1,192 @@
+"""Minimal versioned table format: parquet data files + JSON manifest log
+(append / time-travel / compaction).  REF:∅ (reference snapshot empty —
+SURVEY.md §0); models the lakehouse-table-format contract (Delta/Iceberg
+style) with the pieces that matter for correctness: a manifest lists the
+EXACT data files of each version, commits are atomic (manifest written to a
+temp name then renamed), readers pin a manifest so concurrent appends and
+compactions never tear a read, and old versions stay readable because
+compaction writes NEW files and only rewrites the file LIST.
+
+Scale notes: the manifest holds file paths + row counts, not data — a
+100 TB table's manifest is megabytes; reads plan from the pinned file list
+so Spark's parquet scan (pushdown, pruning, split planning) works
+unchanged; compaction is the small-file GC that keeps scan task counts
+proportional to data size, not commit count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .io_ops import _tmp
+
+
+class ManifestTable:
+    """A directory-backed versioned table: ``data/`` holds immutable
+    parquet files; ``manifest-v{N}.json`` lists the files of version N."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- log ------------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.path):
+            if f.startswith("manifest-v") and f.endswith(".json"):
+                out.append(int(f[len("manifest-v") : -len(".json")]))
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.path, f"manifest-v{version}.json")) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, version: int, files: list[str], parent: int | None, action: str) -> None:
+        # temp-write + rename: readers either see the complete manifest or
+        # none — the commit point is the rename.
+        final = os.path.join(self.path, f"manifest-v{version}.json")
+        tmp = final + ".inprogress"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "parent": parent, "action": action,
+                 "files": sorted(files)},
+                fh,
+            )
+        os.rename(tmp, final)
+
+    # -- writes ---------------------------------------------------------
+    def _write_data(self, df: DataFrame, commit_name: str, n_files: int) -> list[str]:
+        d = os.path.join(self.path, "data", commit_name)
+        df.repartition(n_files).write.mode("overwrite").parquet(d)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def append(self, df: DataFrame, n_files: int = 4) -> int:
+        vs = self.versions()
+        parent = vs[-1] if vs else None
+        version = (parent or 0) + 1
+        new_files = self._write_data(df, f"commit-{version}", n_files)
+        prev = self._manifest(parent)["files"] if parent else []
+        self._write_manifest(version, prev + new_files, parent, "append")
+        return version
+
+    def compact(self, n_files: int = 2) -> int:
+        parent = self.versions()[-1]
+        version = parent + 1
+        files = self._write_data(self.read(), f"compact-{version}", n_files)
+        # old versions keep their (still-present) files — time travel works
+        self._write_manifest(version, files, parent, "compact")
+        return version
+
+    # -- reads ----------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        version = version if version is not None else self.versions()[-1]
+        files = self._manifest(version)["files"]
+        return self.spark.read.parquet(*files)
+
+    def file_count(self, version: int | None = None) -> int:
+        version = version if version is not None else self.versions()[-1]
+        return len(self._manifest(version)["files"])
+
+
+def _events_cols(spark, sf_dir):
+    return load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+
+@register(
+    "table_format_time_travel",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS version, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 2 = 0
+GROUP BY event_type
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM events GROUP BY event_type
+ORDER BY version, event_type
+""",
+)
+def table_format_time_travel(spark, sf_dir):
+    """Time travel on the manifest format: commit even events as v1,
+    append odd events as v2, then read BOTH versions by their pinned
+    manifests — v1 must still show only the first commit after the
+    append.  The per-version aggregates are oracle-checked against the
+    equivalent filters on the source table, proving version isolation
+    end-to-end (not just file bookkeeping)."""
+    path = _tmp("manifest_time_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+
+    def summarize(version):
+        return (
+            t.read(version)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.lit(version).cast("bigint").alias("version"), "*")
+        )
+
+    return summarize(1).unionByName(summarize(2)).orderBy("version", "event_type")
+
+
+@register(
+    "table_format_compaction",
+    oracle="""
+SELECT CAST(12 AS BIGINT) AS files_before,
+       CAST(2 AS BIGINT) AS files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+""",
+)
+def table_format_compaction(spark, sf_dir):
+    """Small-file compaction: three 4-file appends (12 live files)
+    compact into 2 files with identical content — file counts come from
+    the manifests and the row/sum totals re-aggregate the compacted
+    table, both oracle-checked (the content check is against the source
+    table, so compaction provably loses/duplicates nothing).  Old
+    versions remain readable: compaction writes new files and replaces
+    only the file list."""
+    path = _tmp("manifest_compaction")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    for r in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == r))
+    before = t.file_count()
+    t.compact()
+    after = t.file_count()
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.lit(before).cast("bigint").alias("files_before"),
+            F.lit(after).cast("bigint").alias("files_after"),
+            "n_rows",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,60 @@
+"""ManifestTable format semantics: version isolation, commit atomicity,
+compaction content-preservation, and time travel across compaction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from bigdatawork_spark.io import load
+from bigdatawork_spark.sources.io_ops import _tmp
+from bigdatawork_spark.sources.manifest_format import ManifestTable
+
+
+def _fresh(spark, name):
+    path = _tmp(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return ManifestTable(spark, path), path
+
+
+def test_version_isolation_and_time_travel(spark, sf_dir):
+    t, _ = _fresh(spark, "mt_isolation")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    n1 = t.append(ev.filter(F.col("event_id") % 2 == 0))
+    c1 = t.read(n1).count()
+    n2 = t.append(ev.filter(F.col("event_id") % 2 == 1))
+    assert t.versions() == [1, 2] and (n1, n2) == (1, 2)
+    # v1 read is unchanged by the later append
+    assert t.read(1).count() == c1
+    assert t.read(2).count() == ev.count()
+
+
+def test_no_inprogress_manifest_left_behind(spark, sf_dir):
+    t, path = _fresh(spark, "mt_atomic")
+    ev = load(spark, sf_dir, "events").select("event_id", "value").limit(100)
+    t.append(ev)
+    assert not [f for f in os.listdir(path) if f.endswith(".inprogress")]
+    assert [f for f in os.listdir(path) if f.startswith("manifest-v")] == [
+        "manifest-v1.json"
+    ]
+
+
+def test_compaction_preserves_content_and_old_versions(spark, sf_dir):
+    t, _ = _fresh(spark, "mt_compact")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    for r in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == r))
+    rows_before = t.read().count()
+    files_before = t.file_count()
+    v1_count = t.read(1).count()
+    cv = t.compact()
+    assert t.file_count(cv) < files_before
+    assert t.read(cv).count() == rows_before
+    # time travel still works across the compaction boundary
+    assert t.read(1).count() == v1_count
+    # content identical, not just counts
+    ids_new = {r.event_id for r in t.read(cv).select("event_id").collect()}
+    ids_src = {r.event_id for r in ev.select("event_id").collect()}
+    assert ids_new == ids_src
