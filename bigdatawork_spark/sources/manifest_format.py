@@ -190,3 +190,111 @@ def table_format_compaction(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+def _added_files(table: ManifestTable, version: int) -> list[str]:
+    m = table._manifest(version)
+    if m["parent"] is None:
+        return m["files"]
+    prev = set(table._manifest(m["parent"])["files"])
+    return [f for f in m["files"] if f not in prev]
+
+
+@register(
+    "table_format_changes",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 2 = 1
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_format_changes(spark, sf_dir):
+    """Incremental change feed: consume ONLY the files a commit added
+    (manifest diff against its parent) — the CDC-reader pattern that
+    lets a downstream job process a new commit without rescanning the
+    table.  Commit v1 holds even events, v2 appends odd events; reading
+    v2's added files must yield exactly the odd half, oracle-checked.
+    At 100 TB this is the difference between an incremental hourly job
+    reading gigabytes and one rereading the full table."""
+    path = _tmp("manifest_changes")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    v2 = t.append(ev.filter(F.col("event_id") % 2 == 1))
+    changed = spark.read.parquet(*_added_files(t, v2))
+    return (
+        changed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "table_format_merge",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+),
+upd AS (
+  SELECT event_id, event_type, value + 100.0 AS value
+  FROM events WHERE event_id % 10 = 0
+),
+merged AS (
+  SELECT COALESCE(u.event_id, b.event_id) AS event_id,
+         COALESCE(u.event_type, b.event_type) AS event_type,
+         COALESCE(u.value, b.value) AS value
+  FROM base b FULL OUTER JOIN upd u ON b.event_id = u.event_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM merged GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_format_merge(spark, sf_dir):
+    """Copy-on-write MERGE into the manifest table: base commit holds
+    even events; an upsert batch (ids ≡0 mod 10 — half matched updates,
+    half new inserts) full-outer-joins the current snapshot and the
+    merged result is written as a NEW version whose manifest replaces
+    the file list (old version still time-travel-readable).  The
+    re-read of the merged version is oracle-checked against the same
+    merge in SQL.  At 100 TB the refinement is rewriting only files
+    containing matched keys (min/max file stats prune the rest)."""
+    path = _tmp("manifest_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    upd = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("u_id"),
+        F.col("event_type").alias("u_type"),
+        (F.col("value") + 100.0).alias("u_value"),
+    )
+    base = t.read()
+    merged = base.join(upd, base.event_id == upd.u_id, "full_outer").select(
+        F.coalesce("u_id", "event_id").alias("event_id"),
+        F.coalesce("u_type", "event_type").alias("event_type"),
+        F.coalesce("u_value", "value").alias("value"),
+    )
+    # copy-on-write: the merged snapshot becomes a fresh file list
+    files = t._write_data(merged, "merge-2", 4)
+    t._write_manifest(2, files, 1, "merge")
+    return (
+        t.read(2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
