@@ -469,3 +469,135 @@ def stats_winsorized(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pattern_match_strict_seq",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type, 1) OVER w AS t1,
+         lead(ts, 1)         OVER w AS ts1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2)         OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts1 <= ts + INTERVAL 30 MINUTE
+  AND ts2 <= ts1 + INTERVAL 30 MINUTE
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def pattern_match_strict_seq(spark, sf_dir):
+    """MATCH_RECOGNIZE-style strict-contiguity pattern: count, per user,
+    occurrences of view→click→purchase as IMMEDIATELY consecutive events
+    with ≤30 min between steps (unlike funnel_conversion's
+    any-subsequence semantics).  Fixed-length patterns compile to lead()
+    probes in ONE window pass per user partition — no joins, no state
+    machine; variable-length patterns (A B* C) would move to
+    applyInPandasWithState.  At scale: one shuffle on user_id, identical
+    to any windowed read."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("ts1") <= F.col("ts") + half_hour)
+            & (F.col("ts2") <= F.col("ts1") + half_hour)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "session_paths",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+HAVING COUNT(*) >= 5
+ORDER BY n_sessions DESC, path
+""",
+)
+def session_paths(spark, sf_dir):
+    """Session path mining: sessionize by 30-minute inactivity gaps
+    (lag + running sum of session starts — the standard two-window
+    sessionizer), concatenate each session's event types in time order,
+    and count the frequent full paths.  Everything after the one shuffle
+    on user_id stays in that partition: both windows and the per-session
+    path build share the same ordering.  The path aggregation uses an
+    ordered collect, so the string is deterministic under the (ts,
+    event_id) total order.  Path counts re-shuffle only distinct paths."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = gaps.withColumn("session_no", F.sum("is_start").over(run))
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+        .orderBy(F.col("n_sessions").desc(), "path")
+    )
