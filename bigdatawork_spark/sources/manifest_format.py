@@ -298,3 +298,55 @@ def table_format_merge(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_with_value,
+       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_value
+FROM (
+  SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, value
+  FROM events WHERE event_id % 2 = 1
+) t
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet commits: an old batch written
+    WITHOUT the value column and a new batch WITH it read together via
+    mergeSchema — old rows surface value as NULL, and the unified schema
+    is the union of both.  The aggregate distinguishes rows-with-value
+    from total, oracle-checked against the equivalent UNION.  At 100 TB
+    this is additive-column evolution, the only kind that needs no
+    rewrite: each file answers with its own physical schema and the read
+    schema fills the gaps."""
+    ev = load(spark, sf_dir, "events")
+    path = _tmp("schema_evolution")
+    shutil.rmtree(path, ignore_errors=True)
+    old = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    old.write.parquet(os.path.join(path, "batch=0"))
+    new.write.parquet(os.path.join(path, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=0"), os.path.join(path, "batch=1")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_with_value"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
