@@ -46,6 +46,13 @@ EXTRA_NOTES = {
     "contamination_ngram": "benchmark shingle set DISTINCT then broadcast; training shingles never shuffle — LEFT SEMI probe + keyed count",
     "mixture_resample": "per-source keep rates via broadcast 1-row-per-source aggregate; content-hash filter narrow over the fact side",
     "pipeline_curate_corpus": "4 chained façade stages collapse to one scan pass + single dedup shuffle (row_number on text) + final keyed agg",
+    "session_paths": "one shuffle on user_id; both sessionizer windows + ordered path collect share the same sort — no re-exchange between windows",
+    "basket_pairs": "distinct (order,part) then a<b self-join on orderkey; pair fan-out bounded by basket size squared; AQE picks the join strategy",
+    "pattern_match_strict_seq": "fixed-length pattern = two lead() probes in ONE window pass; zero joins for MATCH_RECOGNIZE-style detection",
+    "stats_winsorized": "exact percentile aggregate broadcasts clip bands back onto the scan; second pass clips + decimal-sums",
+    "incremental_agg_merge": "two partial aggregates merged by re-aggregation — the mergeable-state plan that makes rollups delta-maintainable",
+    "table_format_time_travel": "two pinned file-list scans (no directory listing); each version's scan plans pushdown/pruning independently",
+    "scan_schema_evolution": "mergeSchema read: per-file physical schema + unified read schema, NULL-fill for missing columns",
 }
 
 
