@@ -19,7 +19,9 @@ from .operators import (  # noqa: F401
     platform_ops,
     projections,
     reshape,
+    search_ops,
     sorts_sets,
+    stats_ops,
     subqueries,
     tpch_extra,
     tpch_full,

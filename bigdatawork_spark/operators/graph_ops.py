@@ -211,3 +211,68 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("node")
     )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_shortest_path",
+    oracle=(
+        "WITH RECURSIVE edges0 AS ("
+        + _trade_edges_sql(weighted=True)
+        + f"""),
+thr AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS t FROM edges0),
+edges AS (
+  SELECT src, dst FROM edges0, thr WHERE CAST(w AS DOUBLE) > t
+),
+bfs AS (
+  SELECT 'FRANCE' AS node, 0 AS hops
+  UNION
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON b.node = e.src
+  WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY node ORDER BY node
+"""
+    ),
+)
+def graph_shortest_path(spark, sf_dir):
+    """Unweighted shortest-path hop counts (BFS, ≤4 hops) from FRANCE on
+    the trade graph SPARSIFIED to above-average-weight edges (the full
+    nation graph is near-complete; thresholding on the exact-integer mean
+    weight leaves a graph with real multi-hop structure, deterministically
+    on both engines).  Spark runs the textbook iterative-join BFS — each
+    round joins the frontier to the edge list, the closing MIN collapses
+    revisits; the oracle is the same search as a recursive CTE with
+    UNION-dedup.  Hop counts are integers, hash-stable.  The sparsified
+    edge list broadcasts (≤625 rows); at web scale the frontier⋈edges
+    join shuffles on node id with localCheckpoint() per round — same
+    loop, different join strategy, which is exactly the Pregel-as-joins
+    pattern PageRank above already demonstrates."""
+    edges0 = _trade_edges(spark, sf_dir)
+    thr = edges0.agg(
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("t")
+    )
+    edges = (
+        edges0.crossJoin(F.broadcast(thr))
+        .filter(F.col("w").cast("double") > F.col("t"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    reached = frontier = (
+        edges.sparkSession.createDataFrame([("FRANCE", 0)], "node string, hops int")
+    )
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        frontier = (
+            frontier.join(F.broadcast(edges), frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(i).alias("hops"))
+            .distinct()
+        )
+        reached = reached.unionByName(frontier)
+    return (
+        reached.groupBy("node")
+        .agg(F.min("hops").cast("bigint").alias("hops"))
+        .orderBy("node")
+    )

@@ -1,0 +1,295 @@
+"""Statistical modeling operators — per-group OLS regression, A/B-test
+lift with a z-statistic, time-weighted averages, and Pareto-skyline
+extraction.  REF:∅ (reference snapshot empty — SURVEY.md §0); widens the
+§2 analytics family with the model-ish aggregates a warehouse user runs
+before reaching for an ML library.
+
+Determinism discipline (SURVEY.md §5.3): every operator reduces to EXACT
+integer/decimal moment sums first (order-independent), then applies one
+fixed IEEE-double formula and ROUND(…, 6) on both engines.  No
+`regr_slope`-style built-ins: their internal accumulation order is
+engine-specific, while explicit decimal moments are bit-stable.
+
+Scale notes: all four are single-shuffle keyed aggregations (the skyline
+adds a broadcast self-join over group-level aggregates, |groups| ≪ |rows|);
+no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "stats_linear_regression",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       ROUND((sy*sxx - sx*sxy) / (n*sxx - sx*sx), 6) AS intercept,
+       ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM s ORDER BY l_returnflag
+""",
+)
+def stats_linear_regression(spark, sf_dir):
+    """Per-group closed-form OLS (extendedprice ~ quantity per
+    returnflag): slope, intercept and r² from the five decimal-exact
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²).  The per-row products are
+    exactly representable doubles (quantity ≤ 50 integral, price has two
+    decimals), so the decimal casts lose nothing and the sums are
+    order-independent — the only floating-point work is the final fixed
+    formula, identical on both engines.  One map-side-combined shuffle on
+    the group key; the formula runs on |groups| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,2)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov, varx = n * sxy - sx * sy, n * sxx - sx * sx
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy) / varx, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * (n * syy - sy * sy)), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(conv) AS DOUBLE) AS c
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+         MAX(CASE WHEN variant = 'A' THEN c END) AS ca,
+         MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN variant = 'B' THEN c END) AS cb
+  FROM v
+)
+SELECT CAST(na AS BIGINT) AS n_users_a, CAST(ca AS BIGINT) AS n_conv_a,
+       CAST(nb AS BIGINT) AS n_users_b, CAST(cb AS BIGINT) AS n_conv_b,
+       ROUND(ca/na, 6) AS rate_a,
+       ROUND(cb/nb, 6) AS rate_b,
+       ROUND(cb/nb - ca/na, 6) AS abs_lift,
+       ROUND((cb/nb - ca/na)
+             / sqrt(((ca+cb)/(na+nb)) * (1.0 - (ca+cb)/(na+nb))
+                    * (1.0/na + 1.0/nb)), 6) AS z_score
+FROM w
+""",
+)
+def ab_test_lift(spark, sf_dir):
+    """Deterministic A/B experiment readout: users hash-assigned to
+    variants by the first hex digit of md5(user_id) (0–7 → A, ~50/50 —
+    the salt-free version of the standard bucketing hash), conversion =
+    "ever purchased", then rates, absolute lift, and the two-proportion
+    pooled z-statistic.  Everything derives from four integer counts, so
+    the doubles are a fixed formula on exact inputs.  Two shuffles:
+    per-user conversion (map-side combine), then a 2-row rollup that a
+    single reducer folds into the one-row readout."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).between(
+                "0", "7"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "conv",
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("c"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("c"))).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    pool = (ca + cb) / (na + nb)
+    return w.select(
+        na.cast("bigint").alias("n_users_a"),
+        ca.cast("bigint").alias("n_conv_a"),
+        nb.cast("bigint").alias("n_users_b"),
+        cb.cast("bigint").alias("n_conv_b"),
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(cb / nb - ca / na, 6).alias("abs_lift"),
+        F.round(
+            # try_divide: a degenerate split (pool rate 0 or 1) zeroes the
+            # pooled variance; DuckDB's double x/0 is NULL, so match it.
+            F.try_divide(
+                cb / nb - ca / na,
+                F.sqrt(
+                    pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+                ),
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       ROUND(CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE), 6)
+         AS twa_value
+FROM seq WHERE dt_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per series (step-function / last-observation
+    semantics): each reading holds until the next one, so its weight is
+    the microsecond gap to the successor (lead over the (ts, event_id)
+    total order); TWA = Σ(v·Δt) / ΣΔt.  The value is decimal-cast BEFORE
+    the multiply, so v·Δt is exact decimal arithmetic and the sums are
+    order-independent — the irregular-sampling average the plain AVG gets
+    wrong.  One shuffle on event_type shared by the window and the
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+WITH g AS (
+  SELECT p_brand, p_type,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_price,
+         CAST(CAST(SUM(p_size) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_brand, p_type
+)
+SELECT p_brand, p_type,
+       ROUND(avg_price, 6) AS avg_price,
+       ROUND(avg_size, 6) AS avg_size,
+       n_parts
+FROM g a
+WHERE NOT EXISTS (
+  SELECT 1 FROM g b
+  WHERE b.avg_price <= a.avg_price AND b.avg_size >= a.avg_size
+    AND (b.avg_price < a.avg_price OR b.avg_size > a.avg_size)
+)
+ORDER BY p_brand, p_type
+""",
+)
+def skyline_pareto(spark, sf_dir):
+    """Pareto skyline over (brand, container) groups: keep groups no
+    other group dominates (cheaper-or-equal average price AND
+    bigger-or-equal average size, strictly better in one).  The dominance
+    test is a LEFT ANTI self-theta-join over the aggregated groups — the
+    O(|groups|²) comparison runs on ~1k aggregate rows, never on the raw
+    table, and the right side broadcasts.  Averages are exact decimal
+    sums over single IEEE divisions, so both engines compare identical
+    doubles; rounding happens only on output.  At 100 TB the aggregation
+    is the usual one-shuffle rollup and the skyline cost stays bounded by
+    the group-domain size, not the data."""
+    p = load(spark, sf_dir, "part")
+    g = (
+        p.groupBy("p_brand", "p_type")
+        .agg(
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.sum("p_size").cast("bigint").cast("double") / F.count(F.lit(1))
+            ).alias("avg_size"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .localCheckpoint()  # reused twice (probe + dominator side)
+    )
+    dom = g.select(
+        F.col("avg_price").alias("b_price"), F.col("avg_size").alias("b_size")
+    )
+    kept = g.join(
+        F.broadcast(dom),
+        (F.col("b_price") <= F.col("avg_price"))
+        & (F.col("b_size") >= F.col("avg_size"))
+        & (
+            (F.col("b_price") < F.col("avg_price"))
+            | (F.col("b_size") > F.col("avg_size"))
+        ),
+        "left_anti",
+    )
+    return kept.select(
+        "p_brand",
+        "p_type",
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("avg_size", 6).alias("avg_size"),
+        "n_parts",
+    ).orderBy("p_brand", "p_type")
