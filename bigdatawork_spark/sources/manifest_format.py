@@ -70,11 +70,21 @@ class ManifestTable:
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
-    def append(self, df: DataFrame, n_files: int = 4) -> int:
+    def append(self, df: DataFrame, n_files: int = 4, name: str | None = None) -> int:
+        """Commit an append.  ``name`` labels the commit's data dir; a
+        repeated name is a no-op returning the existing version — the
+        idempotence hook a replayed streaming micro-batch needs for
+        exactly-once sinks (batch id → name)."""
         vs = self.versions()
         parent = vs[-1] if vs else None
         version = (parent or 0) + 1
-        new_files = self._write_data(df, f"commit-{version}", n_files)
+        commit = name or f"commit-{version}"
+        if name is not None:
+            marker = os.path.join(self.path, "data", commit) + os.sep
+            for v in vs:
+                if any(f.startswith(marker) for f in self._manifest(v)["files"]):
+                    return v
+        new_files = self._write_data(df, commit, n_files)
         prev = self._manifest(parent)["files"] if parent else []
         self._write_manifest(version, prev + new_files, parent, "append")
         return version
@@ -92,6 +102,31 @@ class ManifestTable:
         version = version if version is not None else self.versions()[-1]
         files = self._manifest(version)["files"]
         return self.spark.read.parquet(*files)
+
+    def added_files(self, version: int) -> list[str]:
+        """Files a commit added relative to its parent (the change feed)."""
+        m = self._manifest(version)
+        if m["parent"] is None:
+            return m["files"]
+        prev = set(self._manifest(m["parent"])["files"])
+        return [f for f in m["files"] if f not in prev]
+
+    def stream_manifests(self):
+        """The commit log as a streaming source: each NEW manifest file
+        arrives as one row (version, parent, action, files).  The JSON
+        manifests are single-line (JSON-lines compatible) and the glob
+        filter keeps the file-source listing out of ``data/`` — so the
+        stream tails commits, exactly the Delta/Iceberg streaming-read
+        contract, and the file-source checkpoint guarantees each commit is
+        delivered once."""
+        return (
+            self.spark.readStream.schema(
+                "version int, parent int, action string, files array<string>"
+            )
+            .option("pathGlobFilter", "manifest-v*.json")
+            .option("maxFilesPerTrigger", 1)
+            .json(self.path)
+        )
 
     def file_count(self, version: int | None = None) -> int:
         version = version if version is not None else self.versions()[-1]
@@ -192,14 +227,6 @@ def table_format_compaction(spark, sf_dir):
     )
 
 
-def _added_files(table: ManifestTable, version: int) -> list[str]:
-    m = table._manifest(version)
-    if m["parent"] is None:
-        return m["files"]
-    prev = set(table._manifest(m["parent"])["files"])
-    return [f for f in m["files"] if f not in prev]
-
-
 @register(
     "table_format_changes",
     oracle="""
@@ -224,7 +251,7 @@ def table_format_changes(spark, sf_dir):
     ev = _events_cols(spark, sf_dir)
     t.append(ev.filter(F.col("event_id") % 2 == 0))
     v2 = t.append(ev.filter(F.col("event_id") % 2 == 1))
-    changed = spark.read.parquet(*_added_files(t, v2))
+    changed = spark.read.parquet(*t.added_files(v2))
     return (
         changed.groupBy("event_type")
         .agg(
@@ -345,6 +372,123 @@ def scan_schema_evolution(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.count("value").alias("n_with_value"),
             F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "table_format_stream_read",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_format_stream_read(spark, sf_dir):
+    """Streaming read OF the manifest table: the commit log is itself a
+    file-source stream (one row per new manifest), and a foreachBatch
+    consumer resolves each commit to its ADDED files (manifest diff) and
+    appends just those to a downstream store — the Delta/Iceberg
+    "table as a stream" contract.  Two commits (even then odd events)
+    arrive as separate micro-batches (maxFilesPerTrigger=1); the drained
+    downstream copy must equal the full table, oracle-checked.  At 100 TB
+    the stream moves only each commit's delta — the manifest rows are
+    metadata-sized and the checkpoint guarantees each commit applies
+    once."""
+    from ..streaming.stream_ops import _fresh_dir
+
+    path = _tmp("manifest_stream_read")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    out = _fresh_dir("tf-stream-out")
+
+    def apply_commit(batch_df: DataFrame, batch_id: int) -> None:
+        # driver-side: batch is metadata rows (one per manifest), tiny
+        for row in sorted(batch_df.collect(), key=lambda r: r.version):
+            added = t.added_files(row.version)
+            if added:
+                spark.read.parquet(*added).write.mode("append").parquet(out)
+
+    q = (
+        t.stream_manifests()
+        .writeStream.foreachBatch(apply_commit)
+        .option("checkpointLocation", _fresh_dir("chk-tf-read"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "table_format_stream_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_format_stream_sink(spark, sf_dir):
+    """Streaming sink INTO the manifest table with exactly-once commits:
+    foreachBatch appends each micro-batch as a manifest commit NAMED by
+    its batch id, and the append is idempotent on that name — the op
+    replays every batch (double append) to prove a restarted query
+    cannot double-commit.  Two event halves arrive as two micro-batches;
+    the final table must equal the full source, oracle-checked including
+    a COUNT DISTINCT.  This is the streaming-ETL landing pattern: batch
+    id → commit name is the transactional handshake Delta sinks use."""
+    from ..streaming.stream_ops import _events_source_dir, _fresh_dir, _read_stream
+
+    src = _events_source_dir(
+        spark,
+        sf_dir,
+        chunks=[F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1],
+    )
+    path = _tmp("manifest_stream_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = t.append(batch_df, n_files=2, name=f"stream-{batch_id}")
+        # simulate a failure-replay of the same batch: must be a no-op
+        assert t.append(batch_df, n_files=2, name=f"stream-{batch_id}") == v
+
+    q = (
+        _read_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", _fresh_dir("chk-tf-sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
             .cast("double")
             .alias("sum_value"),
         )

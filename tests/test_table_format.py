@@ -58,3 +58,24 @@ def test_compaction_preserves_content_and_old_versions(spark, sf_dir):
     ids_new = {r.event_id for r in t.read(cv).select("event_id").collect()}
     ids_src = {r.event_id for r in ev.select("event_id").collect()}
     assert ids_new == ids_src
+
+
+def test_named_append_is_idempotent(spark, sf_dir):
+    t, _ = _fresh(spark, "mt_idempotent")
+    ev = load(spark, sf_dir, "events").select("event_id", "value").limit(50)
+    v = t.append(ev, name="batch-0")
+    assert t.append(ev, name="batch-0") == v  # replay is a no-op
+    assert t.versions() == [1]
+    assert t.append(ev, name="batch-1") == 2  # a new name commits
+
+
+def test_added_files_change_feed(spark, sf_dir):
+    t, _ = _fresh(spark, "mt_added")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    v1 = t.append(ev.filter(F.col("event_id") % 2 == 0))
+    v2 = t.append(ev.filter(F.col("event_id") % 2 == 1))
+    assert set(t.added_files(v1)) == set(t._manifest(v1)["files"])
+    added = t.added_files(v2)
+    assert set(added).isdisjoint(t._manifest(v1)["files"])
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+    assert spark.read.parquet(*added).count() == n_odd
