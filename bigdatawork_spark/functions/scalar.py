@@ -332,3 +332,43 @@ def stat_crosstab(spark, sf_dir):
         F.col("F").alias("f_cnt"),
         F.col("O").alias("o_cnt"),
     ).orderBy("flag")
+
+
+@register(
+    "url_funcs",
+    oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.com/' || lang || '/doc/'
+         || CAST(doc_id AS VARCHAR) || '?len=' || CAST(n_chars AS VARCHAR)
+         AS url,
+       source || '.example.com' AS host,
+       '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(n_chars AS VARCHAR) AS len_param
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+""",
+)
+def url_funcs(spark, sf_dir):
+    """URL construction + parse round-trip: build a URL from document
+    attributes, then recover host / path / a query parameter with
+    Spark's parse_url.  The oracle reconstructs the same components from
+    the source attributes directly, so the check validates parse_url's
+    RFC semantics against a known construction (DuckDB has no URL
+    parser).  Pure narrow projection — codegen'd, no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?len="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("len")).alias("len_param"),
+    ).orderBy("doc_id")

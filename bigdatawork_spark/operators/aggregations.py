@@ -10,6 +10,7 @@ headroom) and remain a single partial+final HashAggregate — no extra shuffle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -347,4 +348,73 @@ def agg_heavy_hitters(spark, sf_dir):
     hits = ev.select("event_type").stat.freqItems(["event_type"], 0.15)
     return hits.select(
         F.sort_array(F.col("event_type_freqItems")).alias("frequent_types")
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour(ts)
+),
+ranked AS (
+  SELECT event_type, hod, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hod) AS rn
+  FROM counts
+)
+SELECT event_type, hod AS modal_hour, n AS n_at_mode
+FROM ranked WHERE rn = 1 ORDER BY event_type
+""",
+)
+def agg_mode(spark, sf_dir):
+    """Exact per-group mode (modal hour-of-day per event type) with a
+    DETERMINISTIC tie-break: count-then-rank (n DESC, value ASC) instead
+    of the built-in ``mode()``, whose tie choice is engine- and
+    partition-order-dependent — the same reproducibility discipline the
+    rest of the suite applies to floats, applied to arg-max.  Two
+    map-side-combined shuffles: (group, value) counts, then |groups|-row
+    ranking."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hod")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hod").alias("modal_hour"), F.col("n").alias("n_at_mode"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct count via bitmap partial aggregation — the
+    scale-path alternative to COUNT(DISTINCT): map side builds one
+    RoaringBitmap-style bitmap per (group, 2^15-id bucket) with
+    bitmap_construct_agg, the reduce side sums bitmap_count over buckets.
+    Unlike COUNT DISTINCT (which shuffles every distinct VALUE), this
+    shuffles fixed-size bitmaps — at 100 TB the shuffle volume is
+    |groups| × |id-range|/2^15 × 4 KiB regardless of row count, and the
+    partials are mergeable so the same shape serves incremental rollups
+    (cf. incremental_agg_merge).  Result is exact, hence the plain
+    COUNT(DISTINCT) oracle."""
+    ev = load(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return (
+        buckets.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .orderBy("event_type")
     )

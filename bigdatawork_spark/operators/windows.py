@@ -350,3 +350,49 @@ def win_time_session(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT event_type, ts, event_id, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_type, event_id,
+       CAST(SUM(is_first) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_users
+FROM flagged ORDER BY event_type, event_id
+""",
+)
+def win_running_distinct(spark, sf_dir):
+    """Running DISTINCT user count per event type over event time — the
+    composition that expresses what no frame supports directly: flag each
+    user's first occurrence (row_number over (group, user) = 1), then
+    running-sum the flags over the (ts, event_id) total order.  Exact,
+    integer, and two window passes over DIFFERENT partitionings — the
+    first shuffles on (event_type, user_id), the second on event_type
+    alone; at 100 TB the second pass's per-group ordering is the
+    bottleneck and would become a range-partitioned sort."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_type",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias("running_users"),
+    ).orderBy("event_type", "event_id")
