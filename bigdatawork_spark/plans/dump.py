@@ -53,6 +53,17 @@ EXTRA_NOTES = {
     "incremental_agg_merge": "two partial aggregates merged by re-aggregation — the mergeable-state plan that makes rollups delta-maintainable",
     "table_format_time_travel": "two pinned file-list scans (no directory listing); each version's scan plans pushdown/pruning independently",
     "scan_schema_evolution": "mergeSchema read: per-file physical schema + unified read schema, NULL-fill for missing columns",
+    "stats_linear_regression": "six decimal moment sums in ONE partial+final aggregate pass; OLS formula runs on |groups| rows",
+    "ab_test_lift": "per-user conversion rollup then a 2-row variant pivot — the z-stat is driver-free scalar algebra on one row",
+    "ts_time_weighted_avg": "lead() and the keyed agg share one shuffle on event_type; v·Δt is exact decimal, no float accumulation",
+    "skyline_pareto": "O(n²) dominance anti-join confined to ~1k group aggregates (broadcast); raw table contributes one rollup shuffle",
+    "bm25_rank": "one explode feeds doclen AND term-filtered tf; df + corpus stats broadcast back — query-time plan over precomputable stats",
+    "ngram_topk": "bigram pairing stays narrow inside the array column; only distinct bigrams shuffle after partial agg",
+    "graph_shortest_path": "BFS = 4 unrolled frontier⋈edges broadcast joins + closing MIN; sparsified edge list pinned broadcast",
+    "agg_mode": "count-then-rank arg-max: two map-side-combined shuffles, deterministic tie-break ON the sort keys",
+    "agg_bitmap_distinct": "bitmap partials shuffle fixed-size payloads instead of distinct values; reduce side sums bitmap_count",
+    "win_running_distinct": "two window passes on different partitionings — (type,user) first-flag shuffle then type-ordered running sum",
+    "url_funcs": "pure narrow projection; parse_url evaluates inside one WholeStageCodegen span",
 }
 
 
