@@ -9,6 +9,7 @@ same code holds: bucket orders+lineitem by orderkey to pre-shuffle (§7.5).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -386,4 +387,65 @@ def join_interval_left(spark, sf_dir):
             F.col("b.event_id").alias("second_id"),
         )
         .orderBy("first_id", "second_id")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         c.event_id AS click_id,
+         abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dt_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.event_id
+         ) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts + INTERVAL 15 MINUTE
+)
+SELECT purchase_id, user_id, click_id, dt_us
+FROM pairs WHERE rn = 1 ORDER BY purchase_id
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join (BOTH directions, ±15 min tolerance):
+    each purchase matches its closest click by absolute time distance —
+    the variant plain backward-ASOF can't express.  Implementation is the
+    bounded interval join (equi user key + time band, so the band prunes
+    fan-out before the rank) followed by a row_number arg-min with a
+    deterministic (distance, event_id) tie-break on exact integer
+    microseconds.  At 100 TB: same shape; the user-key equi component
+    makes it a shuffle join, and the tolerance bounds per-key candidate
+    fan-out — widen the band and it degrades gracefully rather than
+    cross-joining."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    band = F.expr("INTERVAL 15 MINUTES")
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - band)
+        & (F.col("c_ts") <= F.col("p_ts") + band),
+    ).withColumn(
+        "dt_us",
+        F.abs(F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("dt_us", "click_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "click_id", "dt_us")
+        .orderBy("purchase_id")
     )

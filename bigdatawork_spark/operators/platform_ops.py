@@ -480,3 +480,107 @@ def incremental_agg_merge(spark, sf_dir):
             "avg_value"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "dq_rule_checks",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_orderdate,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpositive_total,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS dup_orderkey
+  FROM orders
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'null_orderdate' AS rule, null_orderdate AS n_violations FROM m
+  UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM m
+  UNION ALL SELECT 'bad_priority', bad_priority FROM m
+  UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM m
+) ORDER BY rule
+""",
+)
+def dq_rule_checks(spark, sf_dir):
+    """Declarative data-quality expectations (the Deequ/Great-Expectations
+    shape): completeness (no NULL order dates), range (positive totals),
+    domain (priority in its enum), and uniqueness (no duplicate keys) —
+    ALL evaluated in one conditional-aggregate scan pass (the uniqueness
+    check rides the same pass as a count-distinct), then unpivoted to one
+    row per rule via inline(named_struct) (stack() rejects differing
+    field names on this build).  At 100 TB the rule count is free: each
+    extra expectation is another conditional sum in the same partial
+    aggregate, not another scan."""
+    o = load(spark, sf_dir, "orders")
+    prios = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    m = o.agg(
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "null_orderdate"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_total"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin(*prios), 1).otherwise(0)
+        ).alias("bad_priority"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    unpivoted = m.select(
+        F.expr(
+            "inline(array("
+            "named_struct('rule', 'null_orderdate', 'n_violations', null_orderdate),"
+            "named_struct('rule', 'nonpositive_total', 'n_violations', nonpositive_total),"
+            "named_struct('rule', 'bad_priority', 'n_violations', bad_priority),"
+            "named_struct('rule', 'dup_orderkey', 'n_violations', dup_orderkey)))"
+        )
+    )
+    return unpivoted.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    ).orderBy("rule")
+
+
+@register(
+    "ts_hypertable_rollup",
+    oracle="""
+SELECT CAST(GROUPING(date_trunc('day', ts), hour(ts)) AS BIGINT) AS lvl,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
+ORDER BY lvl, day NULLS FIRST, hod NULLS FIRST
+""",
+)
+def ts_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: ONE pass produces the
+    hour-of-day, daily, and grand-total rollups of the event stream via
+    GROUP BY ROLLUP on the (day, hour) time hierarchy, with GROUPING()
+    labeling each row's granularity — the multi-resolution materialized
+    view TimescaleDB calls a continuous aggregate, as a single Spark
+    aggregate.  Partial aggregation applies to the finest level and the
+    coarser levels re-aggregate those partials (Expand + re-agg), so the
+    raw table is read once.  The decimal sums make every level's total
+    exact and mergeable — the same partials serve incremental refresh
+    (cf. incremental_agg_merge)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    hod = F.hour("ts").cast("bigint")
+    return (
+        ev.select(day.alias("day"), hod.alias("hod"), "value")
+        .rollup("day", "hod")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("lvl", "day", "hod", "n_events", "sum_value")
+        .orderBy("lvl", F.col("day").asc_nulls_first(), F.col("hod").asc_nulls_first())
+    )

@@ -227,3 +227,95 @@ def sql_udf_register(spark, sf_dir):
         "SELECT o_orderkey, order_class(o_totalprice) AS order_class "
         "FROM sqludf_orders"
     )
+
+
+@register(
+    "udtf_cogrouped_map",
+    oracle="""
+SELECT o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       o_totalprice,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS computed_charge
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_totalprice
+ORDER BY o_orderkey
+""",
+)
+def udtf_cogrouped_map(spark, sf_dir):
+    """Cogrouped-map applyInPandas — the two-sided custom-operator escape
+    hatch: orders and lineitem cogroup on orderkey, and arbitrary pandas
+    reconciles each key's two row sets (here: line count + recomputed
+    order charge next to the stored total).  One co-partitioning shuffle
+    per side, then pure Python per key — the API a user reaches for when
+    the reconciliation logic outgrows SQL.  Per-order float sums span ≤7
+    lines, so the 6-dp round dominates accumulation-order noise (same
+    argument as udaf_pandas_grouped_agg).  Closure callback → pickled by
+    value (workers never import this package)."""
+
+    def recon(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "o_totalprice", "computed_charge"]
+            )
+        charge = (
+            right["l_extendedprice"]
+            * (1 - right["l_discount"])
+            * (1 + right["l_tax"])
+        ).sum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(right)],
+                "o_totalprice": [float(left["o_totalprice"].iloc[0])],
+                "computed_charge": [round(float(charge), 6)],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            recon,
+            schema="o_orderkey long, n_lines long, o_totalprice double,"
+            " computed_charge double",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "udtf_map_in_arrow",
+    oracle="""
+SELECT event_id, user_id, value, value * value AS value_sq
+FROM events WHERE value > 95.0
+""",
+)
+def udtf_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy sibling of mapInPandas: the callback
+    sees raw ``pyarrow.RecordBatch``es, so columnar data never converts
+    to pandas at all (the fastest Python hook for vectorized libraries
+    that speak Arrow natively).  Same streaming-batch contract: n rows
+    in, m rows out, no partition materialization."""
+
+    def square_high(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            t = t.filter(pc.greater(t["value"], 95.0))
+            t = t.append_column("value_sq", pc.multiply(t["value"], t["value"]))
+            yield from t.select(
+                ["event_id", "user_id", "value", "value_sq"]
+            ).to_batches()
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.mapInArrow(
+        square_high,
+        schema="event_id long, user_id long, value double, value_sq double",
+    )
