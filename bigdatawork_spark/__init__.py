@@ -6,7 +6,7 @@ Importing this package imports every operator module, which populates
 
 from . import schemas  # noqa: F401
 from .functions import scalar  # noqa: F401
-from .sources import io_ops, manifest_format  # noqa: F401
+from .sources import io_ops, manifest_format, python_datasource  # noqa: F401
 from .streaming import stream_ops  # noqa: F401
 from .operators import (  # noqa: F401
     aggregations,

@@ -372,3 +372,36 @@ def url_funcs(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("len")).alias("len_param"),
     ).orderBy("doc_id")
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       event_type AS t,
+       CAST(props->>'k' AS BIGINT) % 10 = 0 AS k_div10
+FROM events WHERE event_id < 50 ORDER BY event_id
+""",
+)
+def variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured type: parse_json(props) once into
+    an open-schema variant, then typed path extraction with variant_get —
+    Spark's answer to the JSON-column pattern (binary-encoded, so repeated
+    path access skips re-parsing; shredded storage at rest).  A nested
+    variant built from row values proves multi-level paths.  The DuckDB
+    oracle extracts the same paths with JSON operators — semantics match,
+    encodings differ."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.concat(
+            F.lit('{"m":{"t":"'), F.col("event_type"), F.lit('"}}')
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(nested, "$.m.t", "string").alias("t"),
+        (F.variant_get(v, "$.k", "bigint") % 10 == 0).alias("k_div10"),
+    ).orderBy("event_id")

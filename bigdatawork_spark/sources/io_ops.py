@@ -143,3 +143,38 @@ def scan_orc(spark, sf_dir):
     s.write.mode("overwrite").orc(path)
     back = spark.read.schema(s.schema).orc(path)
     return back.orderBy("s_suppkey")
+
+
+@register(
+    "scan_text",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_join
+FROM documents WHERE text IS NOT NULL
+""",
+)
+def scan_text(spark, sf_dir):
+    """Raw text-file source round-trip: documents dump to line-oriented
+    .txt (the log-file shape), ``spark.read.text`` scans them back one
+    row per line, aggregates prove nothing was lost or split.  Line files
+    have no intra-file ordering contract across writers, so the check is
+    order-free.  At 100 TB, text scan is splittable by line boundary —
+    same task sizing as any other splittable format."""
+    from ..io import load
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    path = _tmp("scan_text")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    d.select("text").write.text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("n_chars_total"),
+        F.sum(F.when(F.col("value").like("%join%"), 1).otherwise(0)).alias(
+            "n_with_join"
+        ),
+    )

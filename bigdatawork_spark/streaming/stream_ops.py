@@ -510,3 +510,73 @@ def stream_session(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_union_sources",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_union_sources(spark, sf_dir):
+    """Multiplexed ingestion: TWO independent file-source streams (even /
+    odd event halves — two topics, two landing dirs) union into one
+    logical stream before a global aggregation in complete mode.  The
+    final state must equal the batch aggregate over both halves,
+    oracle-checked.  At scale this is the several-Kafka-topics-one-query
+    pattern; each source keeps its own offsets in the shared
+    checkpoint."""
+    src_a = _events_source_dir(spark, sf_dir, chunks=[F.col("event_id") % 2 == 0])
+    src_b = _events_source_dir(spark, sf_dir, chunks=[F.col("event_id") % 2 == 1])
+    sdf = (
+        _read_stream(spark, src_a)
+        .unionByName(_read_stream(spark, src_b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="complete")
+    return spark.table(name).orderBy("event_type")
+
+
+@register(
+    "stream_complete_topk",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+)
+def stream_complete_topk(spark, sf_dir):
+    """Streaming top-k — legal ONLY in complete mode (sorting an
+    append-mode stream is undecidable; over the complete aggregate state
+    it's just a query on the state table): per-user running spend, top 10
+    by total with a deterministic (total DESC, user_id) tie-break.  Each
+    trigger re-emits the full ranked state; the decimal sums keep ranking
+    stable cross-engine.  At scale the state is the per-key aggregate
+    (bounded by |users|), and the sort runs over state, not the stream."""
+    src = _events_source_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, src)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value")
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _drain_to_memory(sdf, name, output_mode="complete")
+    return spark.table(name).orderBy(F.col("total_value").desc(), "user_id")
