@@ -449,3 +449,33 @@ def join_asof_nearest(spark, sf_dir):
         .select("purchase_id", "user_id", "click_id", "dt_us")
         .orderBy("purchase_id")
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) l
+WHERE o.o_orderkey % 100 = 0
+ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY … LIMIT — the
+    top-N-per-key join written the way SQL users write it; the SAME SQL
+    text runs on both engines (the oracle IS the query).  Catalyst
+    decorrelates the lateral into a window/rank plan rather than
+    re-executing the subquery per order — DomainJoin rewrite — so the
+    execution is the one shuffle a hand-written row_number() would cost.
+    Deterministic by the (price DESC, linenumber) total order inside the
+    LIMIT."""
+    from ..sql_api import sql
+
+    return sql(spark, sf_dir, _LATERAL_TOPN_SQL)

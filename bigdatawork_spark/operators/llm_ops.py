@@ -513,3 +513,107 @@ def multimodal_join(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+WITH elems AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid
+FROM elems GROUP BY label, pos
+ORDER BY label, pos
+""",
+)
+def embedding_centroid(spark, sf_dir):
+    """Per-class embedding centroids (the reduce step of nearest-centroid
+    classification and of one k-means round): posexplode each vector,
+    aggregate decimal-exact element sums per (label, dimension), divide
+    once.  Float elements widen to double exactly, so the decimal cast is
+    the only rounding and the sum is order-independent.  One shuffle of
+    |rows|×dim exploded elements with map-side combine down to
+    |labels|×dim — at 100 TB, partial aggregation means the wide explode
+    never leaves the mapper; the same plan is kmeans_iterative's
+    per-round reducer (there the element fold stays inside the array —
+    the narrow alternative when dim is large)."""
+    e = load(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("x"))
+    return (
+        elems.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "vector_quantize",
+    oracle="""
+WITH mx AS (
+  SELECT MAX(list_aggregate(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))), 'max')) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)),
+            'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)),
+            'max') AS BIGINT) AS q_max
+FROM embeddings, mx
+ORDER BY vec_id
+""",
+)
+def vector_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4×-compression step before an ANN index build: global max-|x| sets
+    the scale (one tiny aggregate, broadcast back), each element maps to
+    FLOOR(x·127/maxabs), and per-vector integer checksums (sum, max)
+    verify the codes end-to-end.  All element math stays inside the array
+    column (transform/aggregate — narrow, JVM-side, no explode); the only
+    shuffle is the scalar max.  Quantized doubles are single IEEE ops on
+    exactly-widened floats, so codes are bit-identical cross-engine."""
+    e = load(spark, sf_dir, "embeddings")
+    mx = e.agg(
+        F.max(
+            F.expr("aggregate(embedding, cast(0.0 as double),"
+                   " (acc, x) -> greatest(acc, abs(cast(x as double))))")
+        ).alias("maxabs")
+    )
+    q = F.expr(
+        "transform(embedding,"
+        " x -> cast(floor(cast(x as double) * 127.0 / maxabs) as bigint))"
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(transform(embedding,"
+                " x -> cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("q_sum"),
+            F.expr(
+                "aggregate(transform(embedding,"
+                " x -> cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)),"
+                " cast(-128 as bigint), (acc, x) -> greatest(acc, x))"
+            ).alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
