@@ -71,13 +71,14 @@ def bm25_rank(spark, sf_dir):
     {join, merge, scan}: idf = ln(1 + (N−df+0.5)/(df+0.5)) per term,
     per-doc length normalization against the corpus mean length, per-term
     contributions decimal-summed per document, ranked on the rounded
-    score.  Plan: one explode feeds BOTH doclen and the term-filtered tf
-    (the IN-filter prunes before the shuffle, so tf shuffles only
-    matching tokens); df re-aggregates tf (3 rows), and df/stats
-    broadcast onto the tf side — the only full-corpus shuffle is the
-    doclen rollup.  At 100 TB a real engine would precompute doclen and
-    df as materialized stats; the query-time plan here mirrors exactly
-    that split."""
+    score.  Plan: the explode is narrow and evaluates once per branch —
+    doclen's rollup shuffles per-doc counts, while tf's IN-filter prunes
+    to query terms BEFORE its shuffle; tf is then localCheckpoint'd (it
+    is query-term-sized) so df and the scoring join reuse it without a
+    third explode.  The only full-corpus shuffle is the doclen rollup —
+    at 100 TB a real engine precomputes doclen and df as materialized
+    stats, and this plan mirrors exactly that split (checkpointed tf ==
+    the posting slice, doclen == the length table)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_docs = float(load(spark, sf_dir, "documents").count())
     tokf = d.select(
@@ -90,6 +91,7 @@ def bm25_rank(spark, sf_dir):
         tokf.filter(F.col("word").isin(*_BM25_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(

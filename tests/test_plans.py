@@ -135,3 +135,51 @@ def test_subquery_decorrelation_plan_shapes(spark, sf_dir):
     # partial+final pairs for the per-part threshold agg and the outer agg
     # — bounded, not proportional to outer rows
     assert count_operator(q17, "HashAggregate") <= 8
+
+
+def test_skyline_dominance_is_broadcast_nested_loop(spark, sf_dir):
+    df = _q(spark, sf_dir, "skyline_pareto")
+    # O(n²) dominance runs as a broadcast nested-loop ANTI join over group
+    # aggregates — never a shuffled cartesian over raw rows
+    assert count_operator(df, "BroadcastNestedLoopJoin") == 1
+    assert count_operator(df, "CartesianProduct") == 0
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    df = _q(spark, sf_dir, "agg_bitmap_distinct")
+    # the point of bitmap partials: no count-distinct Expand; the bitmap
+    # build is a SortAggregate pair (object buffer), the count sum a
+    # HashAggregate pair
+    assert count_operator(df, "Expand") == 0
+    assert count_operator(df, "SortAggregate") == 2
+    assert count_operator(df, "HashAggregate") == 2
+
+
+def test_linear_regression_single_scan_pass(spark, sf_dir):
+    df = _q(spark, sf_dir, "stats_linear_regression")
+    # all six moments ride ONE partial+final aggregate over one scan
+    assert count_operator(df, "HashAggregate") == 2
+    assert count_operator(df, "Scan parquet") == 1
+
+
+def test_vector_quantize_stays_in_array(spark, sf_dir):
+    df = _q(spark, sf_dir, "vector_quantize")
+    # element math folds inside the array column: no explode, and the
+    # scalar max broadcasts (nested-loop, 1-row build side)
+    assert count_operator(df, "Generate") == 0
+    assert count_operator(df, "BroadcastNestedLoopJoin") == 1
+
+
+def test_bm25_checkpointed_postings(spark, sf_dir):
+    df = _q(spark, sf_dir, "bm25_rank")
+    # one live explode (doclen); df + scoring reuse the checkpointed tf
+    # postings instead of re-exploding the corpus
+    assert count_operator(df, "Generate") == 1
+    assert count_operator(df, "Scan ExistingRDD") == 2
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    df = _q(spark, sf_dir, "join_lateral_topn")
+    # the per-row LIMIT subquery must not execute as a cartesian loop
+    assert count_operator(df, "CartesianProduct") == 0
+    assert count_operator(df, "BroadcastNestedLoopJoin") == 0

