@@ -222,12 +222,16 @@ _BFS_MAX_HOPS = 4
         "WITH RECURSIVE edges0 AS ("
         + _trade_edges_sql(weighted=True)
         + f"""),
-thr AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS t FROM edges0),
+thr AS (
+  SELECT src AS tsrc, CAST(SUM(w) AS DOUBLE) / COUNT(*) AS t
+  FROM edges0 GROUP BY src
+),
 edges AS (
-  SELECT src, dst FROM edges0, thr WHERE CAST(w AS DOUBLE) > t
+  SELECT src, dst FROM edges0 JOIN thr ON src = tsrc
+  WHERE CAST(w AS DOUBLE) > t
 ),
 bfs AS (
-  SELECT 'FRANCE' AS node, 0 AS hops
+  SELECT (SELECT MIN(n_name) FROM nation) AS node, 0 AS hops
   UNION
   SELECT e.dst, b.hops + 1
   FROM bfs b JOIN edges e ON b.node = e.src
@@ -239,11 +243,17 @@ FROM bfs GROUP BY node ORDER BY node
     ),
 )
 def graph_shortest_path(spark, sf_dir):
-    """Unweighted shortest-path hop counts (BFS, ≤4 hops) from FRANCE on
-    the trade graph SPARSIFIED to above-average-weight edges (the full
-    nation graph is near-complete; thresholding on the exact-integer mean
-    weight leaves a graph with real multi-hop structure, deterministically
-    on both engines).  Spark runs the textbook iterative-join BFS — each
+    """Unweighted shortest-path hop counts (BFS, ≤4 hops) from the
+    MIN(n_name) nation (a computed seed — hardcoded names don't survive
+    dataset renames; this one was measured to: the testdata uses
+    synthetic nation names) on the trade graph SPARSIFIED per source: an
+    edge survives only if its
+    weight strictly exceeds its source's mean out-edge weight (the full
+    nation graph is near-complete; a GLOBAL mean threshold was measured
+    to orphan low-volume nations entirely — source-relative keeps every
+    node ~half its out-edges, so the graph stays connected with real
+    multi-hop structure, deterministically on both engines).  Spark runs
+    the textbook iterative-join BFS — each
     round joins the frontier to the edge list, the closing MIN collapses
     revisits; the oracle is the same search as a recursive CTE with
     UNION-dedup.  Hop counts are integers, hash-stable.  The sparsified
@@ -252,17 +262,19 @@ def graph_shortest_path(spark, sf_dir):
     loop, different join strategy, which is exactly the Pregel-as-joins
     pattern PageRank above already demonstrates."""
     edges0 = _trade_edges(spark, sf_dir)
-    thr = edges0.agg(
+    thr = edges0.groupBy(F.col("src").alias("tsrc")).agg(
         (F.sum("w").cast("double") / F.count(F.lit(1))).alias("t")
     )
     edges = (
-        edges0.crossJoin(F.broadcast(thr))
+        edges0.join(F.broadcast(thr), edges0.src == thr.tsrc)
         .filter(F.col("w").cast("double") > F.col("t"))
         .select("src", "dst")
         .localCheckpoint()
     )
     reached = frontier = (
-        edges.sparkSession.createDataFrame([("FRANCE", 0)], "node string, hops int")
+        load(spark, sf_dir, "nation")
+        .agg(F.min("n_name").alias("node"))
+        .select("node", F.lit(0).cast("int").alias("hops"))
     )
     for i in range(1, _BFS_MAX_HOPS + 1):
         frontier = (
