@@ -122,3 +122,131 @@ def source_python_datasource(spark, sf_dir):
     return (
         summarize(v1, 1).unionByName(summarize(v2, 2)).orderBy("version", "event_type")
     )
+
+
+@register(
+    "source_python_stream",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def source_python_stream(spark, sf_dir):
+    """Custom STREAMING Python DataSource over the manifest log — the
+    connector-SDK surface for unbounded sources: offsets are manifest
+    versions ({"version": N}), ``latestOffset`` polls the log,
+    ``partitions(start, end)`` plans one InputPartition per file ADDED in
+    (start, end] (the manifest diff), and ``read`` runs in executors via
+    pyarrow — so a new commit streams as exactly its delta, distributed.
+    Two commits (even/odd events) drain through the stream into a memory
+    sink; the accumulated result must equal the full table,
+    oracle-checked.  This is the same contract Delta's streaming source
+    implements natively; version-as-offset makes replay idempotent
+    (checkpointed offsets re-plan the same file lists)."""
+    path = _tmp("pyds_stream")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    # closures, not module-level: the source instantiates in a separate
+    # Python runner that can't import this package
+    class ManifestStreamReader(DataSourceStreamReader):
+        def __init__(self, options) -> None:
+            self._path = options["path"]
+
+        def _versions(self):
+            return sorted(
+                int(f[len("manifest-v") : -len(".json")])
+                for f in os.listdir(self._path)
+                if f.startswith("manifest-v") and f.endswith(".json")
+            )
+
+        def _files(self, v):
+            if v == 0:
+                return []
+            with open(os.path.join(self._path, f"manifest-v{v}.json")) as fh:
+                return json.load(fh)["files"]
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            vs = self._versions()
+            return {"version": vs[-1] if vs else 0}
+
+        def partitions(self, start, end):
+            # manifests list the FULL file set per version: the delta of a
+            # version is its files minus everything in EARLIER versions,
+            # accumulated as we walk the (start, end] range
+            known = set()
+            added = []
+            for v in self._versions():
+                if v <= start["version"]:
+                    known.update(self._files(v))
+                elif v <= end["version"]:
+                    new = [f for f in self._files(v) if f not in known]
+                    added += new
+                    known.update(new)
+            return [InputPartition(f) for f in added]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            for batch in pq.ParquetFile(partition.value).iter_batches(
+                columns=["event_id", "event_type", "value"]
+            ):
+                for row in batch.to_pylist():
+                    yield (row["event_id"], row["event_type"], row["value"])
+
+        def commit(self, end) -> None:
+            pass
+
+    class ManifestStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bdw_manifest_stream"
+
+        def schema(self) -> str:
+            return "event_id bigint, event_type string, value double"
+
+        def streamReader(self, schema) -> "ManifestStreamReader":
+            return ManifestStreamReader(self.options)
+
+    spark.dataSource.register(ManifestStreamSource)
+
+    from ..streaming.stream_ops import _fresh_dir
+    import uuid as _uuid
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("bdw_manifest_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _fresh_dir("chk-pyds-stream"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
