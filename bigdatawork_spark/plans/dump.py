@@ -57,13 +57,19 @@ EXTRA_NOTES = {
     "ab_test_lift": "per-user conversion rollup then a 2-row variant pivot — the z-stat is driver-free scalar algebra on one row",
     "ts_time_weighted_avg": "lead() and the keyed agg share one shuffle on event_type; v·Δt is exact decimal, no float accumulation",
     "skyline_pareto": "O(n²) dominance anti-join confined to ~1k group aggregates (broadcast); raw table contributes one rollup shuffle",
-    "bm25_rank": "one explode feeds doclen AND term-filtered tf; df + corpus stats broadcast back — query-time plan over precomputable stats",
+    "bm25_rank": "one live explode (doclen); tf is term-pruned pre-shuffle then checkpointed — df + scoring reuse the posting slice; plan mirrors the materialized-stats split of a search engine",
     "ngram_topk": "bigram pairing stays narrow inside the array column; only distinct bigrams shuffle after partial agg",
     "graph_shortest_path": "BFS = 4 unrolled frontier⋈edges broadcast joins + closing MIN; sparsified edge list pinned broadcast",
     "agg_mode": "count-then-rank arg-max: two map-side-combined shuffles, deterministic tie-break ON the sort keys",
     "agg_bitmap_distinct": "bitmap partials shuffle fixed-size payloads instead of distinct values; reduce side sums bitmap_count",
     "win_running_distinct": "two window passes on different partitionings — (type,user) first-flag shuffle then type-ordered running sum",
     "url_funcs": "pure narrow projection; parse_url evaluates inside one WholeStageCodegen span",
+    "dq_rule_checks": "four expectations in ONE conditional-aggregate scan pass; inline unpivot emits one row per rule",
+    "ts_hypertable_rollup": "ROLLUP time hierarchy: Expand + re-agg of finest-level partials — one scan serves all granularities",
+    "join_asof_nearest": "equi user key + time band prunes candidate fan-out before the per-purchase arg-min window",
+    "join_lateral_topn": "correlated LATERAL LIMIT decorrelated by Catalyst into a rank plan — no per-row re-execution, no cartesian",
+    "embedding_centroid": "posexplode feeds a map-side-combined (label,dim) aggregate — the wide explode never leaves the mapper",
+    "vector_quantize": "element math folds INSIDE the array column (no explode); scalar max broadcasts via 1-row BNLJ",
 }
 
 
