@@ -150,3 +150,61 @@ def sql_interface(spark, sf_dir):
         ORDER BY l_returnflag
         """,
     )
+
+
+@register(
+    "gen_explode_outer",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id, word
+FROM (
+  SELECT doc_id, unnest(ws) AS word FROM toks WHERE len(ws) > 0
+  UNION ALL
+  SELECT doc_id, NULL FROM toks WHERE len(ws) = 0
+)
+ORDER BY doc_id, word NULLS FIRST
+""",
+)
+def gen_explode_outer(spark, sf_dir):
+    """explode_outer: rows with EMPTY arrays survive as a single
+    NULL-element row instead of vanishing — the left-join-shaped generate
+    that keeps parent rows accountable (an inner explode silently drops
+    empty docs; at corpus scale that's a row-count discrepancy nobody can
+    audit).  The oracle models outer semantics as inner-explode UNION
+    the empty-array remainder."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    return toks.select(
+        "doc_id", F.explode_outer("ws").alias("word")
+    ).orderBy("doc_id", F.col("word").asc_nulls_first())
+
+
+@register(
+    "set_union_schema_evolve",
+    oracle="""
+SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
+FROM events WHERE event_id < 100
+UNION ALL
+SELECT event_id, event_type, CAST(NULL AS DOUBLE), user_id
+FROM events WHERE event_id >= 100 AND event_id < 200
+ORDER BY event_id
+""",
+)
+def set_union_schema_evolve(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): two relations with
+    DIFFERENT column sets (one carries value, the other user_id) align by
+    NAME and NULL-fill the gaps — the batch-side schema-evolution union
+    (scan_schema_evolution is the storage-side twin).  Positional
+    unionAll would silently mis-bind here; by-name alignment is the only
+    safe union under evolving schemas."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") < 100).select("event_id", "event_type", "value")
+    b = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).select(
+        "event_id", "event_type", "user_id"
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("event_id")

@@ -396,3 +396,96 @@ def win_running_distinct(spark, sf_dir):
         "event_id",
         F.sum("is_first").over(w_run).cast("bigint").alias("running_users"),
     ).orderBy("event_type", "event_id")
+
+
+@register(
+    "ts_period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type, day, revenue,
+       ROUND(revenue - lag(revenue) OVER w, 6) AS abs_change,
+       ROUND((revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w * 100.0, 6) AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+""",
+)
+def ts_period_over_period(spark, sf_dir):
+    """Period-over-period change: daily revenue per event type, then
+    absolute and percent deltas against the prior day (lag over the day
+    order; first day NULLs through identically on both engines).  The
+    daily rollup is decimal-exact, so the deltas are one fixed double
+    expression.  Aggregate and window share the event_type shuffle —
+    the window runs over |days| rows per group, not raw events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - prev, 6).alias("abs_change"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias("pct_change"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM marked GROUP BY user_id, event_type, grp
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM islands GROUP BY user_id ORDER BY user_id
+""",
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: per user, the longest run of consecutive
+    same-type events and the total island count, via the classic
+    two-row_number difference (global sequence minus per-type sequence is
+    constant within a run).  Both row_numbers share the (ts, event_id)
+    total order, so ONE shuffle on user_id serves both windows and the
+    island aggregation — the second window's partitioning (user, type) is
+    a prefix-compatible refinement Spark evaluates in the same sort.
+    Integer outputs, hash-stable."""
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    islands = marked.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("user_id")
+    )
