@@ -29,5 +29,5 @@ from .operators import (  # noqa: F401
     udfs,
     windows,
 )
-from . import pipeline_api  # noqa: F401
+from . import pipeline_api, sql_api  # noqa: F401
 from .registry import ORACLES, QUERIES  # noqa: F401

@@ -617,3 +617,61 @@ def vector_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tokf AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+freq AS (
+  SELECT word, CAST(COUNT(*) AS DOUBLE) AS f FROM tokf GROUP BY word
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tokf),
+scored AS (
+  SELECT t.doc_id,
+         CAST(-ln(f.f / total.n) AS DECIMAL(28,12)) AS nll
+  FROM tokf t JOIN freq f ON t.word = f.word CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+ORDER BY avg_neg_logprob DESC, doc_id
+LIMIT 50
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model surprisal per document — the KenLM-style
+    perplexity proxy used to quality-filter pretraining corpora: corpus
+    unigram probabilities (one wordcount pass), then each document's mean
+    negative log-probability; the 50 most surprising docs surface.
+    Per-token -ln p is decimal-cast before the per-doc sum
+    (order-independent; ranking on the rounded score).  The vocabulary
+    table joins UNHINTED onto tokens — AQE broadcasts it at test scale
+    and falls back to a skew-aware shuffle at billion-token vocabulary,
+    exactly the tfidf_keywords policy.  At 100 TB the freq table is the
+    trained LM artifact — computed once, reused across curation runs."""
+    d = load(spark, sf_dir, "documents")
+    tokf = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    n_total = float(tokf.count())
+    freq = tokf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("f"))
+    scored = tokf.join(freq, "word").select(
+        "doc_id",
+        (-F.log(F.col("f") / F.lit(n_total))).cast("decimal(28,12)").alias("nll"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy(F.col("avg_neg_logprob").desc(), "doc_id")
+        .limit(50)
+    )

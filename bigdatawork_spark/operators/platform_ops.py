@@ -584,3 +584,50 @@ def ts_hypertable_rollup(spark, sf_dir):
         .select("lvl", "day", "hod", "n_events", "sum_value")
         .orderBy("lvl", F.col("day").asc_nulls_first(), F.col("hod").asc_nulls_first())
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+WITH o_all AS (SELECT o_orderkey, o_totalprice FROM orders),
+     l_all AS (SELECT l_orderkey, l_extendedprice FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_o,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l
+FROM o_all JOIN l_all ON o_orderkey = l_orderkey
+""",
+)
+def incremental_join_maintenance(spark, sf_dir):
+    """Incremental JOIN maintenance: with base relations (O, L) and
+    deltas (ΔO, ΔL), the delta of O'⋈L' is  ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — the
+    three-term identity every IVM engine implements.  Spark computes the
+    join INCREMENTALLY (base-pairs plus the three delta terms, unioned
+    and re-aggregated); the oracle computes the full join from scratch —
+    hash equality IS the maintenance-correctness proof (the join twin of
+    incremental_agg_merge).  At 100 TB the three delta terms each join a
+    small delta against a base (broadcast or pruned-shuffle), so a new
+    commit costs |Δ|-proportional work instead of a full re-join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o_base, o_delta = o.filter(F.col("o_orderkey") % 10 != 0), o.filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    l_base, l_delta = li.filter(F.col("l_orderkey") % 7 != 0), li.filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    cond = F.col("o_orderkey") == F.col("l_orderkey")
+    parts = (
+        o_base.join(l_base, cond)
+        .unionByName(o_delta.join(l_base, cond))
+        .unionByName(o_base.join(l_delta, cond))
+        .unionByName(o_delta.join(l_delta, cond))
+    )
+    return parts.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_o"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_l"),
+    )

@@ -489,3 +489,41 @@ def win_gaps_islands(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM (SELECT user_id, event_id, value, epoch_us(ts) AS t_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def win_time_range_frame(spark, sf_dir):
+    """Trailing-one-hour RANGE frame per user: the frame is bounded by
+    VALUE distance on the event-time axis (epoch microseconds), not row
+    count — ROWS frames get this wrong whenever event density varies.
+    Equal timestamps share a frame (RANGE peers), which also makes the
+    result independent of tie order.  One shuffle on user_id; each
+    partition evaluates the sliding frame in a single sorted pass with
+    two moving pointers."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000 * 1000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    ).orderBy("user_id", "event_id")

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import load
+from .registry import register
 from .schemas import TABLES
 
 
@@ -23,3 +24,31 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Run a Spark SQL string against the registered corpus."""
     register_corpus(spark, sf_dir)
     return spark.sql(query)
+
+
+@register(
+    "sql_catalog_api",
+    oracle="""
+SELECT * FROM (VALUES
+  ('bdw_cat_orders', TRUE),
+  ('bdw_cat_region', TRUE)
+) AS t(table_name, is_temporary)
+ORDER BY table_name
+""",
+)
+def sql_catalog_api(spark, sf_dir):
+    """Catalog introspection surface: register temp views, then answer
+    "what tables exist?" from ``spark.catalog.listTables`` — the metadata
+    API a notebook user and a metastore sync job both depend on.  The
+    listing is filtered to this key's own views (the shared session
+    holds others) and rebuilt as a DataFrame with a stable schema."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("bdw_cat_orders")
+    load(spark, sf_dir, "region").createOrReplaceTempView("bdw_cat_region")
+    rows = [
+        (t.name, bool(t.isTemporary))
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bdw_cat_")
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "table_name string, is_temporary boolean"
+    ).orderBy("table_name")
