@@ -504,3 +504,88 @@ def kmeans_iterative(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(32 + (doc_id * 37) % 480 AS BIGINT) AS width,
+         CAST(32 + (doc_id * 53) % 480 AS BIGINT) AS height,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, width, height,
+       CAST(CAST(FLOOR(width * 64.0
+            / CASE WHEN width > height THEN width ELSE height END)
+            AS BIGINT) AS BIGINT) AS target_w,
+       CAST(CAST(FLOOR(height * 64.0
+            / CASE WHEN width > height THEN width ELSE height END)
+            AS BIGINT) AS BIGINT) AS target_h,
+       n_bytes
+FROM imgs ORDER BY doc_id
+""",
+)
+def multimodal_resize_stub(spark, sf_dir):
+    """Image-resize stage over an opaque binary column with TYPED
+    metadata (width/height/format struct riding next to the payload —
+    the multimodal-table layout): a mapInPandas stage computes
+    aspect-preserving thumbnail geometry (max side 64) and would hand
+    payload + geometry to a real decoder.  The decode itself is gated
+    behind an import-try: with no imaging lib in this container the
+    deterministic stub path runs, but every piece of Spark plumbing —
+    binary Arrow batches, struct metadata access in pandas, batch-shaped
+    output schema — is real and the geometry math is oracle-checked in
+    SQL.  At 100 TB this stage is embarrassingly parallel; partition
+    sizing follows bytes (maxPartitionBytes), not row counts."""
+    import hashlib  # noqa: F401  (decode path would use it)
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    imgs = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (32 + (F.col("doc_id") * 37) % 480).cast("long").alias("width"),
+            (32 + (F.col("doc_id") * 53) % 480).cast("long").alias("height"),
+            F.lit("png").alias("format"),
+        ).alias("meta"),
+    )
+
+    def resize(batches):
+        try:  # real decoder path — not available in this container
+            import PIL.Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            w, h = meta["width"], meta["height"]
+            long_side = w.where(w > h, h)
+            tw = (w * 64.0 / long_side).apply(int)
+            th = (h * 64.0 / long_side).apply(int)
+            if have_pil:  # pragma: no cover — lib absent here
+                raise NotImplementedError(
+                    "decode+resample via PIL goes here; geometry identical"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "target_w": tw,
+                    "target_h": th,
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return imgs.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, width long, height long,"
+            " target_w long, target_h long, n_bytes long"
+        ),
+    ).orderBy("doc_id")
