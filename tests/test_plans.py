@@ -183,3 +183,21 @@ def test_lateral_topn_decorrelates(spark, sf_dir):
     # the per-row LIMIT subquery must not execute as a cartesian loop
     assert count_operator(df, "CartesianProduct") == 0
     assert count_operator(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark, sf_dir):
+    """AQE evidence: the static plan asks for the configured shuffle
+    partition count; at runtime AQE folds the small shuffle into fewer
+    coalesced reads (AQEShuffleRead) — the mechanism that makes one
+    shuffle-partition setting safe across 9 orders of magnitude of data."""
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.io import load
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"))
+    )
+    assert "AQEShuffleRead" in final_plan_string(agg)
