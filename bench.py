@@ -22,6 +22,7 @@ import bigdatawork_spark  # noqa: F401, E402
 from bigdatawork_spark.session import get_spark  # noqa: E402
 
 # Headline set: the BASELINE.md shapes first, then broad coverage.
+# FROZEN across rounds — BENCH_r{N}.json comparability depends on it.
 HEADLINE = [
     "agg_groupby_q1",
     "limit_topk_q3",
@@ -33,6 +34,22 @@ HEADLINE = [
     "wordcount",
     "sim_cosine_topk",
     "tfidf_keywords",
+]
+
+# Opt-in second tier (SPARK_GRAFT_BENCH_EXTENDED=1): newer operator families,
+# timed and reported under "extended_queries" WITHOUT touching the headline
+# metric — evidence of their cost profile with zero comparability impact.
+EXTENDED = [
+    "stats_linear_regression",
+    "bm25_rank",
+    "ngram_topk",
+    "agg_bitmap_distinct",
+    "ts_hypertable_rollup",
+    "win_gaps_islands",
+    "text_unigram_logprob",
+    "embedding_centroid",
+    "vector_quantize",
+    "incremental_join_maintenance",
 ]
 
 
@@ -72,29 +89,34 @@ def main() -> None:
     # Catalyst analysis/optimization is inside the timing) — symmetric with
     # the warm per-query protocol the DuckDB BASELINE was measured under.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    per_query: dict[str, float] = {}
-    for key in keys:
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            n = QUERIES[key](spark, sf_dir).count()  # force full execution
-            times.append(time.perf_counter() - t0)
-            assert n >= 0
-        per_query[key] = round(sorted(times)[len(times) // 2], 4)
+    def time_keys(key_list) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key in key_list:
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                n = QUERIES[key](spark, sf_dir).count()  # force full execution
+                times.append(time.perf_counter() - t0)
+                assert n >= 0
+            out[key] = round(sorted(times)[len(times) // 2], 4)
+        return out
+
+    per_query = time_keys(keys)
     total = round(sum(per_query.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_batch_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "runs_per_query": runs,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_batch_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1":
+        ext = time_keys([k for k in EXTENDED if k in QUERIES])
+        payload["extended_queries"] = ext
+        payload["extended_total"] = round(sum(ext.values()), 4)
+    print(json.dumps(payload))
     spark.stop()
 
 
