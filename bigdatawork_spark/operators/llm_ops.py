@@ -658,11 +658,18 @@ def text_unigram_logprob(spark, sf_dir):
     tokf = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
-    n_total = float(tokf.count())
+    # corpus size as a broadcast 1-row relation (no driver-side count job)
+    total = tokf.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     freq = tokf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("f"))
-    scored = tokf.join(freq, "word").select(
-        "doc_id",
-        (-F.log(F.col("f") / F.lit(n_total))).cast("decimal(28,12)").alias("nll"),
+    scored = (
+        tokf.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("f") / F.col("n_total")))
+            .cast("decimal(28,12)")
+            .alias("nll"),
+        )
     )
     return (
         scored.groupBy("doc_id")

@@ -71,22 +71,33 @@ def bm25_rank(spark, sf_dir):
     {join, merge, scan}: idf = ln(1 + (N−df+0.5)/(df+0.5)) per term,
     per-doc length normalization against the corpus mean length, per-term
     contributions decimal-summed per document, ranked on the rounded
-    score.  Plan: the explode is narrow and evaluates once per branch —
-    doclen's rollup shuffles per-doc counts, while tf's IN-filter prunes
-    to query terms BEFORE its shuffle; tf is then localCheckpoint'd (it
-    is query-term-sized) so df and the scoring join reuse it without a
-    third explode.  The only full-corpus shuffle is the doclen rollup —
-    at 100 TB a real engine precomputes doclen and df as materialized
-    stats, and this plan mirrors exactly that split (checkpointed tf ==
-    the posting slice, doclen == the length table)."""
+    score.  Plan: the corpus explodes ONCE — into two materialized
+    (localCheckpoint'd) artifacts, the term-pruned posting slice tf
+    (IN-filter BEFORE its shuffle) and the per-doc length table; corpus
+    totals derive from the length table as a broadcast 1-row relation
+    (no driver-side .count() scalars), and the live scoring query reads
+    only the artifacts (plan-asserted: zero Generate).  That is exactly
+    a search engine's split: postings and doc-length stats are built
+    once, query-time scoring joins broadcast-sized stats onto them."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_docs = float(load(spark, sf_dir, "documents").count())
     tokf = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    doclen = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    n_tokens = tokf.count()
-    avglen = float(n_tokens) / n_docs
+    # the "length table" artifact: checkpointed so the corpus explodes ONCE
+    # (doclen feeds both per-doc normalization and the corpus token total)
+    doclen = (
+        tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len")).localCheckpoint()
+    )
+    # corpus stats as a broadcast 1-row relation — no driver-side scalars
+    # (a .count() here would be an extra job and a driver round-trip)
+    stats = (
+        doclen.agg(F.sum("len").cast("double").alias("n_tokens"))
+        .crossJoin(
+            load(spark, sf_dir, "documents")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        )
+        .select("n_docs", (F.col("n_tokens") / F.col("n_docs")).alias("avglen"))
+    )
     tf = (
         tokf.filter(F.col("word").isin(*_BM25_TERMS))
         .groupBy("doc_id", "word")
@@ -95,12 +106,15 @@ def bm25_rank(spark, sf_dir):
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
-        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    norm = F.col("tf") + _K1 * (1.0 - _B + F.lit(_B) * F.col("len") / F.lit(avglen))
+    norm = F.col("tf") + _K1 * (
+        1.0 - _B + F.lit(_B) * F.col("len") / F.col("avglen")
+    )
     contrib = (
         tf.join(F.broadcast(df), "word")
         .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id", (idf * (F.col("tf") * (_K1 + 1.0)) / norm).alias("c")
         )

@@ -57,7 +57,7 @@ EXTRA_NOTES = {
     "ab_test_lift": "per-user conversion rollup then a 2-row variant pivot — the z-stat is driver-free scalar algebra on one row",
     "ts_time_weighted_avg": "lead() and the keyed agg share one shuffle on event_type; v·Δt is exact decimal, no float accumulation",
     "skyline_pareto": "O(n²) dominance anti-join confined to ~1k group aggregates (broadcast); raw table contributes one rollup shuffle",
-    "bm25_rank": "one live explode (doclen); tf is term-pruned pre-shuffle then checkpointed — df + scoring reuse the posting slice; plan mirrors the materialized-stats split of a search engine",
+    "bm25_rank": "corpus explodes once into two checkpointed artifacts (term postings + length table); live scoring reads only those — zero Generate, no driver scalars; the materialized-stats split of a search engine",
     "ngram_topk": "bigram pairing stays narrow inside the array column; only distinct bigrams shuffle after partial agg",
     "graph_shortest_path": "BFS = 4 unrolled frontier⋈edges broadcast joins + closing MIN; sparsified edge list pinned broadcast",
     "agg_mode": "count-then-rank arg-max: two map-side-combined shuffles, deterministic tie-break ON the sort keys",

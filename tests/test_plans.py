@@ -172,10 +172,12 @@ def test_vector_quantize_stays_in_array(spark, sf_dir):
 
 def test_bm25_checkpointed_postings(spark, sf_dir):
     df = _q(spark, sf_dir, "bm25_rank")
-    # one live explode (doclen); df + scoring reuse the checkpointed tf
-    # postings instead of re-exploding the corpus
-    assert count_operator(df, "Generate") == 1
-    assert count_operator(df, "Scan ExistingRDD") == 2
+    # the corpus explode runs ONCE, during materialization of the two
+    # stats artifacts (term postings + length table); the live scoring
+    # query reads only those checkpoints — zero Generate, no driver-side
+    # scalar counts
+    assert count_operator(df, "Generate") == 0
+    assert count_operator(df, "Scan ExistingRDD") >= 2
 
 
 def test_lateral_topn_decorrelates(spark, sf_dir):
