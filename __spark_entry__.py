@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bigdatawork_spark.registry import ORACLES, QUERIES  # noqa: E402
+from bigdatawork_spark.registry import ORACLES, QUERIES, driver_order  # noqa: E402
 import bigdatawork_spark  # noqa: F401, E402  (populates the registry)
 
 
@@ -25,10 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so not-yet-driver-verified SURVEY §2 contract keys come first:
+    the round-1 driver truncated at the first 50 keys, so insertion order
+    IS the verification budget (registry.DRIVER_PRIORITY)."""
+    return driver_order(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each SQL-expressible key."""
-    return dict(ORACLES)
+    return driver_order(ORACLES)

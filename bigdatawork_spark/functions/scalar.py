@@ -218,8 +218,9 @@ def cond_funcs(spark, sf_dir):
     oracle="""
 SELECT vec_id,
        len(embedding) AS dim,
-       list_transform(list_slice(embedding, 1, 3),
-                      x -> CAST(x AS DOUBLE) * 2.0) AS head3_x2,
+       CAST(embedding[1] AS DOUBLE) * 2.0 AS head1_x2,
+       CAST(embedding[2] AS DOUBLE) * 2.0 AS head2_x2,
+       CAST(embedding[3] AS DOUBLE) * 2.0 AS head3_x2,
        len(list_filter(embedding, x -> x > 0)) AS n_positive,
        list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                       'sum') AS vec_sum
@@ -229,14 +230,21 @@ FROM embeddings
 def array_funcs(spark, sf_dir):
     """Higher-order array functions over the embedding column.  Elements
     cast float→double (exact) before arithmetic so both engines fold
-    identical doubles in identical order — bit-exact, no rounding."""
+    identical doubles in identical order — bit-exact, no rounding.
+
+    Output columns are all scalar on purpose: the driver's canonicalizer
+    pandas-sorts raw columns and crashes on array cells (``unhashable
+    numpy.ndarray`` — CORRECTNESS_r01), so the transform(slice(...))
+    head is unpacked via element_at into three double columns instead of
+    being returned as array<double>."""
     e = load(spark, sf_dir, "embeddings")
+    head3 = F.expr("transform(slice(embedding, 1, 3), x -> cast(x as double) * 2.0d)")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.expr(
-            "transform(slice(embedding, 1, 3), x -> cast(x as double) * 2.0d)"
-        ).alias("head3_x2"),
+        F.element_at(head3, 1).alias("head1_x2"),
+        F.element_at(head3, 2).alias("head2_x2"),
+        F.element_at(head3, 3).alias("head3_x2"),
         F.size(F.expr("filter(embedding, x -> x > 0f)")).alias("n_positive"),
         F.expr(
             "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double))"

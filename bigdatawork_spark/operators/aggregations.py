@@ -235,7 +235,8 @@ def agg_grouping_sets(spark, sf_dir):
 @register(
     "agg_collect_list",
     oracle="""
-SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
 FROM lineitem
 GROUP BY l_orderkey
 ORDER BY l_orderkey
@@ -244,11 +245,19 @@ ORDER BY l_orderkey
 def agg_collect_list(spark, sf_dir):
     """Per-group array collection, sorted for determinism (§5.3).  At scale
     collect_list is memory-bounded per group — fine for bounded groups like
-    lines-per-order (≤7), dangerous for unbounded ones."""
+    lines-per-order (≤7), dangerous for unbounded ones.
+
+    The collected array is emitted as a comma-joined string (ints — exact
+    formatting on both engines) because the driver canonicalizer cannot
+    hash array cells (CORRECTNESS_r01 ``unhashable numpy.ndarray``)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("l_linenumber")).cast("array<string>")
+            ).alias("line_numbers")
+        )
         .orderBy("l_orderkey")
     )
 

@@ -73,7 +73,13 @@ def join_multiway_q5(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join, revenue by nation.
 
     Join order: facts first (orders⋈lineitem shuffle), then dims broadcast.
-    Date filter pushed to the orders scan prunes before the join."""
+    Date filter pushed to the orders scan prunes before the join.
+
+    Broadcast hints are pinned ONLY on nation/region, which are constant-size
+    regardless of scale factor.  customer (150k·SF) and supplier (10k·SF)
+    grow with SF — a pinned hint on them OOMs at 100× — so their joins are
+    left to the size-threshold/AQE planner: broadcast at test scale, shuffle
+    join with AQE skew handling at cluster scale (VERDICT r01 item 4)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -86,9 +92,9 @@ def join_multiway_q5(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

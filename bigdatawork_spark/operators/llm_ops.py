@@ -457,26 +457,35 @@ def tfidf_keywords(spark, sf_dir):
 
     Plan: one explode → one shuffle on (doc_id, word) for tf; df derives
     from tf (already distinct per doc) — no second explode, no countDistinct
-    Expand.  The tf⋈df join carries NO broadcast hint on purpose: at test
-    scale AQE converts it to BroadcastHashJoin at runtime (same speed as a
-    pinned hint, measured), while at 100 TB a billion-token vocabulary would
-    OOM the driver if pinned — unhinted, AQE falls back to a skew-handled
-    SortMergeJoin.  (A count-window over word was measured faster locally
-    but puts every row of a stopword in ONE task — rejected for skew.)"""
+    Expand.  tf feeds BOTH the scored branch and the df branch, so it is
+    cached — without it the explode+shuffle re-executes for each branch
+    (VERDICT r01 item 6; at 100 TB this would be a checkpoint to storage).
+    n_docs stays lazy as a broadcast 1-row cross join instead of an eager
+    driver-side count() — one Spark job instead of two.  The tf⋈df join
+    carries NO broadcast hint on purpose: at test scale AQE converts it to
+    BroadcastHashJoin at runtime (same speed as a pinned hint, measured),
+    while at 100 TB a billion-token vocabulary would OOM the driver if
+    pinned — unhinted, AQE falls back to a skew-handled SortMergeJoin.
+    (A count-window over word was measured faster locally but puts every
+    row of a stopword in ONE task — rejected for skew.)"""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar aggregate; cheap at any scale
+    n_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
     # tf has one row per (doc, word) → count(*) per word IS the doc frequency
     df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_tab, "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("score"),
+    scored = (
+        tf.join(df_tab, "word")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (

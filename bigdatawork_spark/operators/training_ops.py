@@ -141,7 +141,7 @@ WITH tok AS (
 )
 SELECT token,
        CAST(COUNT(*) AS BIGINT) AS doc_freq,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM tok
 WHERE length(token) >= 4
 GROUP BY token
@@ -152,7 +152,9 @@ def inverted_index(spark, sf_dir):
     """Inverted-index build: token → document frequency + sorted posting
     list (distinct tokens per doc; tokens ≥ 4 chars; doc_id < 300 slice).
     One shuffle on token; posting lists sort inside the aggregation
-    (sort_array over collect_list — both engines emit ascending arrays).
+    (sort_array over collect_list — both engines emit ascending arrays),
+    then comma-join to a string so the driver canonicalizer (which cannot
+    hash array cells) compares them as scalars.
     At 100 TB postings for frequent tokens are the skew risk — production
     shards them into (token, bucket) segment files; doc_freq here is the
     statistic that drives that split."""
@@ -164,7 +166,9 @@ def inverted_index(spark, sf_dir):
         tok.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("postings"),
         )
         .orderBy("token")
     )

@@ -18,6 +18,109 @@ QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Driver-facing key order.  The round-1 driver truncated its CORRECTNESS run
+# at the first 50 keys of ``queries()`` insertion order, leaving 65 SURVEY §2
+# contract keys without a driver row (VERDICT.md round 1, item 1).  This list
+# front-loads the not-yet-driver-verified contract keys so each round's 50-key
+# budget converts the maximum number of contract keys to driver-green rows:
+#   slots 1-50  : array_funcs (ERR fix re-check) + §2-K, C, E, remaining D,
+#                 F, G, batch time-windows — all untested in r01
+#   slots 51-66 : §2-B projections/filters + §2-J UDFs — untested in r01
+#   afterwards  : keys already green in CORRECTNESS_r01, then extras, in
+#                 original registration order.
+# Rounds 3+ should rotate newly-verified keys to the back the same way.
+DRIVER_PRIORITY: list[str] = [
+    # re-check the round-1 ERR first (array output stringified this round)
+    "array_funcs",
+    # §2-K LLM-data-pipeline
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_near_exactjacc",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "knn_classify",
+    "text_stats",
+    "text_lang_filter",
+    "tfidf_keywords",
+    "multimodal_join",
+    # §2-C joins
+    "join_inner_broadcast",
+    "join_inner_shuffle",
+    "join_multiway_q5",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_interval",
+    # §2-E windows
+    "win_row_number",
+    "win_rank_dense",
+    "win_ntile",
+    "win_lag_lead",
+    "win_first_last",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_percent_cume",
+    "topk_per_group",
+    # §2-D aggregations not yet driver-tested
+    "agg_approx_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_list",
+    "agg_stats",
+    "agg_median_percentile",
+    # §2-F sort/limit
+    "sort_multi",
+    "limit_topk_q3",
+    # §2-G set ops
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # §2-I batch time-windows (stream_* were rows-only green in r01)
+    "win_time_tumbling",
+    "win_time_sliding",
+    "win_time_session",
+    # ---- slot 51+ ----
+    # §2-B projections/filters
+    "project_select",
+    "project_cast",
+    "project_case_when",
+    "filter_simple",
+    "filter_compound",
+    "filter_in_between",
+    "filter_like",
+    "filter_null",
+    "distinct_rows",
+    # §2-J UDF/UDAF/UDTF
+    "udf_python",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped_agg",
+    "udtf_grouped_map",
+    "udtf_map_in_pandas",
+    "udtf_python",
+    "sql_udf_register",
+]
+
+
+def driver_order(d: dict[str, Any]) -> dict[str, Any]:
+    """Reorder a registry dict: DRIVER_PRIORITY keys first, the rest in
+    registration order.  Keys in the priority list but absent from ``d``
+    (e.g. rows-only keys when ordering ORACLES) are skipped."""
+    out = {k: d[k] for k in DRIVER_PRIORITY if k in d}
+    for k, v in d.items():
+        if k not in out:
+            out[k] = v
+    return out
+
+
 def register(key: str, oracle: str | None = None):
     """Register a query builder under ``key``; optionally its oracle SQL.
 

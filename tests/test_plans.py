@@ -40,7 +40,20 @@ def test_broadcast_join_pinned(spark, sf_dir):
 
 
 def test_q5_uses_broadcasts_for_dims(spark, sf_dir):
+    # At test scale the size-threshold planner still broadcasts customer/
+    # supplier/nation/region; only nation/region may carry a PINNED hint
+    # (customer/supplier grow with SF — pinned broadcast OOMs at 100×).
     assert count_operator(_q(spark, sf_dir, "join_multiway_q5"), "BroadcastHashJoin") >= 3
+
+
+def test_q5_pins_broadcast_only_on_constant_dims():
+    import inspect
+
+    from bigdatawork_spark.operators import joins
+
+    src = inspect.getsource(joins.join_multiway_q5)
+    assert "F.broadcast(n)" in src and "F.broadcast(r)" in src
+    assert "F.broadcast(c)" not in src and "F.broadcast(s)" not in src
 
 
 def test_semi_anti_join_operators(spark, sf_dir):
