@@ -111,7 +111,7 @@ def agg_count_distinct(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.countDistinct("o_custkey").alias("n_buyers"))
         .orderBy("c_mktsegment")

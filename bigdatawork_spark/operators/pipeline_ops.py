@@ -589,3 +589,137 @@ def multimodal_resize_stub(spark, sf_dir):
             " target_w long, target_h long, n_bytes long"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "repetition_ngram_ratio",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+       END AS rep1_ratio,
+       len(grams) AS n_grams3,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 6)
+       END AS rep3_ratio
+FROM g
+ORDER BY doc_id
+""",
+)
+def repetition_ngram_ratio(spark, sf_dir):
+    """Gopher-style within-document repetition signal: fraction of repeated
+    unigrams and 3-grams per document (1 - distinct/total).  High values
+    flag boilerplate/spam for the pretraining filter stage.
+
+    Plan: pure per-row array expressions (split → transform(sequence) for
+    the 3-gram windows → array_distinct) — zero shuffles, zero explodes,
+    whole-stage codegen, embarrassingly parallel at 100 TB.  Contrast with
+    contamination_ngram, which joins n-grams ACROSS documents."""
+    d = load(spark, sf_dir, "documents")
+    with_ws = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
+    )
+    grams = (
+        F.when(
+            F.size("ws") >= 3,
+            F.expr(
+                "transform(sequence(1, size(ws) - 2),"
+                " i -> concat_ws(' ', slice(ws, i, 3)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams")
+    )
+    rep = lambda c: F.when(F.size(c) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(c)).cast("double") / F.size(c), 6
+        )
+    )
+    return (
+        with_ws.select("doc_id", "ws", grams)
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            rep("ws").alias("rep1_ratio"),
+            F.size("grams").alias("n_grams3"),
+            rep("grams").alias("rep3_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, label,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2,
+         list_aggregate(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))), 'max') AS max_abs,
+         len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.2)) AS n_large
+  FROM embeddings
+)
+SELECT vec_id, label,
+       ROUND(l2, 6) AS l2_norm,
+       ROUND(max_abs, 6) AS max_abs,
+       n_large
+FROM s
+WHERE l2 > 0.5
+ORDER BY vec_id
+""",
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Embedding hygiene gate for vector pipelines: L2 norm, largest
+    component magnitude, and count of large components per vector, keeping
+    only vectors with usable norm (degenerate/zero vectors break cosine
+    math downstream).
+
+    Per-row fold over the array column (aggregate/transform builtins —
+    JVM-side, no UDF); float→double casts on both engines make the folds
+    bit-identical.  No shuffle; at 100 TB this runs at scan speed."""
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.expr(
+        "sqrt(aggregate(embedding, 0.0d,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    max_abs = F.expr(
+        "aggregate(embedding, 0.0d,"
+        " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    n_large = F.size(
+        F.expr("filter(embedding, x -> abs(cast(x as double)) > 0.2d)")
+    )
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            l2.alias("l2"),
+            F.round(max_abs, 6).alias("max_abs"),
+            n_large.alias("n_large"),
+        )
+        .filter(F.col("l2") > 0.5)
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 6).alias("l2_norm"),
+            "max_abs",
+            "n_large",
+        )
+        .orderBy("vec_id")
+    )

@@ -52,7 +52,10 @@ LIMIT 10
 def limit_topk_q3(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
 
-    customer is broadcast (small dim); orders⋈lineitem shuffles on orderkey.
+    orders⋈lineitem shuffles on orderkey.  The customer join carries no
+    pinned broadcast hint — customer grows with SF (150k·SF rows), so the
+    size-threshold/AQE planner decides: broadcast at test scale, shuffle
+    join at cluster scale (same policy as join_multiway_q5).
     Revenue summed exactly in decimal so the top-10 cut is identical across
     engines.  Tiebreak on l_orderkey makes LIMIT deterministic (§5.3.3).
     """
@@ -66,7 +69,7 @@ def limit_topk_q3(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_dsum(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

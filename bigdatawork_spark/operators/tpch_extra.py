@@ -4,8 +4,11 @@ columns and value domains).  REF:∅ (reference snapshot empty — SURVEY.md
 represented: bidirectional nation-pair filters, outer-data top-k, ratio of
 conditional aggregates, and disjunctive multi-column predicates.
 
-Scale notes: every query is joins + one keyed aggregation; dims broadcast,
-facts shuffle once, revenue sums use the decimal-exact discipline.
+Scale notes: every query is joins + one keyed aggregation; constant-size
+dims (nation/region, scalar thresholds) broadcast with pinned hints, while
+SF-growing tables (customer/supplier/part) are left to the size-threshold/
+AQE planner; facts shuffle once, revenue sums use the decimal-exact
+discipline.
 """
 
 from __future__ import annotations
@@ -61,9 +64,9 @@ def q7_volume_shipping(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -107,7 +110,7 @@ def q10_returned_items(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_dsum(vol, 4).alias("revenue"))
@@ -145,7 +148,7 @@ def q14_promo_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * _dsum(promo_vol, 4) / _dsum(vol, 4), 6
@@ -177,7 +180,7 @@ def q19_disjunctive(spark, sf_dir):
     disjunctive-pushdown test."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 5)
@@ -236,7 +239,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

@@ -15,6 +15,10 @@ l_receiptdate / l_shipmode / comment columns):
 - Q13's comment filter becomes an order-priority filter.
 
 Scale notes: each query is dims-broadcast + one or two keyed fact shuffles.
+Broadcast hints are pinned ONLY on constant-size inputs (nation/region,
+scalar-aggregate thresholds); customer/supplier/part grow with SF, so their
+joins rely on the size-threshold/AQE planner — broadcast at test scale,
+shuffle join with skew handling at cluster scale.
 The correlated subqueries decorrelate into keyed aggregations joined back on
 the correlation key (what Catalyst does for SQL-form subqueries) — no
 per-row re-evaluation, no whole-frame window.  Scalar thresholds come back
@@ -103,7 +107,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     # Offers restricted to EUROPE suppliers — shared by outer query and
     # the decorrelated per-part MIN (Q2's subquery repeats this restriction).
     euro = (
-        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        offers.join(s, offers.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
@@ -116,7 +120,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     return (
         euro.join(best, (euro.l_partkey == best.bk) & (euro.unit_cost == best.best_cost))
-        .join(F.broadcast(p), euro.l_partkey == p.p_partkey)
+        .join(p, euro.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -177,10 +181,10 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -228,8 +232,8 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -273,7 +277,7 @@ def q11_important_stock(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     natvalue = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(
@@ -397,8 +401,8 @@ def q16_supplier_part_counts(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -448,7 +452,7 @@ def q20_dominant_suppliers(spark, sf_dir):
         "p_partkey"
     )
     shipped_small = shipped.join(
-        F.broadcast(small), shipped.l_partkey == small.p_partkey, "left_semi"
+        small, shipped.l_partkey == small.p_partkey, "left_semi"
     )
     part_totals = shipped_small.groupBy(F.col("l_partkey").alias("tk")).agg(
         _dsum(F.col("qty")).alias("part_qty")
@@ -507,7 +511,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     l1 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > deadline)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "l_orderkey",
