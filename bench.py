@@ -50,6 +50,9 @@ EXTENDED = [
     "embedding_centroid",
     "vector_quantize",
     "incremental_join_maintenance",
+    "repetition_ngram_ratio",
+    "embedding_norm_stats",
+    "multimodal_framesample_stub",
 ]
 
 

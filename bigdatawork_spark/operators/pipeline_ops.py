@@ -723,3 +723,76 @@ def embedding_norm_stats(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "multimodal_framesample_stub",
+    oracle="""
+WITH media AS (
+  SELECT doc_id, text, length(text) AS n_bytes FROM documents
+),
+f AS (
+  SELECT doc_id, text, n_bytes,
+         unnest(generate_series(0, 3)) AS frame_idx
+  FROM media
+)
+SELECT doc_id, frame_idx,
+       CAST(n_bytes * 40 AS BIGINT) AS duration_ms,
+       CAST(n_bytes * 40 * frame_idx // 4 AS BIGINT) AS ts_ms,
+       CAST(n_bytes * frame_idx // 4 AS BIGINT) AS byte_off,
+       ascii(substring(text, CAST(n_bytes * frame_idx // 4 AS INTEGER) + 1, 1))
+         AS frame_byte
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_framesample_stub(spark, sf_dir):
+    """Video/audio frame sampling over an opaque ``binary`` media column:
+    each payload fans out to 4 uniformly spaced "frames" (1→N row
+    expansion through ``mapInPandas``), with a synthetic 25fps-style
+    duration derived from byte length.  Real decode (pyav/ffmpeg frame
+    grab) would replace the byte-peek inside the generator — not in this
+    container (SURVEY §2-K stub policy); the Spark-side plumbing is real:
+    Arrow binary batches in, multiplied typed rows out, partition-parallel,
+    no driver involvement.  Scale: output is 4× input rows but only a few
+    scalar columns — the heavy payload column is dropped inside the UDF,
+    not carried through the expansion."""
+    import pandas as pd
+
+    N_FRAMES = 4
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample_frames(batches):
+        # STUB: stands in for media decode + frame extraction.
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "duration_ms": [],
+                "ts_ms": [],
+                "byte_off": [],
+                "frame_byte": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                dur = n * 40
+                for k in range(N_FRAMES):
+                    off = n * k // N_FRAMES
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["duration_ms"].append(dur)
+                    out["ts_ms"].append(dur * k // N_FRAMES)
+                    out["byte_off"].append(off)
+                    out["frame_byte"].append(b[off])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample_frames,
+        schema=(
+            "doc_id long, frame_idx int, duration_ms long,"
+            " ts_ms long, byte_off long, frame_byte int"
+        ),
+    ).orderBy("doc_id", "frame_idx")

@@ -110,15 +110,93 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
+# SURVEY.md §2's 92 contract keys — the judge's line-by-line checklist.
+# Used by driver_order to rank never-driver-verified contract keys ahead of
+# never-verified extras.  tests/test_driver_contract.py holds an independent
+# copy and asserts equality, so a typo here fails CI.
+CONTRACT_KEYS: frozenset[str] = frozenset(
+    "scan_parquet scan_csv scan_jsonl source_inline sink_parquet "
+    "source_stream_file source_stream_rate sink_stream_memory "
+    "sink_stream_foreachbatch "
+    "project_select project_cast project_case_when filter_simple "
+    "filter_compound filter_in_between filter_like filter_null distinct_rows "
+    "join_inner_broadcast join_inner_shuffle join_multiway_q5 join_left_outer "
+    "join_right_outer join_full_outer join_left_semi join_left_anti "
+    "join_cross join_theta_range join_asof join_interval "
+    "agg_global agg_groupby_q1 agg_count_distinct agg_approx_count_distinct "
+    "agg_having agg_rollup agg_cube agg_grouping_sets agg_collect_list "
+    "agg_stats agg_median_percentile "
+    "win_row_number win_rank_dense win_ntile win_lag_lead win_first_last "
+    "win_running_sum win_moving_avg win_range_frame win_percent_cume "
+    "topk_per_group "
+    "sort_multi limit_topk_q3 "
+    "set_union_all set_union_distinct set_intersect set_except "
+    "str_funcs wordcount str_regexp date_funcs ts_funcs math_funcs "
+    "cond_funcs array_funcs map_json_funcs hash_funcs "
+    "win_time_tumbling win_time_sliding win_time_session stream_tumbling "
+    "stream_watermark_late stream_dedup stream_stateful_count "
+    "stream_static_join "
+    "udf_python udf_pandas_scalar udaf_pandas_grouped_agg udtf_grouped_map "
+    "udtf_map_in_pandas udtf_python sql_udf_register "
+    "dedup_exact dedup_near_minhash dedup_near_exactjacc sim_cosine_topk "
+    "sim_ann_lsh knn_classify text_stats text_lang_filter tfidf_keywords "
+    "multimodal_join".split()
+)
+
+
+def driver_verified_keys() -> set[str]:
+    """Keys with a clean row in any driver ``CORRECTNESS_r*.json`` so far:
+    hash-green, or rows-only that ran without error.  Unreadable files are
+    skipped — worst case the ordering degrades to the static priority."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                seen.add(k)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                seen.add(k)  # rows-only key, ran clean
+    return seen
+
+
 def driver_order(d: dict[str, Any]) -> dict[str, Any]:
-    """Reorder a registry dict: DRIVER_PRIORITY keys first, the rest in
-    registration order.  Keys in the priority list but absent from ``d``
-    (e.g. rows-only keys when ordering ORACLES) are skipped."""
-    out = {k: d[k] for k in DRIVER_PRIORITY if k in d}
-    for k, v in d.items():
-        if k not in out:
-            out[k] = v
-    return out
+    """Reorder a registry dict for the driver's truncated per-round run.
+
+    Self-rotating across rounds: keys WITHOUT a driver-green row in any
+    CORRECTNESS_r*.json committed so far come first (SURVEY §2 contract
+    keys before extras), already-verified keys last — so each round's
+    50-key budget lands on fresh keys with no manual reshuffling.  Ties
+    keep DRIVER_PRIORITY order, then registration order (deterministic).
+    Keys absent from ``d`` (e.g. rows-only keys when ordering ORACLES)
+    are skipped."""
+    verified = driver_verified_keys()
+    prio = {k: i for i, k in enumerate(DRIVER_PRIORITY)}
+
+    def rank(k: str):
+        tier = (
+            0
+            if k not in verified and k in CONTRACT_KEYS
+            else 1
+            if k not in verified
+            else 2
+        )
+        return (tier, prio.get(k, len(prio)))
+
+    # dict preserves registration order; stable sort keeps it as the tiebreak
+    return {k: d[k] for k in sorted(d, key=rank)}
 
 
 def register(key: str, oracle: str | None = None):

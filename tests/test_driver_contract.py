@@ -15,7 +15,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql.types import ArrayType, MapType, StructType
 
-from bigdatawork_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES, driver_order
+from bigdatawork_spark.registry import (
+    CONTRACT_KEYS,
+    DRIVER_PRIORITY,
+    ORACLES,
+    QUERIES,
+    driver_order,
+    driver_verified_keys,
+)
 
 # SURVEY.md §2 contract keys (the judge's line-by-line checklist).
 SURVEY2_KEYS = frozenset(
@@ -101,7 +108,32 @@ def test_driver_priority_front_loads_unverified_contract_keys():
     assert not missing, f"unverified contract keys not front-loaded: {sorted(missing)}"
 
 
-def test_driver_order_applies_priority_first():
+def test_registry_contract_keys_match_survey2():
+    # independent copies: a typo in either fails here
+    assert CONTRACT_KEYS == SURVEY2_KEYS
+
+
+def test_driver_order_front_loads_unverified_then_extras_then_verified():
     ordered = list(driver_order(QUERIES))
-    assert ordered[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
     assert set(ordered) == set(QUERIES)
+    verified = driver_verified_keys()
+
+    def tier(k):
+        if k not in verified and k in CONTRACT_KEYS:
+            return 0
+        return 1 if k not in verified else 2
+
+    tiers = [tier(k) for k in ordered]
+    assert tiers == sorted(tiers), "driver_order must be tiered: unverified contract, unverified extras, verified"
+
+
+def test_driver_order_rotates_on_round1_results():
+    # With CORRECTNESS_r01.json committed, its green keys (e.g. str_funcs,
+    # agg_groupby_q1) must sit BEHIND every not-yet-verified key.
+    verified = driver_verified_keys()
+    if not verified:
+        pytest.skip("no CORRECTNESS_r*.json present")
+    ordered = list(driver_order(QUERIES))
+    n_unverified = len([k for k in ordered if k not in verified])
+    assert all(k in verified for k in ordered[n_unverified:])
+    assert "str_funcs" in verified and "agg_groupby_q1" in verified
