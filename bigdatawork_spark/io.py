@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import tune
 
@@ -23,10 +24,23 @@ _CACHE: dict[tuple, DataFrame] = {}
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The fixture generator has shipped events.ts both as TIMESTAMP(NANOS)
+        # (readable only as long under nanosAsLong) and as µs TIMESTAMP_NTZ —
+        # branch on the schema actually read so every vintage loads to the
+        # same µs TimestampType (session tz is UTC, so the NTZ cast is a
+        # value-preserving relabel).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div` (not /) — ns epoch values overflow double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # integer `div` (not /) — ns epoch values overflow double precision
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(dt, T.TimestampType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -34,10 +48,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.  Tunes the session on every call so the
     driver-owned session also gets UTC/AQE/shuffle settings.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
-    refuses to read natively: we read nanos as long and convert to a µs
-    timestamp with integer division (the data carries no sub-µs component —
-    measured — so this is lossless and matches DuckDB's µs TIMESTAMP).
+    ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) (read as long,
+    divided to µs — lossless, the data carries no sub-µs component) or as a
+    µs TIMESTAMP_NTZ (relabelled to TimestampType under the UTC session);
+    ``_read`` branches on the schema actually present so both vintages load
+    identically and match DuckDB's naive µs TIMESTAMP.
     """
     tune(spark)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
