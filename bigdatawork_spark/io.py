@@ -22,6 +22,18 @@ from .session import tune
 # DuckDB BASELINE was measured under (BASELINE.md).
 _CACHE: dict[tuple, DataFrame] = {}
 
+# (session id, sf_dir, name) -> DataFrame HANDLE (no .cache(), no data
+# pinned).  DataFrames are immutable, so handing the same object back is
+# semantically identical to re-reading — it just skips the per-load py4j
+# round trips (session tuning, parquet footer listing, schema inspection,
+# normalization), which are ~10 JVM calls per table and dominated measured
+# DataFrame-construction time (BASELINE.md round 3: 70–190 ms per query).
+_HANDLES: dict[tuple, DataFrame] = {}
+
+# Sessions already tuned — tune() costs one py4j round trip per conf entry,
+# and confs stick for the session's lifetime.
+_TUNED: set[int] = set()
+
 
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
 
@@ -77,8 +89,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one corpus table.  Tunes the session on every call so the
-    driver-owned session also gets UTC/AQE/shuffle settings.
+    """Read one corpus table.  Tunes the session on first contact so the
+    driver-owned session also gets UTC/AQE/shuffle settings; returns a
+    memoized immutable DataFrame handle on repeat calls.
 
     ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) (read as long,
     divided to µs — lossless, the data carries no sub-µs component) or as a
@@ -86,10 +99,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``_read`` branches on the schema actually present so both vintages load
     identically and match DuckDB's naive µs TIMESTAMP.
     """
-    tune(spark)
+    if id(spark) not in _TUNED:
+        tune(spark)
+        _TUNED.add(id(spark))
+    key = (id(spark), sf_dir, name)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        key = (id(spark), sf_dir, name)
         if key not in _CACHE:
             _CACHE[key] = _read(spark, sf_dir, name).cache()
         return _CACHE[key]
-    return _read(spark, sf_dir, name)
+    if key not in _HANDLES:
+        _HANDLES[key] = _read(spark, sf_dir, name)
+    return _HANDLES[key]
