@@ -63,11 +63,11 @@ def wordcount(spark, sf_dir):
     skew-split covers it, salting recipe in SURVEY §7.5."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
+        d.selectExpr("explode(split(lower(text), ' ')) as word")
+        .where("word != ''")
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "word")
+        .agg(F.expr("count(1) as n"))
+        .orderBy(F.desc("n"), "word")
         .limit(50)
     )
 

@@ -49,22 +49,25 @@ def agg_groupby_q1(spark, sf_dir):
     HashAggregate → single shuffle on 2 low-cardinality keys → final
     HashAggregate.  6 groups regardless of SF → scales to 100 TB with a
     tiny shuffle.
+
+    Aggregates are expr-strings: one JVM parse per expression instead of a
+    py4j round trip per Column operator — headline builders are timed with
+    construction included (BASELINE.md round-3 profiling), and the string
+    form halves build latency at identical plans.
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= timestamp'1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price, 4).alias("sum_disc_price"),
-            _dsum(charge, 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty"),
+            F.expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price"),
+            F.expr("cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) as sum_disc_price"),
+            F.expr("cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double) as sum_charge"),
+            F.expr("round(avg(l_quantity), 6) as avg_qty"),
+            F.expr("round(avg(l_extendedprice), 6) as avg_price"),
+            F.expr("round(avg(l_discount), 6) as avg_disc"),
+            F.expr("count(1) as count_order"),
         )
     )
 

@@ -46,7 +46,7 @@ def join_inner_shuffle(spark, sf_dir):
     anti-pattern only when neither side fits)."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+    return o.join(li, o.o_orderkey == li.l_orderkey).selectExpr(
         "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
     )
 
@@ -81,15 +81,13 @@ def join_multiway_q5(spark, sf_dir):
     left to the size-threshold/AQE planner: broadcast at test scale, shuffle
     join with AQE skew handling at cluster scale (VERDICT r01 item 4)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    o = load(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp'1996-01-01' and o_orderdate < timestamp'1997-01-01'"
     )
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = load(spark, sf_dir, "region").where("r_name = 'ASIA'")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -100,7 +98,12 @@ def join_multiway_q5(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(rev, 4).alias("revenue"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) as double) as revenue"
+            )
+        )
     )
 
 

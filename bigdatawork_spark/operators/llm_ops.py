@@ -31,9 +31,8 @@ def dedup_exact(spark, sf_dir):
     """Exact dedup: group by content hash, keep min doc_id.  The shuffle key
     is the 64-hex hash — constant width regardless of document size."""
     d = load(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    return d.groupBy(F.expr("sha2(text, 256) as text_hash")).agg(
+        F.expr("min(doc_id) as keep_id"), F.expr("count(1) as n_copies")
     )
 
 
@@ -213,35 +212,28 @@ def sim_cosine_topk(spark, sf_dir):
     baseline for ANN (sim_ann_lsh is the scale path).  Probe side broadcasts;
     the corpus is scanned once."""
     n = _normed_vectors(spark, sf_dir)
-    p = n.filter(F.col("vec_id") <= 5).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("e").alias("pe"),
-        F.col("nrm").alias("pnrm"),
+    p = n.where("vec_id <= 5").selectExpr(
+        "vec_id as probe_id", "e as pe", "nrm as pnrm"
     )
-    c = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cnrm"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(pe, ce, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
-    )
+    c = n.selectExpr("vec_id as neighbor_id", "e as ce", "nrm as cnrm")
     pairs = (
         F.broadcast(p)
         .crossJoin(c)
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", dot / (F.col("pnrm") * F.col("cnrm")))
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn"
+        .where("probe_id != neighbor_id")
+        .selectExpr(
+            "probe_id",
+            "neighbor_id",
+            "aggregate(zip_with(pe, ce, (x, y) -> x * y), cast(0.0 as double),"
+            " (a, x) -> a + x) / (pnrm * cnrm) as cos_raw",
         )
     )
+    return pairs.selectExpr(
+        "probe_id",
+        "neighbor_id",
+        "round(cos_raw, 6) as cos_sim",
+        "row_number() over (partition by probe_id"
+        " order by cos_raw desc, neighbor_id) as rn",
+    ).where("rn <= 5")
 
 
 @register("sim_ann_lsh")  # rows-only: LSH bucketing is engine-specific
@@ -469,30 +461,24 @@ def tfidf_keywords(spark, sf_dir):
     (A count-window over word was measured faster locally but puts every
     row of a stopword in ONE task — rejected for skew.)"""
     d = load(spark, sf_dir, "documents")
-    n_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
-        F.col("word") != ""
+    n_df = d.selectExpr("cast(count(1) as double) as n_docs")
+    tok = d.selectExpr("doc_id", "explode(split(text, ' ')) as word").where(
+        "word != ''"
     )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = tok.groupBy("doc_id", "word").agg(F.expr("count(1) as tf")).cache()
     # tf has one row per (doc, word) → count(*) per word IS the doc frequency
-    df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    df_tab = tf.groupBy("word").agg(F.expr("count(1) as df"))
     scored = (
         tf.join(df_tab, "word")
         .crossJoin(F.broadcast(n_df))
-        .select(
-            "doc_id",
-            "word",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("score"),
-        )
+        .selectExpr("doc_id", "word", "round(tf * ln(n_docs / df), 6) as score")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "word", "score", "rn")
-    )
+    return scored.selectExpr(
+        "doc_id",
+        "word",
+        "score",
+        "row_number() over (partition by doc_id order by score desc, word) as rn",
+    ).where("rn <= 3")
 
 
 @register(

@@ -59,21 +59,21 @@ def limit_topk_q3(spark, sf_dir):
     Revenue summed exactly in decimal so the top-10 cut is identical across
     engines.  Tiebreak on l_orderkey makes LIMIT deterministic (§5.3.3).
     """
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    c = load(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = load(spark, sf_dir, "orders").where("o_orderdate < timestamp'1998-01-01'")
+    li = load(spark, sf_dir, "lineitem").where("l_shipdate > timestamp'1998-01-01'")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_dsum(rev, 4).alias("revenue"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) as double) as revenue"
+            )
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 

@@ -25,8 +25,11 @@ FROM events
 def win_row_number(spark, sf_dir):
     """Per-user event sequence."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select("event_id", "user_id", F.row_number().over(w).alias("seq"))
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "row_number() over (partition by user_id order by ts, event_id) as seq",
+    )
 
 
 @register(
@@ -256,17 +259,12 @@ def win_time_tumbling(spark, sf_dir):
     stream_tumbling)."""
     ev = load(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.expr("window(ts, '1 hour') as w"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.expr("count(1) as n_events"),
+            F.expr("round(sum(value), 6) as total_value"),
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+        .selectExpr("w.start as window_start", "event_type", "n_events", "total_value")
     )
 
 
