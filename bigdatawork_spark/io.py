@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schemas import SCHEMAS
-from .session import tune
+from .session import ensure_tuned
 
 # (session id, sf_dir, name) -> cached DataFrame, populated only when
 # SPARK_GRAFT_CACHE=1 (bench mode): one batch reads each hot table once
@@ -30,9 +30,6 @@ _CACHE: dict[tuple, DataFrame] = {}
 # DataFrame-construction time (BASELINE.md round 3: 70–190 ms per query).
 _HANDLES: dict[tuple, DataFrame] = {}
 
-# Sessions already tuned — tune() costs one py4j round trip per conf entry,
-# and confs stick for the session's lifetime.
-_TUNED: set[int] = set()
 
 
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
@@ -99,9 +96,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``_read`` branches on the schema actually present so both vintages load
     identically and match DuckDB's naive µs TIMESTAMP.
     """
-    if id(spark) not in _TUNED:
-        tune(spark)
-        _TUNED.add(id(spark))
+    ensure_tuned(spark)
     key = (id(spark), sf_dir, name)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
         if key not in _CACHE:

@@ -42,6 +42,21 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_TUNED: set[int] = set()
+
+
+def ensure_tuned(spark: SparkSession) -> SparkSession:
+    """tune() once per session — each conf.set is a py4j round trip, and the
+    confs stick for the session's lifetime.  Used by io.load AND the
+    __spark_entry__ query wrappers, so even a builder that synthesizes its
+    data inline (no table load) runs under UTC/AQE/shuffle settings when the
+    driver order puts it first."""
+    if id(spark) not in _TUNED:
+        tune(spark)
+        _TUNED.add(id(spark))
+    return spark
+
+
 def get_spark(app_name: str = "bigdatawork-spark", cpus: int | str | None = None) -> SparkSession:
     """One tuned local session.  Session startup is ~12 s (BASELINE.md) —
     always share a single session across a test run / bench batch."""
