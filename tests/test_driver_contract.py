@@ -137,3 +137,21 @@ def test_driver_order_rotates_on_round1_results():
     n_unverified = len([k for k in ordered if k not in verified])
     assert all(k in verified for k in ordered[n_unverified:])
     assert "str_funcs" in verified and "agg_groupby_q1" in verified
+
+
+def test_entry_queries_tune_a_foreign_session(spark):
+    """The driver owns its session; queries() callables must apply the
+    UTC/AQE/shuffle confs before the first builder runs even when that
+    builder never touches io.load (round-3 ensure_tuned wrapper)."""
+    import __spark_entry__ as entry_mod
+    from bigdatawork_spark import session as sess
+
+    # simulate a fresh, never-tuned session without paying a JVM start:
+    # drop this session from the tuned memo and deviate one conf.
+    sess._TUNED.discard(id(spark))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    q = entry_mod.queries()
+    # source_inline synthesizes data without loading any corpus table
+    from tests.conftest import SF_DIR
+    q["source_inline"](spark, SF_DIR).collect()
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
