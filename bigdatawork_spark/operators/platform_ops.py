@@ -631,3 +631,39 @@ def incremental_join_maintenance(spark, sf_dir):
         .cast("double")
         .alias("sum_l"),
     )
+
+
+@register(
+    "dq_skew_profile",
+    oracle="""
+WITH freq AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       ROUND(AVG(c), 6) AS avg_freq,
+       ROUND(quantile_cont(c, 0.5), 6) AS p50_freq,
+       ROUND(quantile_cont(c, 0.99), 6) AS p99_freq,
+       ROUND(MAX(c) / AVG(c), 6) AS skew_ratio
+FROM freq
+""",
+)
+def dq_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the measurement you run BEFORE choosing a
+    strategy (plain shuffle vs AQE skew-join vs salting, join_salted_skew)
+    for a 100 TB join.  Two keyed aggregations: per-key frequency (|keys|
+    rows, the same shuffle the join itself would do) then a global scalar
+    profile of that frequency distribution (key count, max/avg/p50/p99
+    frequency, max-to-mean skew ratio).  Output is O(1) regardless of
+    corpus size; skew_ratio >> 1 on the driver's dashboard is the salting
+    trigger.  REF:∅ (SURVEY §2 extras; platform tooling)."""
+    ev = load(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.expr("count(1) as c"))
+    return freq.agg(
+        F.expr("cast(count(1) as bigint) as n_keys"),
+        F.expr("cast(sum(c) as bigint) as n_rows"),
+        F.expr("cast(max(c) as bigint) as max_freq"),
+        F.expr("round(avg(c), 6) as avg_freq"),
+        F.expr("round(percentile(c, 0.5), 6) as p50_freq"),
+        F.expr("round(percentile(c, 0.99), 6) as p99_freq"),
+        F.expr("round(max(c) / avg(c), 6) as skew_ratio"),
+    )
