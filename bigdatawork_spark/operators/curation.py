@@ -615,3 +615,47 @@ def dq_referential_audit(spark, sf_dir):
         .unionByName(orphans("customer_without_order", c, o, "c_custkey", "o_custkey"))
         .orderBy("relation")
     )
+
+
+@register(
+    "split_train_holdout",
+    oracle="""
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM tagged
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment from an id-hash —
+    the canonical pre-training split.  The split is a pure function of
+    doc_id (md5 hex-prefix thresholds: 0.9*65536=0xe666, 0.95*65536=0xf333,
+    compared as strings so Spark and DuckDB agree byte-for-byte), so
+    appending data never reassigns old rows, any engine reproduces the
+    same split, and per-source proportions hold automatically because the
+    hash is uniform within each source.  Map-only labeling (no shuffle);
+    only the audit aggregate emitted here shuffles — O(sources×3) rows at
+    any corpus size.  REF:∅ (SURVEY §2-K neighborhood; training pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.selectExpr(
+        "source",
+        "n_chars",
+        "CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'e666' THEN 'train'"
+        " WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'f333' THEN 'val'"
+        " ELSE 'test' END AS split",
+    )
+    return (
+        tagged.groupBy("source", "split")
+        .agg(
+            F.expr("count(1) as n_docs"),
+            F.expr("cast(sum(n_chars) as bigint) as n_chars"),
+        )
+        .orderBy("source", "split")
+    )
