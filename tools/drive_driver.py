@@ -15,7 +15,7 @@ import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
 
