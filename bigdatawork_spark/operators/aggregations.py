@@ -329,7 +329,11 @@ def agg_approx_percentile(spark, sf_dir):
 
     rows-only: quantile-summary implementations are engine-specific
     (DuckDB approx_quantile uses t-digest); tests/test_edge_cases.py
-    bounds each estimate against the exact percentile instead."""
+    bounds each estimate against the exact percentile instead.
+
+    Output is projected to SCALAR p50/p90/p99 columns (not one array
+    column): the driver's canonicalizer sorts result frames column-wise
+    and cannot hash/factorize array cells (CORRECTNESS_r03 red row)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -339,6 +343,12 @@ def agg_approx_percentile(spark, sf_dir):
                 F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
                 F.lit(1000),
             ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -358,8 +368,11 @@ def agg_heavy_hitters(spark, sf_dir):
     against exact frequencies."""
     ev = load(spark, sf_dir, "events")
     hits = ev.select("event_type").stat.freqItems(["event_type"], 0.15)
+    # Stringified (not array-typed) so the driver canonicalizer can hash it.
     return hits.select(
-        F.sort_array(F.col("event_type_freqItems")).alias("frequent_types")
+        F.concat_ws(",", F.sort_array(F.col("event_type_freqItems"))).alias(
+            "frequent_types"
+        )
     )
 
 

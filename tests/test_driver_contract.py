@@ -77,8 +77,12 @@ R01_GREEN = frozenset(
 )
 
 
-@pytest.mark.parametrize("key", sorted(ORACLES))
+@pytest.mark.parametrize("key", sorted(QUERIES))
 def test_oracled_output_is_scalar_only(key, spark, sf_dir):
+    # Swept over ALL registry keys, not just ORACLES: the driver collects and
+    # canonicalizes rows-only keys too (CORRECTNESS_r03 `agg_approx_percentile`
+    # crashed despite being rows-only — the oracled-only sweep was a blind
+    # spot).
     df = QUERIES[key](spark, sf_dir)
     for f in df.schema.fields:
         assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (

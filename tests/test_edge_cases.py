@@ -162,7 +162,7 @@ def test_approx_percentile_bounds_error(spark, sf_dir):
         .collect()
     }
     got = {
-        r["l_returnflag"]: r["pcts"]
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
     for flag, (p50, p90, p99) in got.items():
@@ -188,7 +188,9 @@ def test_heavy_hitters_no_false_negatives(spark, sf_dir):
     }
     assert truly_frequent  # corpus has ~5 types at ~20% each
     got = set(
-        QUERIES["agg_heavy_hitters"](spark, sf_dir).collect()[0]["frequent_types"]
+        QUERIES["agg_heavy_hitters"](spark, sf_dir)
+        .collect()[0]["frequent_types"]
+        .split(",")
     )
     assert truly_frequent <= got, (truly_frequent, got)
 
