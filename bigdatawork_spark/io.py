@@ -16,19 +16,36 @@ from pyspark.sql import types as T
 from .schemas import SCHEMAS
 from .session import ensure_tuned
 
-# (session id, sf_dir, name) -> cached DataFrame, populated only when
+# Both memo stores live ON the SparkSession object (attribute dicts keyed
+# by (sf_dir, name)), not in an id(spark)-keyed module dict: a recycled
+# CPython id after session GC would hand back DataFrame handles bound to a
+# dead JVM session (ADVICE r03).  Object-attached state dies with the
+# session, so aliasing is impossible.
+#
+# _CACHE_ATTR: .cache()'d DataFrames, populated only when
 # SPARK_GRAFT_CACHE=1 (bench mode): one batch reads each hot table once
 # into the columnar in-memory store, mirroring the warm-cache protocol the
 # DuckDB BASELINE was measured under (BASELINE.md).
-_CACHE: dict[tuple, DataFrame] = {}
-
-# (session id, sf_dir, name) -> DataFrame HANDLE (no .cache(), no data
-# pinned).  DataFrames are immutable, so handing the same object back is
+#
+# _HANDLES_ATTR: plain DataFrame HANDLES (no .cache(), no data pinned).
+# DataFrames are immutable, so handing the same object back is
 # semantically identical to re-reading — it just skips the per-load py4j
 # round trips (session tuning, parquet footer listing, schema inspection,
 # normalization), which are ~10 JVM calls per table and dominated measured
 # DataFrame-construction time (BASELINE.md round 3: 70–190 ms per query).
-_HANDLES: dict[tuple, DataFrame] = {}
+_CACHE_ATTR = "_bigdatawork_table_cache"
+_HANDLES_ATTR = "_bigdatawork_table_handles"
+
+
+def _session_store(spark: SparkSession, attr: str) -> dict:
+    store = getattr(spark, attr, None)
+    if store is None:
+        store = {}
+        try:
+            setattr(spark, attr, store)
+        except Exception:
+            pass  # un-taggable session: degrade to re-reading per call
+    return store
 
 
 
@@ -55,6 +72,22 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
         if have == f.dataType:
             continue
         if isinstance(have, _TS_TYPES) and isinstance(f.dataType, _TS_TYPES):
+            continue
+        if isinstance(have, T.LongType) and isinstance(f.dataType, _TS_TYPES):
+            # A plain long->timestamp CAST means epoch SECONDS to Spark, so a
+            # future vintage shipping nanos/micros/millis-as-long here would
+            # silently produce garbage dates (ADVICE r03).  Detect the epoch
+            # unit by magnitude instead — unambiguous for any date between
+            # 1973 and 2262: seconds ~1e9, millis ~1e12, micros ~1e15,
+            # nanos ~1e18.
+            c = F.col(f.name)
+            df = df.withColumn(
+                f.name,
+                F.when(c >= F.lit(10**17), F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+                .when(c >= F.lit(10**14), F.timestamp_micros(c))
+                .when(c >= F.lit(10**11), F.timestamp_millis(c))
+                .otherwise(F.timestamp_seconds(c)),
+            )
             continue
         df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return df
@@ -97,11 +130,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identically and match DuckDB's naive µs TIMESTAMP.
     """
     ensure_tuned(spark)
-    key = (id(spark), sf_dir, name)
+    key = (sf_dir, name)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        if key not in _CACHE:
-            _CACHE[key] = _read(spark, sf_dir, name).cache()
-        return _CACHE[key]
-    if key not in _HANDLES:
-        _HANDLES[key] = _read(spark, sf_dir, name)
-    return _HANDLES[key]
+        cache = _session_store(spark, _CACHE_ATTR)
+        if key not in cache:
+            cache[key] = _read(spark, sf_dir, name).cache()
+        return cache[key]
+    handles = _session_store(spark, _HANDLES_ATTR)
+    if key not in handles:
+        handles[key] = _read(spark, sf_dir, name)
+    return handles[key]

@@ -655,7 +655,14 @@ def dq_skew_profile(spark, sf_dir):
     profile of that frequency distribution (key count, max/avg/p50/p99
     frequency, max-to-mean skew ratio).  Output is O(1) regardless of
     corpus size; skew_ratio >> 1 on the driver's dashboard is the salting
-    trigger.  REF:∅ (SURVEY §2 extras; platform tooling)."""
+    trigger.  REF:∅ (SURVEY §2 extras; platform tooling).
+
+    Scale note (ADVICE r03): the exact ``percentile()`` aggregate buffers
+    every per-key frequency in ONE aggregation buffer — fine at test SF and
+    kept for oracle parity with DuckDB ``quantile_cont``, but at 100 TB
+    (billions of distinct keys) swap the two percentile expressions for
+    ``approx_percentile(c, array(0.5, 0.99), 1000)`` — constant-memory
+    mergeable summaries, same output columns."""
     ev = load(spark, sf_dir, "events")
     freq = ev.groupBy("user_id").agg(F.expr("count(1) as c"))
     return freq.agg(

@@ -42,7 +42,11 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_TUNED: set[int] = set()
+# Sentinel attribute set on the SparkSession OBJECT (not an id()-keyed
+# module set): after a stopped session is GC'd, CPython can recycle its id
+# for a new session, which would then silently skip tuning (ADVICE r03).
+# Tagging the object itself dies with the object, so aliasing is impossible.
+_TUNED_ATTR = "_bigdatawork_tuned"
 
 
 def ensure_tuned(spark: SparkSession) -> SparkSession:
@@ -51,9 +55,12 @@ def ensure_tuned(spark: SparkSession) -> SparkSession:
     __spark_entry__ query wrappers, so even a builder that synthesizes its
     data inline (no table load) runs under UTC/AQE/shuffle settings when the
     driver order puts it first."""
-    if id(spark) not in _TUNED:
+    if not getattr(spark, _TUNED_ATTR, False):
         tune(spark)
-        _TUNED.add(id(spark))
+        try:
+            setattr(spark, _TUNED_ATTR, True)
+        except Exception:
+            pass  # un-taggable session object: re-tune per call (idempotent)
     return spark
 
 

@@ -151,11 +151,19 @@ def test_entry_queries_tune_a_foreign_session(spark):
     from bigdatawork_spark import session as sess
 
     # simulate a fresh, never-tuned session without paying a JVM start:
-    # drop this session from the tuned memo and deviate one conf.
-    sess._TUNED.discard(id(spark))
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    q = entry_mod.queries()
-    # source_inline synthesizes data without loading any corpus table
-    from tests.conftest import SF_DIR
-    q["source_inline"](spark, SF_DIR).collect()
-    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # clear the tuned sentinel and deviate one conf.  try/finally restores
+    # UTC even if the collect fails — otherwise every later test in the
+    # shared session runs under the wrong timezone (ADVICE r03).
+    try:
+        if hasattr(spark, sess._TUNED_ATTR):
+            delattr(spark, sess._TUNED_ATTR)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        q = entry_mod.queries()
+        # source_inline synthesizes data without loading any corpus table
+        from tests.conftest import SF_DIR
+
+        q["source_inline"](spark, SF_DIR).collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sess.ensure_tuned(spark)

@@ -96,3 +96,37 @@ def test_matching_schema_adds_no_projection(spark, sf_dir):
 
     lines = pushed_filters(QUERIES["agg_groupby_q1"](spark, sf_dir))
     assert any("l_shipdate" in l for l in lines), lines
+
+
+def test_long_timestamp_vintage_detects_epoch_unit(spark):
+    """_normalize must NOT plain-cast long->timestamp (Spark reads that as
+    epoch SECONDS — silent garbage for a nanos/micros/millis-as-long vintage,
+    ADVICE r03).  The magnitude detector maps each epoch unit to the same
+    instant."""
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.io import _normalize
+
+    instant = datetime.datetime(2024, 1, 2, 6, 30, 15, 123456)
+    epoch_us = int(instant.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    cases = {
+        "nanos": epoch_us * 1000,
+        "micros": epoch_us,
+        "millis": epoch_us // 1000,
+        "seconds": epoch_us // 1_000_000,
+    }
+    for unit, val in cases.items():
+        df = spark.range(1).select(
+            F.lit(1).alias("event_id"),
+            F.lit(val).cast("long").alias("ts"),
+            F.lit(10).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        out = _normalize(df, "events")
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType), unit
+        got = out.select("ts").collect()[0]["ts"]
+        trunc = {"nanos": 1, "micros": 1, "millis": 1000, "seconds": 1_000_000}[unit]
+        want = instant.replace(microsecond=instant.microsecond // trunc * trunc)
+        assert got == want, (unit, got, want)
