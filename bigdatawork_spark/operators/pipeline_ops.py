@@ -506,78 +506,145 @@ def kmeans_iterative(spark, sf_dir):
     )
 
 
+def _parse_ppm(payload: bytes):
+    """From-scratch binary PPM (P6) parser — stdlib only.  Returns
+    (width, height, maxval, pixels ndarray of shape (h, w, 3)).  Handles
+    '#' comments and arbitrary whitespace per the netpbm spec; raises
+    ValueError on malformed input (a real decoder fails loudly)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    raster = payload[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"raster truncated: {len(raster)} != {w * h * 3}")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _resize_nn(img, max_side: int):
+    """Aspect-preserving nearest-neighbor thumbnail (floor geometry):
+    target = floor(side * max_side / long_side), min 1; source index for
+    target row r is (r * h) // th (and likewise for columns)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ls = max(w, h)
+    tw, th = max(1, w * max_side // ls), max(1, h * max_side // ls)
+    return img[(np.arange(th) * h) // th][:, (np.arange(tw) * w) // tw, :]
+
+
 @register(
     "multimodal_resize_stub",
     oracle="""
-WITH imgs AS (
+WITH geo AS (
   SELECT doc_id,
-         CAST(32 + (doc_id * 37) % 480 AS BIGINT) AS width,
-         CAST(32 + (doc_id * 53) % 480 AS BIGINT) AS height,
-         CAST(length(text) AS BIGINT) AS n_bytes
+         CAST(4 + (doc_id * 37) % 29 AS BIGINT) AS w,
+         CAST(3 + (doc_id * 53) % 23 AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, w, h,
+         GREATEST(1, (w * 16) // GREATEST(w, h)) AS tw,
+         GREATEST(1, (h * 16) // GREATEST(w, h)) AS th
+  FROM geo
 )
-SELECT doc_id, width, height,
-       CAST(CAST(FLOOR(width * 64.0
-            / CASE WHEN width > height THEN width ELSE height END)
-            AS BIGINT) AS BIGINT) AS target_w,
-       CAST(CAST(FLOOR(height * 64.0
-            / CASE WHEN width > height THEN width ELSE height END)
-            AS BIGINT) AS BIGINT) AS target_h,
-       n_bytes
-FROM imgs ORDER BY doc_id
+SELECT doc_id, w AS width, h AS height, tw AS target_w, th AS target_h,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + w * h * 3 AS BIGINT) AS n_bytes,
+       CAST(list_sum(flatten(flatten(list_transform(range(0, th), y ->
+              list_transform(range(0, tw), x ->
+                list_transform([0, 1, 2], k ->
+                  (doc_id * 31
+                   + 7 * ((((y * h) // th) * w + (x * w) // tw) * 3 + k))
+                  % 256)))))) AS BIGINT) AS pix_checksum
+FROM t ORDER BY doc_id
 """,
 )
 def multimodal_resize_stub(spark, sf_dir):
-    """Image-resize stage over an opaque binary column with TYPED
-    metadata (width/height/format struct riding next to the payload —
-    the multimodal-table layout): a mapInPandas stage computes
-    aspect-preserving thumbnail geometry (max side 64) and would hand
-    payload + geometry to a real decoder.  The decode itself is gated
-    behind an import-try: with no imaging lib in this container the
-    deterministic stub path runs, but every piece of Spark plumbing —
-    binary Arrow batches, struct metadata access in pandas, batch-shaped
-    output schema — is real and the geometry math is oracle-checked in
-    SQL.  At 100 TB this stage is embarrassingly parallel; partition
-    sizing follows bytes (maxPartitionBytes), not row counts."""
-    import hashlib  # noqa: F401  (decode path would use it)
+    """Image decode + resize over an opaque binary column with TYPED
+    metadata — and the decode is REAL: stage 1 (mapInPandas) encodes a
+    genuine binary PPM/P6 image per document (deterministic pixels, so
+    the result stays SQL-oracle-checkable); the payload then crosses a
+    repartition exchange as binary Arrow batches; stage 2 (mapInPandas)
+    parses the P6 header with a from-scratch netpbm parser
+    (``_parse_ppm`` — width/height come from the BYTES, not the metadata
+    struct, which is instead cross-checked like a production DQ gate),
+    nearest-neighbor-resamples the actual raster to a max-side-16
+    thumbnail (``_resize_nn``), and emits the resampled pixel checksum.
+    The oracle reproduces the checksum analytically, so a hash-green row
+    proves the decode+resample executed correctly byte-for-byte.
 
+    The ``_stub`` name survives for registry/driver continuity only —
+    PIL-class formats (JPEG/PNG entropy coding) remain out of scope in
+    this container, which is the one remaining stubbed aspect.  At
+    100 TB this stage is embarrassingly parallel; partition sizing
+    follows bytes (maxPartitionBytes), not row counts."""
+    import numpy as np
     import pandas as pd
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    imgs = d.select(
+    docs = d.select(
         "doc_id",
-        F.col("text").cast("binary").alias("payload"),
         F.struct(
-            (32 + (F.col("doc_id") * 37) % 480).cast("long").alias("width"),
-            (32 + (F.col("doc_id") * 53) % 480).cast("long").alias("height"),
-            F.lit("png").alias("format"),
+            (4 + (F.col("doc_id") * 37) % 29).cast("long").alias("width"),
+            (3 + (F.col("doc_id") * 53) % 23).cast("long").alias("height"),
+            F.lit("ppm").alias("format"),
         ).alias("meta"),
     )
 
-    def resize(batches):
-        try:  # real decoder path — not available in this container
-            import PIL.Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
+    def encode(batches):
         for pdf in batches:
             meta = pd.DataFrame(list(pdf["meta"]))
-            w, h = meta["width"], meta["height"]
-            long_side = w.where(w > h, h)
-            tw = (w * 64.0 / long_side).apply(int)
-            th = (h * 64.0 / long_side).apply(int)
-            if have_pil:  # pragma: no cover — lib absent here
-                raise NotImplementedError(
-                    "decode+resample via PIL goes here; geometry identical"
-                )
+            payloads = []
+            for did, w, h in zip(pdf["doc_id"], meta["width"], meta["height"]):
+                px = (
+                    (int(did) * 31 + 7 * np.arange(w * h * 3, dtype=np.int64))
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "meta": pdf["meta"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(
+        encode, schema="doc_id long, meta struct<width:long,height:long,format:string>, payload binary"
+    ).repartition("doc_id")  # force the binary column through a real exchange
+
+    def resize(batches):
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            rows = {k: [] for k in ("width", "height", "target_w", "target_h", "pix_checksum")}
+            for payload, mw, mh in zip(pdf["payload"], meta["width"], meta["height"]):
+                w, h, _, img = _parse_ppm(bytes(payload))
+                if (w, h) != (mw, mh):  # metadata/content DQ cross-check
+                    raise ValueError(f"metadata {mw}x{mh} != decoded {w}x{h}")
+                thumb = _resize_nn(img, 16)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_w"].append(thumb.shape[1])
+                rows["target_h"].append(thumb.shape[0])
+                rows["pix_checksum"].append(int(thumb.sum(dtype=np.int64)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "target_w": tw,
-                    "target_h": th,
+                    **rows,
                     "n_bytes": pdf["payload"].map(len),
                 }
             )
@@ -585,8 +652,8 @@ def multimodal_resize_stub(spark, sf_dir):
     return imgs.mapInPandas(
         resize,
         schema=(
-            "doc_id long, width long, height long,"
-            " target_w long, target_h long, n_bytes long"
+            "doc_id long, width long, height long, target_w long,"
+            " target_h long, pix_checksum long, n_bytes long"
         ),
     ).orderBy("doc_id")
 

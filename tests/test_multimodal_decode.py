@@ -1,0 +1,86 @@
+"""Real-decode path of multimodal_resize_stub (VERDICT r03 item 7).
+
+The operator's decode is no longer a fake: a from-scratch binary PPM (P6)
+parser reads width/height from the payload BYTES and the resampler moves
+actual raster pixels.  These tests pin the parser against hand-written
+images (including netpbm edge cases: comments, multi-digit dims, malformed
+input) and the resampler against a hand-computed nearest-neighbor result,
+independent of the Spark pipeline; the SQL oracle then proves the same
+arithmetic end-to-end through mapInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdatawork_spark.operators.pipeline_ops import _parse_ppm, _resize_nn
+
+
+def _ppm(w, h, raster, header=None):
+    return (header or b"P6\n%d %d\n255\n" % (w, h)) + raster
+
+
+def test_parse_ppm_roundtrip():
+    raster = bytes(range(2 * 3 * 3))  # 2x3 image, distinct byte per cell
+    w, h, maxval, img = _parse_ppm(_ppm(2, 3, raster))
+    assert (w, h, maxval) == (2, 3, 255)
+    assert img.shape == (3, 2, 3) and img.dtype == np.uint8
+    assert img.tobytes() == raster
+
+
+def test_parse_ppm_comments_and_whitespace():
+    # netpbm allows comments and arbitrary whitespace between header fields
+    header = b"P6 # rgb thumb\n# full-line comment\n 12\t9 # dims\n255\n"
+    raster = bytes((i * 5) % 256 for i in range(12 * 9 * 3))
+    w, h, maxval, img = _parse_ppm(header + raster)
+    assert (w, h, maxval) == (12, 9, 255)
+    assert img.tobytes() == raster
+
+
+@pytest.mark.parametrize(
+    "payload, msg",
+    [
+        (b"P5\n2 2\n255\n" + b"\0" * 12, "not a P6"),
+        (b"P6\n2 2\n65535\n" + b"\0" * 24, "16-bit"),
+        (b"P6\n4 4\n255\n" + b"\0" * 5, "truncated"),
+        (b"P6\n2", "truncated"),
+    ],
+)
+def test_parse_ppm_malformed_raises(payload, msg):
+    with pytest.raises(ValueError, match=msg):
+        _parse_ppm(payload)
+
+
+def test_resize_nn_hand_computed():
+    # 4x2 image downsized to max side 2: tw=2, th=1; src cols = [0, 2],
+    # src row = [0] — nearest-neighbor floor indexing
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = _resize_nn(img, 2)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == img[0, 0].tolist()
+    assert out[0, 1].tolist() == img[0, 2].tolist()
+
+
+def test_resize_nn_never_zero_dim():
+    img = np.zeros((1, 100, 3), dtype=np.uint8)  # extreme aspect ratio
+    out = _resize_nn(img, 16)
+    assert out.shape == (1, 16, 3)
+
+
+def test_operator_checksum_matches_decode(spark, sf_dir):
+    """End-to-end: re-derive one document's checksum outside Spark from the
+    same deterministic raster and compare with the operator's output row."""
+    from bigdatawork_spark.registry import QUERIES
+
+    row = QUERIES["multimodal_resize_stub"](spark, sf_dir).limit(1).collect()[0]
+    did, w, h = row["doc_id"], row["width"], row["height"]
+    px = ((did * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
+        np.uint8
+    )
+    pw, ph, _, img = _parse_ppm(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+    assert (pw, ph) == (w, h)
+    thumb = _resize_nn(img, 16)
+    assert row["target_w"] == thumb.shape[1]
+    assert row["target_h"] == thumb.shape[0]
+    assert row["pix_checksum"] == int(thumb.sum(dtype=np.int64))
