@@ -378,58 +378,132 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
+def _decode_wav(payload: bytes):
+    """Real RIFF/WAV decode via the stdlib ``wave`` module.  Returns
+    (framerate, samples ndarray of int16-as-int64).  Mono 16-bit PCM only
+    (what the encoder stage emits); raises on anything else."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+            raise ValueError(
+                f"expected mono 16-bit PCM, got {wf.getnchannels()}ch "
+                f"{wf.getsampwidth() * 8}-bit"
+            )
+        frames = wf.readframes(wf.getnframes())
+        return wf.getframerate(), np.frombuffer(frames, dtype="<i2").astype(
+            np.int64
+        )
+
+
 @register(
     "multimodal_extract_stub",
     oracle="""
+WITH audio AS (
+  SELECT doc_id,
+         CAST(64 + doc_id % 97 AS BIGINT) AS n,
+         list_transform(range(0, CAST(64 + doc_id % 97 AS INTEGER)),
+                        i -> (doc_id * 13 + i * 11) % 65536 - 32768) AS s
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
-       md5(text) AS content_md5,
-       ascii(substring(text, 1, 1)) AS first_byte,
-       ascii(substring(text, CAST(length(text) // 2 AS INTEGER) + 1, 1)) AS mid_byte,
-       ascii(substring(text, length(text), 1)) AS last_byte
-FROM documents
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       n AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+       CAST(list_sum(list_transform(s, x -> abs(x))) // n AS BIGINT)
+         AS mean_abs,
+       CAST(s[1] AS BIGINT) AS first_sample,
+       CAST(s[n] AS BIGINT) AS last_sample
+FROM audio
 ORDER BY doc_id
 """,
 )
 def multimodal_extract_stub(spark, sf_dir):
-    """Multimodal-column plumbing: an opaque ``binary`` payload column is
-    carried through ``mapInPandas`` and "decoded" by a deterministic stub
-    (real decode would call an image/audio lib here — not in this
-    container; see SURVEY §2-K / prompt note).  The Spark-side plumbing is
-    real: binary Arrow batches, schema, partition-parallel extraction.
-    Emits byte length, content digest, and 3 sampled bytes ("frame
-    sample")."""
-    import hashlib
+    """Audio feature extraction over an opaque ``binary`` column — with a
+    REAL codec decode: stage 1 encodes each document as a genuine RIFF/WAV
+    container (mono 16-bit PCM at 8 kHz, deterministic samples, written by
+    the stdlib ``wave`` module), the payload crosses a repartition
+    exchange as binary Arrow batches, and stage 2 decodes the actual
+    container back through ``wave`` (``_decode_wav`` — sample rate, frame
+    count, and PCM values all come from the BYTES) and extracts loudness
+    features: peak amplitude, integer mean absolute amplitude, duration.
+    The hash-green oracle recomputes every feature from the analytic
+    sample formula, proving the container round-trip decoded each PCM
+    frame exactly.  The ``_stub`` name survives for registry continuity —
+    compressed codecs (MP3/AAC/Opus) remain out of scope in this
+    container.  Scale: embarrassingly parallel; payloads never reach the
+    driver."""
+    import io
+    import wave
 
+    import numpy as np
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id"
     )
 
-    def decode_stub(batches):
-        # STUB: stands in for image/audio decode + frame sampling.  The
-        # deterministic fake reads real bytes from the binary column.
+    def encode(batches):
         for pdf in batches:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
-                    "content_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "first_byte": payloads.map(lambda b: b[0]),
-                    "mid_byte": payloads.map(lambda b: b[len(b) // 2]),
-                    "last_byte": payloads.map(lambda b: b[-1]),
-                }
-            )
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 97
+                pcm = (
+                    (did * 13 + 11 * np.arange(n, dtype=np.int64)) % 65536 - 32768
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return d.mapInPandas(
-        decode_stub,
+    audio = d.mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    ).repartition("doc_id")
+
+    def extract(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "n_bytes",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_ms",
+                    "peak_abs",
+                    "mean_abs",
+                    "first_sample",
+                    "last_sample",
+                )
+            }
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                sr, s = _decode_wav(b)
+                out["n_bytes"].append(len(b))
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(sr)
+                out["duration_ms"].append(len(s) * 1000 // sr)
+                out["peak_abs"].append(int(np.abs(s).max()))
+                out["mean_abs"].append(int(np.abs(s).sum() // len(s)))
+                out["first_sample"].append(int(s[0]))
+                out["last_sample"].append(int(s[-1]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return audio.mapInPandas(
+        extract,
         schema=(
-            "doc_id long, n_bytes long, content_md5 string, "
-            "first_byte int, mid_byte int, last_byte int"
+            "doc_id long, n_bytes long, n_samples long, sample_rate long,"
+            " duration_ms long, peak_abs long, mean_abs long,"
+            " first_sample long, last_sample long"
         ),
     ).orderBy("doc_id")
 
@@ -506,16 +580,18 @@ def kmeans_iterative(spark, sf_dir):
     )
 
 
-def _parse_ppm(payload: bytes):
-    """From-scratch binary PPM (P6) parser — stdlib only.  Returns
-    (width, height, maxval, pixels ndarray of shape (h, w, 3)).  Handles
-    '#' comments and arbitrary whitespace per the netpbm spec; raises
-    ValueError on malformed input (a real decoder fails loudly)."""
+def _parse_ppm_at(payload: bytes, pos: int = 0):
+    """From-scratch binary PPM (P6) parser — stdlib only.  Parses one image
+    starting at ``pos``; returns (width, height, maxval, pixels ndarray of
+    shape (h, w, 3), next_pos).  Handles '#' comments and arbitrary
+    whitespace per the netpbm spec; raises ValueError on malformed input
+    (a real decoder fails loudly).  ``next_pos`` supports multi-image
+    netpbm streams (the spec allows concatenated images in one file)."""
     import numpy as np
 
-    if payload[:2] != b"P6":
-        raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
-    pos, fields = 2, []
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {payload[pos : pos + 2]!r}")
+    pos, fields = pos + 2, []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -536,7 +612,24 @@ def _parse_ppm(payload: bytes):
     raster = payload[pos : pos + w * h * 3]
     if len(raster) != w * h * 3:
         raise ValueError(f"raster truncated: {len(raster)} != {w * h * 3}")
-    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, maxval, img, pos + w * h * 3
+
+
+def _parse_ppm(payload: bytes):
+    """Single-image convenience wrapper over ``_parse_ppm_at``."""
+    w, h, maxval, img, _ = _parse_ppm_at(payload)
+    return w, h, maxval, img
+
+
+def _iter_ppm_stream(payload: bytes):
+    """Yield (width, height, pixels) for every image in a concatenated
+    netpbm P6 stream — the multi-frame container format the spec allows
+    ('a file can contain a sequence of images')."""
+    pos = 0
+    while pos < len(payload):
+        w, h, _, img, pos = _parse_ppm_at(payload, pos)
+        yield w, h, img
 
 
 def _resize_nn(img, max_side: int):
@@ -796,70 +889,108 @@ def embedding_norm_stats(spark, sf_dir):
     "multimodal_framesample_stub",
     oracle="""
 WITH media AS (
-  SELECT doc_id, text, length(text) AS n_bytes FROM documents
+  SELECT doc_id,
+         CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+         CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         CAST(3 + doc_id % 4 AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
 ),
 f AS (
-  SELECT doc_id, text, n_bytes,
-         unnest(generate_series(0, 3)) AS frame_idx
+  SELECT doc_id, n_frames, w, h,
+         unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER))) AS frame_idx
   FROM media
 )
 SELECT doc_id, frame_idx,
-       CAST(n_bytes * 40 AS BIGINT) AS duration_ms,
-       CAST(n_bytes * 40 * frame_idx // 4 AS BIGINT) AS ts_ms,
-       CAST(n_bytes * frame_idx // 4 AS BIGINT) AS byte_off,
-       ascii(substring(text, CAST(n_bytes * frame_idx // 4 AS INTEGER) + 1, 1))
-         AS frame_byte
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+       CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       w AS frame_w, h AS frame_h,
+       CAST(list_sum(list_transform(range(0, CAST(w * h * 3 AS INTEGER)),
+              i -> (doc_id * 31 + frame_idx * 17 + 11 * i) % 256))
+            AS BIGINT) AS frame_checksum
 FROM f
+WHERE frame_idx % 2 = 0
 ORDER BY doc_id, frame_idx
 """,
 )
 def multimodal_framesample_stub(spark, sf_dir):
-    """Video/audio frame sampling over an opaque ``binary`` media column:
-    each payload fans out to 4 uniformly spaced "frames" (1→N row
-    expansion through ``mapInPandas``), with a synthetic 25fps-style
-    duration derived from byte length.  Real decode (pyav/ffmpeg frame
-    grab) would replace the byte-peek inside the generator — not in this
-    container (SURVEY §2-K stub policy); the Spark-side plumbing is real:
-    Arrow binary batches in, multiplied typed rows out, partition-parallel,
-    no driver involvement.  Scale: output is 4× input rows but only a few
-    scalar columns — the heavy payload column is dropped inside the UDF,
-    not carried through the expansion."""
+    """Frame sampling over an opaque ``binary`` video column — with a REAL
+    container decode: stage 1 encodes each document as a multi-frame
+    netpbm P6 stream (3–7 concatenated frames — the netpbm spec's 'a file
+    can contain a sequence of images' container; deterministic rasters so
+    the result stays SQL-oracle-checkable), and the sampler walks the
+    actual byte stream with ``_iter_ppm_stream`` (frame count, dims, and
+    pixels all come from the BYTES), keeps every 2nd frame, and emits
+    per-frame checksums of the decoded rasters plus 25fps-style
+    timestamps.  1→N row expansion through ``mapInPandas``; the payload
+    column is dropped inside the UDF, not carried through the expansion.
+    The hash-green oracle recomputes each sampled frame's checksum
+    analytically, proving the stream walk decoded every frame correctly.
+    The ``_stub`` name survives for registry continuity — entropy-coded
+    containers (MP4/H.264) remain out of scope in this container."""
+    import numpy as np
     import pandas as pd
 
-    N_FRAMES = 4
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id"
     )
 
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 3 + did % 5
+                w, h = 4 + did % 5, 3 + did % 4
+                frames = []
+                for f in range(n_frames):
+                    px = (
+                        (did * 31 + f * 17 + 11 * np.arange(w * h * 3, dtype=np.int64))
+                        % 256
+                    ).astype(np.uint8)
+                    frames.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    ).repartition("doc_id")  # binary stream crosses a real exchange
+
     def sample_frames(batches):
-        # STUB: stands in for media decode + frame extraction.
         for pdf in batches:
             out = {
-                "doc_id": [],
-                "frame_idx": [],
-                "duration_ms": [],
-                "ts_ms": [],
-                "byte_off": [],
-                "frame_byte": [],
+                k: []
+                for k in (
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "duration_ms",
+                    "ts_ms",
+                    "frame_w",
+                    "frame_h",
+                    "frame_checksum",
+                )
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n = len(b)
-                dur = n * 40
-                for k in range(N_FRAMES):
-                    off = n * k // N_FRAMES
+                frames = list(_iter_ppm_stream(bytes(payload)))
+                n_frames = len(frames)
+                for idx, (w, h, img) in enumerate(frames):
+                    if idx % 2:  # sample every 2nd frame
+                        continue
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(k)
-                    out["duration_ms"].append(dur)
-                    out["ts_ms"].append(dur * k // N_FRAMES)
-                    out["byte_off"].append(off)
-                    out["frame_byte"].append(b[off])
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["duration_ms"].append(n_frames * 40)
+                    out["ts_ms"].append(idx * 40)
+                    out["frame_w"].append(w)
+                    out["frame_h"].append(h)
+                    out["frame_checksum"].append(int(img.sum(dtype=np.int64)))
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    return media.mapInPandas(
         sample_frames,
         schema=(
-            "doc_id long, frame_idx int, duration_ms long,"
-            " ts_ms long, byte_off long, frame_byte int"
+            "doc_id long, frame_idx int, n_frames long, duration_ms long,"
+            " ts_ms long, frame_w long, frame_h long, frame_checksum long"
         ),
     ).orderBy("doc_id", "frame_idx")

@@ -84,3 +84,58 @@ def test_operator_checksum_matches_decode(spark, sf_dir):
     assert row["target_w"] == thumb.shape[1]
     assert row["target_h"] == thumb.shape[0]
     assert row["pix_checksum"] == int(thumb.sum(dtype=np.int64))
+
+
+def test_iter_ppm_stream_multi_frame():
+    from bigdatawork_spark.operators.pipeline_ops import _iter_ppm_stream
+
+    f1 = b"P6\n2 1\n255\n" + bytes(range(6))
+    f2 = b"P6\n1 2\n255\n" + bytes(range(100, 106))
+    frames = list(_iter_ppm_stream(f1 + f2))
+    assert [(w, h) for w, h, _ in frames] == [(2, 1), (1, 2)]
+    assert frames[0][2].tobytes() == bytes(range(6))
+    assert frames[1][2].tobytes() == bytes(range(100, 106))
+
+
+def test_iter_ppm_stream_trailing_garbage_raises():
+    from bigdatawork_spark.operators.pipeline_ops import _iter_ppm_stream
+
+    good = b"P6\n1 1\n255\nabc"
+    with pytest.raises(ValueError, match="not a P6"):
+        list(_iter_ppm_stream(good + b"JUNK"))
+
+
+def test_decode_wav_roundtrip():
+    import io
+    import wave
+
+    from bigdatawork_spark.operators.pipeline_ops import _decode_wav
+
+    pcm = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+    assert len(payload) == 44 + 2 * len(pcm)  # canonical RIFF header
+    sr, s = _decode_wav(payload)
+    assert sr == 8000
+    assert s.tolist() == pcm.tolist()
+
+
+def test_decode_wav_rejects_stereo():
+    import io
+    import wave
+
+    from bigdatawork_spark.operators.pipeline_ops import _decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\0\0" * 8)
+    with pytest.raises(ValueError, match="mono"):
+        _decode_wav(buf.getvalue())
