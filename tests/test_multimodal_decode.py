@@ -139,3 +139,77 @@ def test_decode_wav_rejects_stereo():
         wf.writeframes(b"\0\0" * 8)
     with pytest.raises(ValueError, match="mono"):
         _decode_wav(buf.getvalue())
+
+
+# ---- property-based round-trips (pure Python, no Spark session) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    max_side=st.integers(1, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_and_resize_properties(w, h, seed, max_side):
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    pw, ph, maxval, img = _parse_ppm(b"P6\n%d %d\n255\n" % (w, h) + raster)
+    assert (pw, ph, maxval) == (w, h, 255)
+    assert img.tobytes() == raster  # lossless decode
+    out = _resize_nn(img, max_side)
+    th, tw = out.shape[0], out.shape[1]
+    assert 1 <= tw and 1 <= th  # never a zero dim
+    assert max(tw, th) <= max(max_side, 1)
+    # every output pixel exists somewhere in the source (nearest neighbor
+    # copies, never interpolates)
+    src = {bytes(px) for row in img for px in row}
+    assert all(bytes(px) in src for row in out for px in row)
+
+
+@given(
+    n=st.integers(1, 500),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_properties(n, sr, seed):
+    import io
+    import wave
+
+    from bigdatawork_spark.operators.pipeline_ops import _decode_wav
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    got_sr, s = _decode_wav(buf.getvalue())
+    assert got_sr == sr
+    assert s.tolist() == pcm.tolist()  # bit-exact PCM round-trip
+
+
+@given(
+    dims=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)), min_size=1, max_size=6
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_stream_frame_count_and_order(dims, seed):
+    from bigdatawork_spark.operators.pipeline_ops import _iter_ppm_stream
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        b"P6\n%d %d\n255\n" % (w, h)
+        + rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for w, h in dims
+    ]
+    got = list(_iter_ppm_stream(b"".join(frames)))
+    assert [(w, h) for w, h, _ in got] == dims
