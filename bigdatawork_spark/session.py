@@ -25,14 +25,13 @@ _RUNTIME_CONF = {
     # AQE then coalesces/splits at runtime either way.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
     "spark.sql.adaptive.enabled": "true",
+    # coalescePartitions keeps parallelismFirst at its default (true): an
+    # A/B at synthetic sf1.0 measured parallelismFirst=false 3-10% SLOWER
+    # (over-coalescing to one sub-advisory reducer serializes the reduce
+    # side), its sf0.1 "win" was inside machine noise, and at 100 TB the
+    # knob is moot — post-shuffle partitions exceed the advisory size, so
+    # both settings produce identical sizes.
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Respect the advisory partition size when coalescing instead of
-    # maximizing parallelism: post-shuffle partitions coalesce to
-    # advisory-sized chunks, so tiny SFs stop paying dispatch for
-    # near-empty tasks (measured ~4% on the sf0.1 headline batch) and at
-    # cluster scale reducers get even, spill-safe partition sizes — the
-    # Spark-docs-recommended setting when AQE owns reducer sizing.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas/collect and for pandas UDF exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
