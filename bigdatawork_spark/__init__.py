@@ -11,6 +11,7 @@ from .streaming import stream_ops  # noqa: F401
 from .operators import (  # noqa: F401
     aggregations,
     analytics,
+    corpus_ops,
     curation,
     graph_ops,
     joins,

@@ -1,0 +1,355 @@
+"""Corpus-preparation operators — the pretraining-pipeline stages between
+raw scrape and tokenizer: text normalization, HTML boilerplate stripping,
+context-window chunking, vocabulary building, language-ID profile training,
+and distributed BPE merge learning.  REF:∅ (reference snapshot empty —
+SURVEY.md §0); these extend §2-K per the north-star mandate.
+
+Scale notes per op in the docstrings; the common shape is narrow per-row
+array/string expressions (whole-stage codegen, no shuffle) feeding at most
+one keyed aggregation — the wordcount pattern.  ``bpe_train_merges`` is the
+iterative exception and follows the kmeans driver-state discipline: per
+round one keyed aggregation and a single collected scalar (the argmax
+pair), never data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "text_normalize",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         nfc_normalize(trim(lower(regexp_replace(regexp_replace(
+             text, '[\\x00-\\x1f]', '', 'g'), '\\s+', ' ', 'g')))) AS norm_text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       CAST(CASE WHEN norm_text = (SELECT d.text FROM documents d
+                                   WHERE d.doc_id = n.doc_id) THEN 0 ELSE 1 END
+            AS INTEGER) AS changed
+FROM n ORDER BY doc_id
+""",
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization — the step every dedup/quality stage
+    assumes upstream: strip control characters, collapse whitespace runs,
+    trim, casefold, then Unicode NFC.  The regex/case stages are pure JVM
+    codegen; NFC composition has no Spark builtin, so it runs as ONE
+    Arrow-vectorized pandas UDF (`unicodedata.normalize` per batch) — the
+    documented hybrid pattern: builtins where they exist, vectorized
+    Python only for the single missing piece.  Zero shuffles; at 100 TB
+    this is a map-only pass whose partitioning follows the scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no parameter annotations: `from __future__ import annotations`
+    # stringizes them, which the pandas_udf signature inspector rejects
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.trim(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace("text", "[\\x00-\\x1f]", ""), "\\s+", " "
+            )
+        )
+    )
+    return (
+        d.select("doc_id", "text", nfc(norm).alias("norm_text"))
+        .select(
+            "doc_id",
+            "norm_text",
+            F.length("norm_text").cast("long").alias("n_chars_norm"),
+            (F.col("norm_text") != F.col("text")).cast("int").alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "html_strip_tags",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         '<p>' || replace(text, ' ', ' <br/> ') || '</p>' AS html
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+                           '\\s+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+FROM h ORDER BY doc_id
+""",
+)
+def html_strip_tags(spark, sf_dir):
+    """Markup boilerplate stripping — the CommonCrawl-style extraction
+    stage: remove every ``<...>`` tag, then re-collapse the whitespace the
+    tags occupied.  The markup is synthesized deterministically from the
+    plain-text corpus (wrap in ``<p>``, ``<br/>`` between words) so the
+    oracle can rebuild the identical input; the stripping logic is the
+    real operator.  Pure per-row regex — whole-stage codegen, zero
+    shuffles, map-only at any scale."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit("<p>"), F.replace("text", F.lit(" "), F.lit(" <br/> ")), F.lit("</p>")
+    )
+    return (
+        d.select("doc_id", html.alias("html"))
+        .select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.regexp_replace("html", "<[^>]*>", ""), "\\s+", " ")
+            ).alias("clean_text"),
+            F.regexp_count("html", F.lit("<[^>]*>")).cast("long").alias("n_tags"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+c AS (
+  SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 24)) AS start
+  FROM nz
+)
+SELECT doc_id,
+       CAST(start // 24 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(ws, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(least(32, n - start) AS BIGINT) AS n_tokens
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking — split each document into 32-token windows
+    with stride 24 (8-token overlap), the pretraining/RAG counterpart of
+    ``pack_sequences`` (that op PACKS short docs; this one SPLITS long
+    ones).  Overlap preserves cross-boundary n-grams for the model.
+
+    Plan: one narrow projection computes the window-start array
+    (``sequence(0, n-1, 24)``), one ``posexplode`` fans out windows, and
+    ``slice`` + ``array_join`` materialize each chunk — no shuffle at all;
+    the ORDER BY is presentation-only.  At 100 TB this is a map-only 1→N
+    expansion whose output size is input×(1+overlap/stride); partition
+    sizing follows bytes, not rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    starts = F.expr("sequence(0, size(ws) - 1, 24)")
+    return (
+        w.select("doc_id", "ws", F.size("ws").alias("n"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_idx"),
+            F.array_join(F.expr("slice(ws, col + 1, 32)"), " ").alias("chunk_text"),
+            F.least(F.lit(32), F.col("n") - F.col("col")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "vocab_build",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+stats AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+  FROM tok GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+kept AS (
+  SELECT word, df, tf FROM stats, n
+  WHERE df >= 2 AND df <= n_docs * 0.9
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, word) AS INTEGER) AS rank,
+       word, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf
+FROM kept
+QUALIFY rank <= 500
+ORDER BY rank
+""",
+)
+def vocab_build(spark, sf_dir):
+    """Tokenizer-vocabulary construction with document-frequency bounds:
+    drop hapax/near-hapax noise (df < 2) and stopword-like terms
+    (df > 90% of docs — loose because the synthetic word-soup corpus has
+    only ~31 distinct words; a web corpus would use ~50%), rank the
+    survivors by df with a word tiebreak,
+    keep the top 500.  The df/tf pass reuses the tfidf plan shape: ONE
+    explode, tf from (doc,word) groups, df derived by counting those
+    groups (no countDistinct Expand); the doc-count threshold rides in as
+    a broadcast 1-row cross join rather than an eager ``count()``.  The
+    final top-500 is a TakeOrderedAndProject over the (already small)
+    bounded vocabulary — at 100 TB the heavy explode shuffles hashed
+    words, never documents."""
+    d = load(spark, sf_dir, "documents")
+    n_df = d.selectExpr("cast(count(1) as double) as n_docs")
+    tok = d.selectExpr("doc_id", "explode(split(text, ' ')) as word").where(
+        "word != ''"
+    )
+    per_doc = tok.groupBy("doc_id", "word").agg(F.expr("count(1) as tf_doc"))
+    stats = per_doc.groupBy("word").agg(
+        F.expr("count(1) as df"), F.expr("sum(tf_doc) as tf")
+    )
+    kept = (
+        stats.crossJoin(F.broadcast(n_df))
+        .where("df >= 2 and df <= n_docs * 0.9")
+        .select("word", "df", "tf")
+    )
+    return (
+        kept.selectExpr(
+            "cast(row_number() over (order by df desc, word) as int) as rank",
+            "word",
+            "df",
+            "tf",
+        )
+        .where("rank <= 500")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "char_ngram_profile",
+    oracle="""
+WITH t AS (
+  SELECT lang, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 3
+),
+g AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, length(t) - 2),
+                               i -> substring(t, CAST(i AS INTEGER), 3))) AS gram
+  FROM t
+),
+c AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram)
+SELECT lang, gram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram)
+            AS INTEGER) AS rank
+FROM c
+QUALIFY rank <= 20
+ORDER BY lang, rank
+""",
+)
+def char_ngram_profile(spark, sf_dir):
+    """Language-ID model TRAINING: per-language top-20 character trigram
+    profiles from the labeled corpus — the table ``text_langid``'s
+    classifier heuristic would be fit from.  One narrow projection
+    generates the trigram array per document (``transform(sequence)`` —
+    no Python), one explode, one (lang, gram) keyed aggregation, then a
+    per-lang top-k window.  The wordcount shape: the shuffle carries
+    3-char grams + counts, never documents; partial aggregation absorbs
+    the heavy duplication map-side.  Deterministic tiebreak (cnt desc,
+    gram) keeps the profile stable across engines and partitionings."""
+    d = load(spark, sf_dir, "documents").where(
+        "text is not null and length(text) >= 3"
+    )
+    grams = d.selectExpr(
+        "lang",
+        "explode(transform(sequence(1, length(lower(text)) - 2),"
+        " i -> substring(lower(text), i, 3))) as gram",
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.expr("count(1) as cnt"))
+    return (
+        counts.selectExpr(
+            "lang",
+            "gram",
+            "cnt",
+            "cast(row_number() over (partition by lang"
+            " order by cnt desc, gram) as int) as rank",
+        )
+        .where("rank <= 20")
+        .orderBy("lang", "rank")
+    )
+
+
+def _bpe_train(spark, sf_dir, n_merges: int = 4):
+    """Distributed BPE merge learning (Sennrich et al. 2016, the
+    subword-tokenizer trainer) on the whitespace-tokenized corpus.
+
+    State discipline mirrors ``_kmeans``: the distributed side holds the
+    (word, freq, symbol-array) vocabulary — aggregated ONCE from the
+    corpus, so iterations never rescan documents — and the driver only
+    ever collects the single argmax pair per round (one row, constant
+    size).  Each round: adjacent pairs via ``zip_with(slice, slice)``
+    (no explode of documents, only of the distinct-word vocabulary),
+    freq-weighted keyed aggregation, deterministic argmax
+    (count desc, pair asc), then the merge applied as a pure
+    ``aggregate`` fold over each symbol array (greedy left-to-right,
+    exactly the reference algorithm).  ``localCheckpoint`` keeps the
+    per-round plan flat.  At 100 TB the vocabulary table is the working
+    set (distinct words, not corpus rows) — the standard trainer layout."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.selectExpr("explode(split(lower(text), ' ')) as w")
+        .where("w != ''")
+        .groupBy("w")
+        .agg(F.expr("count(1) as freq"))
+        .selectExpr("freq", "filter(split(w, ''), c -> c != '') as syms")
+        .localCheckpoint()
+    )
+    merges = []
+    for i in range(n_merges):
+        top = (
+            vocab.selectExpr(
+                "freq",
+                "explode(zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                " slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                " (l, r) -> struct(l, r))) as p",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.expr("sum(freq) as cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((i, l, r, l + r, int(cnt)))
+        ql, qr = l.replace("'", "\\'"), r.replace("'", "\\'")
+        vocab = vocab.selectExpr(
+            "freq",
+            "aggregate(syms, cast(array() as array<string>),"
+            f" (acc, x) -> case when size(acc) > 0"
+            f" and element_at(acc, -1) = '{ql}' and x = '{qr}'"
+            f" then concat(slice(acc, 1, size(acc) - 1), array('{ql}{qr}'))"
+            " else concat(acc, array(x)) end) as syms",
+        ).localCheckpoint()
+    return merges
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark, sf_dir):
+    """Top-4 BPE merge rules learned from the corpus (see ``_bpe_train``).
+    Output: one row per learned merge — (merge_idx, left, right, merged,
+    pair_count), deterministic via exact integer counts and the
+    (count desc, pair asc) argmax tiebreak.
+
+    rows-only: the training loop is iterative (each merge depends on the
+    previous round's vocabulary), so no single SQL statement expresses
+    it; tests/test_corpus_ops.py re-learns the merges with an
+    independent pure-Python reference BPE over the same corpus and
+    asserts the identical rule sequence."""
+    merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, merged string, pair_count long"
+    ).orderBy("merge_idx")

@@ -1,0 +1,141 @@
+"""Engine-side equivalence tests for operators/corpus_ops.py.
+
+The five oracled keys get row-for-row DuckDB hashes from the driver; these
+tests cover the algorithmic guarantees the hashes can't: the iterative BPE
+trainer against an independent pure-Python reference, chunk reconstruction,
+and normalization idempotency.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow.parquet as pq
+
+from bigdatawork_spark.registry import QUERIES
+
+
+def _reference_bpe(texts, n_merges=4):
+    """Independent reference BPE learner (Sennrich et al. 2016): greedy
+    argmax pair with (count desc, pair asc) tiebreak, left-to-right
+    non-overlapping merge — plain dicts, no Spark."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for i in range(n_merges):
+        pairs = collections.Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i, l, r, l + r, cnt))
+        new_vocab = collections.Counter()
+        for syms, freq in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_dir):
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = _reference_bpe([t for t in texts if t is not None])
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in QUERIES["bpe_train_merges"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_chunks_reconstruct_documents(spark, sf_dir):
+    """Stride-24 windows of size 32: chunk 0 plus tokens 9..32 of every
+    later chunk (dropping the 8-token overlap) must rebuild each doc."""
+    rows = QUERIES["chunk_documents"](spark, sf_dir).collect()
+    per_doc = collections.defaultdict(dict)
+    for r in rows:
+        per_doc[r["doc_id"]][r["chunk_idx"]] = r["chunk_text"].split(" ")
+        assert 1 <= r["n_tokens"] <= 32
+        assert r["n_tokens"] == len(r["chunk_text"].split(" "))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    for doc_id, chunks in per_doc.items():
+        rebuilt = list(chunks[0])
+        for i in range(1, len(chunks)):
+            rebuilt.extend(chunks[i][8:])
+        want = [w for w in texts[doc_id].split(" ") if w != ""]
+        assert rebuilt == want, doc_id
+
+
+def test_normalize_is_idempotent(spark, sf_dir):
+    import re
+    import unicodedata
+
+    rows = QUERIES["text_normalize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        t = r["norm_text"]
+        again = unicodedata.normalize(
+            "NFC", re.sub(r"\s+", " ", re.sub(r"[\x00-\x1f]", "", t)).strip().lower()
+        )
+        assert again == t
+        assert r["n_chars_norm"] == len(t)
+
+
+def test_char_ngram_profile_ranks_and_counts(spark, sf_dir):
+    rows = QUERIES["char_ngram_profile"](spark, sf_dir).collect()
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        assert len(r["gram"]) == 3
+        by_lang[r["lang"]].append((r["rank"], r["cnt"], r["gram"]))
+    for lang, entries in by_lang.items():
+        entries.sort()
+        assert [e[0] for e in entries] == list(range(1, len(entries) + 1))
+        assert len(entries) <= 20
+        cnts = [e[1] for e in entries]
+        assert cnts == sorted(cnts, reverse=True), lang
+
+
+def test_vocab_build_bounds(spark, sf_dir):
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).num_rows
+    rows = QUERIES["vocab_build"](spark, sf_dir).collect()
+    assert rows
+    dfs = [r["df"] for r in rows]
+    assert all(2 <= d <= 0.9 * n_docs for d in dfs)
+    assert dfs == sorted(dfs, reverse=True)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["tf"] >= r["df"]  # a word occurs at least once per doc it's in
+
+
+def test_html_strip_recovers_normalized_text(spark, sf_dir):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    rows = QUERIES["html_strip_tags"](spark, sf_dir).collect()
+    for r in rows[:50]:
+        want = " ".join(w for w in texts[r["doc_id"]].split(" ") if w != "")
+        assert r["clean_text"] == want
+        n_words = len([w for w in texts[r["doc_id"]].split(" ") if w != ""])
+        # <p>, </p>, and one <br/> per word gap
+        assert r["n_tags"] == 2 + max(0, n_words - 1)

@@ -28,6 +28,7 @@ BNLJ_OK = {
     "bm25_rank",                # 1-row corpus stats × docs (search_ops)
     "text_unigram_logprob",     # 1-row corpus stats fold
     "tfidf_keywords",           # 1-row n_docs fold
+    "vocab_build",              # 1-row n_docs fold (df-bound threshold)
     "mixture_resample",         # per-source target-rate stats fold
     "vector_quantize",          # 1-row global min/max fold
     "sim_cosine_topk",          # 5-probe broadcast × corpus (brute baseline)
