@@ -353,3 +353,65 @@ def bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, merged string, pair_count long"
     ).orderBy("merge_idx")
+
+
+@register(
+    "text_entropy_filter",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '') AS cs,
+         length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+e AS (
+  SELECT doc_id, n,
+         ROUND(-list_sum(list_transform(list_distinct(cs), u ->
+             (CAST(len(list_filter(cs, x -> x = u)) AS DOUBLE) / n)
+             * ln(CAST(len(list_filter(cs, x -> x = u)) AS DOUBLE) / n))), 6)
+           AS char_entropy
+  FROM c
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, char_entropy,
+       CAST(CASE WHEN char_entropy >= 2.0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM e ORDER BY doc_id
+""",
+)
+def text_entropy_filter(spark, sf_dir):
+    """Character-level Shannon entropy quality signal — the cheap detector
+    for degenerate documents (single-char floods, base64 blobs, binary
+    spill) that length/stopword gates miss: natural text sits ~2.5-4 nats,
+    repeated-char spam near 0, uniform random bytes near ln(256).
+
+    Plan: ZERO shuffles — the whole computation is one per-row array
+    expression (split → distinct → per-symbol count via size(filter) →
+    entropy fold), O(alphabet²) per row with a small alphabet, entirely
+    inside whole-stage codegen.  Contrast with char_ngram_profile, which
+    aggregates ACROSS documents and must shuffle.  Map-only at 100 TB;
+    the keep flag (≥2.0 nats) is the filter a curation pipeline ANDs with
+    quality_filter_gopher."""
+    d = load(spark, sf_dir, "documents").where(
+        "text is not null and length(text) > 0"
+    )
+    return (
+        d.selectExpr(
+            "doc_id",
+            "filter(split(lower(text), ''), c -> c != '') as cs",
+            "cast(length(text) as bigint) as n_chars",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "round(-aggregate(transform(array_distinct(cs), u ->"
+            " (cast(size(filter(cs, x -> x = u)) as double) / n_chars)"
+            " * ln(cast(size(filter(cs, x -> x = u)) as double) / n_chars)),"
+            " cast(0.0 as double), (a, x) -> a + x), 6) as char_entropy",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "char_entropy",
+            "cast(case when char_entropy >= 2.0 then 1 else 0 end as int) as keep",
+        )
+        .orderBy("doc_id")
+    )

@@ -139,3 +139,38 @@ def test_html_strip_recovers_normalized_text(spark, sf_dir):
         n_words = len([w for w in texts[r["doc_id"]].split(" ") if w != ""])
         # <p>, </p>, and one <br/> per word gap
         assert r["n_tags"] == 2 + max(0, n_words - 1)
+
+
+def test_entropy_filter_detects_degenerate_text(spark, sf_dir):
+    """Algorithmic sanity on hand-built rows: repeated-char spam scores
+    ~0 nats, uniform distinct chars score ln(k); the corpus rows (natural
+    word soup) sit in between and carry keep=1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.operators import corpus_ops  # noqa: F401
+    from bigdatawork_spark.registry import QUERIES
+
+    rows = QUERIES["text_entropy_filter"](spark, sf_dir).collect()
+    assert rows and all(r["keep"] in (0, 1) for r in rows)
+    assert sum(r["keep"] for r in rows) > len(rows) * 0.9  # word soup is natural
+
+    # hand-built extremes through the same expression chain
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "abcdefgh")], "doc_id long, text string"
+    )
+    ent = df.selectExpr(
+        "doc_id",
+        "filter(split(lower(text), ''), c -> c != '') as cs",
+        "cast(length(text) as bigint) as n",
+    ).selectExpr(
+        "doc_id",
+        "round(-aggregate(transform(array_distinct(cs), u ->"
+        " (cast(size(filter(cs, x -> x = u)) as double) / n)"
+        " * ln(cast(size(filter(cs, x -> x = u)) as double) / n)),"
+        " cast(0.0 as double), (a, x) -> a + x), 6) as e",
+    )
+    got = {r["doc_id"]: r["e"] for r in ent.collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(8), 6)) < 1e-9
