@@ -415,3 +415,65 @@ def text_entropy_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register("bpe_encode_apply")
+def bpe_encode_apply(spark, sf_dir):
+    """Tokenizer ENCODE — apply the merge rules ``bpe_train_merges``
+    learned back onto the corpus, in learned order (the standard
+    train-then-encode BPE pair).  The merge table stays on the driver
+    (n_merges rows, constant size); each rule is one broadcast-free
+    narrow ``aggregate`` fold over the per-word symbol arrays, so the
+    whole encode is a map-only pass per rule — at 100 TB this is the
+    embarrassingly-parallel tokenization stage, and the per-document
+    fold order makes it deterministic.
+
+    Output: per-document token accounting (words, chars, BPE tokens,
+    compression ratio) — the table a tokenizer-budget analysis reads.
+
+    rows-only: the encode depends on the iteratively-learned rules, so
+    no single SQL statement expresses it; tests/test_corpus_ops.py
+    re-encodes with the pure-Python reference and asserts identical
+    token counts."""
+    merges = _bpe_train(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.selectExpr(
+        "doc_id",
+        "cast(length(text) as bigint) as n_chars",
+        "filter(split(lower(text), ' '), w -> w != '') as ws",
+    )
+    toks = words.selectExpr(
+        "doc_id",
+        "n_chars",
+        "cast(size(ws) as bigint) as n_words",
+        "transform(ws, w -> filter(split(w, ''), c -> c != '')) as syms",
+    )
+    for _, l, r, _, _ in merges:
+        ql, qr = l.replace("'", "\\'"), r.replace("'", "\\'")
+        toks = toks.selectExpr(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "transform(syms, s -> aggregate(s, cast(array() as array<string>),"
+            f" (acc, x) -> case when size(acc) > 0"
+            f" and element_at(acc, -1) = '{ql}' and x = '{qr}'"
+            f" then concat(slice(acc, 1, size(acc) - 1), array('{ql}{qr}'))"
+            " else concat(acc, array(x)) end)) as syms",
+        )
+    return (
+        toks.selectExpr(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "cast(aggregate(transform(syms, s -> size(s)), 0,"
+            " (a, x) -> a + x) as bigint) as n_bpe_tokens",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "n_bpe_tokens",
+            "round(cast(n_chars as double) / n_bpe_tokens, 6) as chars_per_token",
+        )
+        .orderBy("doc_id")
+    )

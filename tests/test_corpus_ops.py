@@ -174,3 +174,45 @@ def test_entropy_filter_detects_degenerate_text(spark, sf_dir):
     got = {r["doc_id"]: r["e"] for r in ent.collect()}
     assert got[1] == 0.0
     assert abs(got[2] - round(math.log(8), 6)) < 1e-9
+
+
+def test_bpe_encode_matches_reference_token_counts(spark, sf_dir):
+    """Encode twin: re-apply the reference-learned merges with the
+    reference encoder and compare per-document BPE token counts."""
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    texts = [r["text"] for r in docs if r["text"] is not None]
+    merges = _reference_bpe(texts)
+    rules = [(m[1], m[2]) for m in merges]
+
+    def encode_word(w):
+        syms = list(w)
+        for l, r in rules:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    want = {
+        r["doc_id"]: sum(
+            len(encode_word(w)) for w in r["text"].lower().split() if w
+        )
+        for r in docs
+        if r["text"] is not None
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in QUERIES["bpe_encode_apply"](spark, sf_dir).collect()
+    }
+    assert got == want
+    rows = QUERIES["bpe_encode_apply"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_bpe_tokens"] <= r["n_chars"]  # merges only shrink
+        assert r["chars_per_token"] >= 1.0
