@@ -53,6 +53,11 @@ EXTENDED = [
     "repetition_ngram_ratio",
     "embedding_norm_stats",
     "multimodal_framesample_stub",
+    "chunk_documents",
+    "text_entropy_filter",
+    "vocab_build",
+    "char_ngram_profile",
+    "bpe_train_merges",
 ]
 
 
