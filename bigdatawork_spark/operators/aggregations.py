@@ -144,7 +144,10 @@ ORDER BY c_nationkey
 """,
 )
 def agg_having(spark, sf_dir):
-    """Post-aggregation filter (HAVING)."""
+    """Post-aggregation filter (HAVING) — the predicate runs AFTER the
+    keyed aggregation, so it cannot push to the scan; Catalyst still
+    prunes columns, and the filter drops groups before any downstream
+    exchange."""
     c = load(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
@@ -194,7 +197,9 @@ ORDER BY gid, l_returnflag, l_linestatus
 """,
 )
 def agg_cube(spark, sf_dir):
-    """All 4 grouping combinations."""
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    ONE pass — Expand multiplies rows map-side, then a single partial+final
+    HashAggregate; no per-combination rescans at any scale."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -220,7 +225,9 @@ ORDER BY gid, l_returnflag, l_linestatus
 """,
 )
 def agg_grouping_sets(spark, sf_dir):
-    """Explicit grouping sets ((a),(b),())."""
+    """Explicit GROUPING SETS ((a),(b),()) — the general form of
+    rollup/cube: one Expand + one keyed aggregation regardless of set
+    count, so cost scales with sets x rows map-side, not with rescans."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("gs_lineitem")
     return spark.sql(

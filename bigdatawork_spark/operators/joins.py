@@ -115,7 +115,9 @@ FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 """,
 )
 def join_left_outer(spark, sf_dir):
-    """All customers; nulls for the orderless."""
+    """LEFT OUTER: all customers, nulls for the orderless.  Null-producing
+    side disables some filter pushes past the join — predicates on the
+    preserved side still reach its scan."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
@@ -131,7 +133,8 @@ FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
 """,
 )
 def join_right_outer(spark, sf_dir):
-    """Mirror of left outer."""
+    """RIGHT OUTER — mirror of left outer (Catalyst canonicalizes to a
+    left join with sides swapped; same scan pushes, same shuffle keys)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return o.join(c, c.c_custkey == o.o_custkey, "right").select(
@@ -186,7 +189,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 """,
 )
 def join_left_anti(spark, sf_dir):
-    """Customers WHERE NOT EXISTS — anti join."""
+    """Customers WHERE NOT EXISTS — LEFT ANTI join: ships only the join
+    keys of the right side; at scale AQE broadcasts the smaller side or
+    falls back to a key-only shuffle — never materializes the negation."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(

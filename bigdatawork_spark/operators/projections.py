@@ -70,7 +70,9 @@ FROM orders
 """,
 )
 def project_case_when(spark, sf_dir):
-    """Multi-branch CASE WHEN."""
+    """Multi-branch CASE WHEN projection — evaluates entirely inside
+    whole-stage codegen as nested conditionals; branch order matters
+    semantically (first match wins) and matches the SQL oracle's."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -107,7 +109,9 @@ WHERE (l_quantity > 45 AND l_discount < 0.05) OR NOT (l_returnflag = 'N')
 """,
 )
 def filter_compound(spark, sf_dir):
-    """AND / OR / NOT mix."""
+    """Compound predicate (AND / OR / NOT mix).  Conjuncts push to the
+    parquet scan independently; the disjunctive part evaluates in the
+    codegen'd Filter — no row leaves the scan stage unnecessarily."""
     li = load(spark, sf_dir, "lineitem")
     pred = ((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)) | ~(
         F.col("l_returnflag") == "N"
@@ -127,7 +131,9 @@ WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
 """,
 )
 def filter_in_between(spark, sf_dir):
-    """isin + between predicates."""
+    """IN-list + BETWEEN predicates — both convert to scan-level pushed
+    filters (In / GreaterThanOrEqual+LessThanOrEqual), so row-group
+    statistics skip non-matching parquet pages at any scale."""
     c = load(spark, sf_dir, "customer")
     return c.filter(
         F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")

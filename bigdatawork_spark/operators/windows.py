@@ -23,7 +23,10 @@ FROM events
 """,
 )
 def win_row_number(spark, sf_dir):
-    """Per-user event sequence."""
+    """Per-user event sequence (row_number over a user_id partition):
+    one shuffle on user_id, then a single sorted pass per partition.
+    Deterministic ordering via the (ts, event_id) compound sort key —
+    ties on ts cannot flip ranks across engines or partitionings."""
     ev = load(spark, sf_dir, "events")
     return ev.selectExpr(
         "event_id",
@@ -156,7 +159,9 @@ FROM events
 """,
 )
 def win_moving_avg(spark, sf_dir):
-    """3-row moving average per user."""
+    """3-row moving average per user (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): one shuffle on user_id, then a single sorted pass per
+    partition with an O(1) sliding frame — no per-row rescans."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return ev.select(

@@ -116,6 +116,66 @@ class CurationPipeline:
             ),
         )
 
+    def normalize(self, col: str = "text") -> "CurationPipeline":
+        """Canonical text normalization in place (control-strip, whitespace
+        collapse, trim, casefold) — the JVM-side subset of
+        ``text_normalize``; run it before ``dedup_exact`` so byte-level
+        variants of the same text collapse.  Narrow, zero-shuffle."""
+        return self.stage(
+            f"normalize({col})",
+            lambda df: df.withColumn(
+                col,
+                F.trim(
+                    F.lower(
+                        F.regexp_replace(
+                            F.regexp_replace(col, "[\\x00-\\x1f]", ""), "\\s+", " "
+                        )
+                    )
+                ),
+            ),
+        )
+
+    def entropy_gate(self, min_nats: float = 2.0, col: str = "text") -> "CurationPipeline":
+        """Drop degenerate documents below ``min_nats`` character entropy
+        (single-char floods, binary spill) — the ``text_entropy_filter``
+        signal as a chainable stage.  Narrow, zero-shuffle."""
+
+        def gate(df: DataFrame) -> DataFrame:
+            cs = f"filter(split(lower({col}), ''), c -> c != '')"
+            ent = (
+                f"-aggregate(transform(array_distinct({cs}), u ->"
+                f" (cast(size(filter({cs}, x -> x = u)) as double) / length({col}))"
+                f" * ln(cast(size(filter({cs}, x -> x = u)) as double) / length({col}))),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            )
+            return df.filter(F.expr(f"length({col}) > 0 and {ent} >= {min_nats}"))
+
+        return self.stage(f"entropy_gate(>={min_nats})", gate)
+
+    def chunk(self, size: int = 32, stride: int = 24, col: str = "text") -> "CurationPipeline":
+        """Terminal 1→N stage: split each surviving document into
+        ``size``-token windows every ``stride`` tokens (see
+        ``chunk_documents``).  Adds ``chunk_idx``/``chunk_text``; run it
+        LAST — downstream stages see chunk rows, not documents."""
+
+        def chunked(df: DataFrame) -> DataFrame:
+            w = df.withColumn(
+                "__ws", F.filter(F.split(col, " "), lambda x: x != "")
+            ).filter(F.size("__ws") > 0)
+            return (
+                w.select(
+                    "*", F.posexplode(F.expr(f"sequence(0, size(__ws) - 1, {stride})"))
+                )
+                .withColumn("chunk_idx", F.col("pos").cast("int"))
+                .withColumn(
+                    "chunk_text",
+                    F.array_join(F.expr(f"slice(__ws, col + 1, {size})"), " "),
+                )
+                .drop("__ws", "pos", "col")
+            )
+
+        return self.stage(f"chunk({size},{stride})", chunked)
+
     def describe(self) -> list[str]:
         """Stage names in application order (for audit logging)."""
         return [name for name, _ in self._stages]

@@ -59,3 +59,31 @@ def test_narrow_stages_collapse_into_scan(spark, sf_dir):
     )
     plan = narrow.apply(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_entropy_chunk_stages(spark, sf_dir):
+    """Round-4 stages: normalize is idempotent in-pipeline, entropy_gate
+    drops a degenerate row, chunk fans out and matches chunk_documents'
+    window math for a spot-checked doc."""
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # inject a degenerate doc the entropy gate must kill
+    bad = spark.createDataFrame(
+        [(99999999, "aaaaaaaaaaaaaaaaaaaa", "en", "srcX", 20)],
+        docs.schema,
+    )
+    pipe = CurationPipeline().normalize().entropy_gate(2.0)
+    out = pipe.apply(docs.unionByName(bad))
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 99999999 not in ids
+    assert len(ids) > 0
+
+    chunked = CurationPipeline().chunk(32, 24).apply(docs)
+    row = chunked.filter(F.col("chunk_idx") == 0).limit(1).collect()[0]
+    words = [w for w in row["text"].split(" ") if w != ""]
+    assert row["chunk_text"].split(" ") == words[:32]
+    n_chunks = chunked.filter(F.col("doc_id") == row["doc_id"]).count()
+    assert n_chunks == len(range(0, len(words), 24))
