@@ -477,3 +477,72 @@ def bpe_encode_apply(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ngram_lm_train",
+    oracle="""
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[CAST(i AS INTEGER)] || ' '
+                     || ws[CAST(i + 1 AS INTEGER)])) AS bigram
+  FROM w WHERE len(ws) >= 2
+),
+c AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         COUNT(*) AS cnt
+  FROM bg GROUP BY 1, 2
+),
+ctx AS (SELECT w1, SUM(cnt) AS n_ctx FROM c GROUP BY w1)
+SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / n_ctx, 6) AS p_cond,
+       CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2) AS INTEGER) AS rank
+FROM c JOIN ctx USING (w1)
+QUALIFY rank <= 200
+ORDER BY rank
+""",
+)
+def ngram_lm_train(spark, sf_dir):
+    """Bigram language-model TRAINING — the count table behind the
+    perplexity/quality filters (``text_unigram_logprob`` SCORES with a
+    unigram table; this op FITS the bigram conditionals
+    p(w2|w1) = c(w1,w2) / c(w1·)).  Context counts derive from the bigram
+    counts themselves (sum over w2), so the corpus is exploded ONCE;
+    adjacent pairs come from the ``zip_with(slice, slice)`` pattern (no
+    index join), the conditional is exact-integer-ratio rounded at 6, and
+    the published top-200 is deterministic via (cnt desc, w1, w2).
+
+    Scale: the wordcount shape — one explode, two keyed aggregations over
+    (w1,w2) then (w1); shuffles carry grams+counts, never documents.  At
+    100 TB the full table would be sunk to parquet instead of top-k'd;
+    the rank cut here is the driver-facing sample."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = (
+        d.selectExpr("filter(split(lower(text), ' '), x -> x != '') as ws")
+        .where("size(ws) >= 2")
+        .selectExpr(
+            "explode(zip_with(slice(ws, 1, size(ws) - 1),"
+            " slice(ws, 2, size(ws) - 1), (a, b) -> struct(a as w1, b as w2)))"
+            " as p"
+        )
+        .select("p.w1", "p.w2")
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.expr("count(1) as cnt"))
+    ctx = c.groupBy("w1").agg(F.expr("sum(cnt) as n_ctx"))
+    return (
+        c.join(ctx, "w1")
+        .selectExpr(
+            "w1",
+            "w2",
+            "cnt",
+            "round(cast(cnt as double) / n_ctx, 6) as p_cond",
+            "cast(row_number() over (order by cnt desc, w1, w2) as int) as rank",
+        )
+        .where("rank <= 200")
+        .orderBy("rank")
+    )

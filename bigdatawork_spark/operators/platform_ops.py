@@ -674,3 +674,42 @@ def dq_skew_profile(spark, sf_dir):
         F.expr("round(percentile(c, 0.99), 6) as p99_freq"),
         F.expr("round(max(c) / avg(c), 6) as skew_ratio"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+FROM g ORDER BY lang, source
+""",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifier columns (lang, source),
+    k=5: any equivalence class smaller than k can re-identify its members
+    when joined with side data, so it must be suppressed or generalized
+    before the corpus ships.  The release-gate counterpart of
+    ``text_pii_scrub`` — that op redacts direct identifiers; this one
+    measures INDIRECT identifiability.
+
+    Plan: one keyed aggregation over the quasi-identifier tuple —
+    |classes| output rows regardless of corpus size, the same scaling
+    argument as ``dq_skew_profile``.  At 100 TB the audit runs on every
+    release candidate; an ``at_risk`` row triggers generalization (drop a
+    quasi-column, bucket a value) and a re-run."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.expr("count(1) as n_rows"))
+        .selectExpr(
+            "lang",
+            "source",
+            "n_rows",
+            "cast(case when n_rows < 5 then 1 else 0 end as int) as at_risk",
+        )
+        .orderBy("lang", "source")
+    )

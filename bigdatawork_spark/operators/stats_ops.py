@@ -293,3 +293,94 @@ def skyline_pareto(spark, sf_dir):
         F.round("avg_size", 6).alias("avg_size"),
         "n_parts",
     ).orderBy("p_brand", "p_type")
+
+
+@register(
+    "ks_test_drift",
+    oracle="""
+WITH a AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+na AS (SELECT COUNT(*) AS n FROM a),
+nb AS (SELECT COUNT(*) AS n FROM b),
+grid AS (
+  SELECT n_chars AS v,
+         SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM (SELECT n_chars, 'a' AS side FROM a
+        UNION ALL SELECT n_chars, 'b' AS side FROM b)
+  GROUP BY n_chars
+),
+cdf AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) / (SELECT n FROM na) AS fa,
+         CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) / (SELECT n FROM nb) AS fb
+  FROM grid
+)
+SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+       ROUND(1.358 * sqrt((CAST((SELECT n FROM na) AS DOUBLE)
+                           + (SELECT n FROM nb))
+                          / ((SELECT n FROM na)
+                             * CAST((SELECT n FROM nb) AS DOUBLE))), 6)
+         AS ks_crit,
+       CAST(CASE WHEN MAX(ABS(fa - fb)) >
+              1.358 * sqrt((CAST((SELECT n FROM na) AS DOUBLE)
+                            + (SELECT n FROM nb))
+                           / ((SELECT n FROM na)
+                              * CAST((SELECT n FROM nb) AS DOUBLE)))
+            THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM cdf
+""",
+)
+def ks_test_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test — the distribution-shift
+    gate a training pipeline runs between corpus snapshots or between a
+    train split and fresh data (here: even- vs odd-doc_id halves over
+    ``n_chars``, which should NOT drift — the statistic doubles as a
+    fixture sanity check).  KS = max |ECDF_a - ECDF_b| evaluated on the
+    merged value grid.
+
+    Plan: one keyed aggregation builds per-value side counts (|distinct
+    values| rows — the working set is the VALUE GRID, not the corpus),
+    one ordered window computes both cumulative ECDFs in a single pass,
+    one global max reduces to a 1-row report.  The rejection threshold
+    is the proper two-sample Kolmogorov critical value at alpha=0.05,
+    c(alpha)*sqrt((n_a+n_b)/(n_a*n_b)) with c(0.05)=1.358 — a fixed
+    cutoff would misfire at small n (the r04 test caught exactly that).
+    ECDF ratios are exact integer ratios in IEEE doubles (bit-identical
+    across engines); only the published values are rounded.  At 100 TB:
+    histogram the variable first (bounded grid) — same shape, bounded
+    state."""
+    d = load(spark, sf_dir, "documents")
+    grid = (
+        d.selectExpr(
+            "n_chars as v",
+            "case when doc_id % 2 = 0 then 1 else 0 end as ia",
+            "case when doc_id % 2 = 1 then 1 else 0 end as ib",
+        )
+        .groupBy("v")
+        .agg(F.expr("sum(ia) as ca"), F.expr("sum(ib) as cb"))
+    )
+    totals = grid.selectExpr(
+        "cast(sum(ca) as double) as n_a", "cast(sum(cb) as double) as n_b"
+    )
+    cdf = grid.crossJoin(F.broadcast(totals)).selectExpr(
+        "n_a",
+        "n_b",
+        "sum(ca) over (order by v) / n_a as fa",
+        "sum(cb) over (order by v) / n_b as fb",
+    )
+    return (
+        cdf.selectExpr("n_a", "n_b", "abs(fa - fb) as d")
+        .groupBy("n_a", "n_b")
+        .agg(F.expr("max(d) as ks_max"))
+        .selectExpr(
+            "cast(n_a as bigint) as n_a",
+            "cast(n_b as bigint) as n_b",
+            "round(ks_max, 6) as ks_stat",
+            "round(1.358 * sqrt((n_a + n_b) / (n_a * n_b)), 6) as ks_crit",
+            "cast(case when ks_max > 1.358 * sqrt((n_a + n_b) / (n_a * n_b))"
+            " then 1 else 0 end as int) as drifted",
+        )
+    )

@@ -216,3 +216,61 @@ def test_bpe_encode_matches_reference_token_counts(spark, sf_dir):
     for r in rows:
         assert r["n_bpe_tokens"] <= r["n_chars"]  # merges only shrink
         assert r["chars_per_token"] >= 1.0
+
+
+def test_ngram_lm_conditionals_are_probabilities(spark, sf_dir):
+    """For every context w1 fully contained in the top-200 cut, the
+    published conditionals must be positive; and each p_cond must equal
+    cnt / sum-of-context-counts computed independently."""
+    rows = QUERIES["ngram_lm_train"](spark, sf_dir).collect()
+    assert len(rows) == 200
+    by_ctx = collections.defaultdict(list)
+    for r in rows:
+        assert 0.0 < r["p_cond"] <= 1.0
+        by_ctx[r["w1"]].append(r)
+    # independent recompute over raw text
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    pair_counts = collections.Counter()
+    for t in texts:
+        if t is None:
+            continue
+        ws = [w for w in t.lower().split(" ") if w != ""]
+        for a, b in zip(ws, ws[1:]):
+            pair_counts[(a, b)] += 1
+    ctx_counts = collections.Counter()
+    for (a, _), c in pair_counts.items():
+        ctx_counts[a] += c
+    for r in rows:
+        assert pair_counts[(r["w1"], r["w2"])] == r["cnt"]
+        assert r["p_cond"] == round(r["cnt"] / ctx_counts[r["w1"]], 6)
+
+
+def test_ks_drift_null_on_identical_halves(spark, sf_dir):
+    """Even/odd doc_id halves draw from the same generator, so the KS
+    statistic must be far below any rejection threshold; and KS of a
+    distribution against itself is exactly 0."""
+    from bigdatawork_spark.registry import QUERIES as Q
+
+    import math
+
+    row = Q["ks_test_drift"](spark, sf_dir).collect()[0]
+    assert row["n_a"] + row["n_b"] > 0
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    # threshold is the alpha=0.05 two-sample critical value, scale-aware
+    want_crit = round(
+        1.358 * math.sqrt((row["n_a"] + row["n_b"]) / (row["n_a"] * row["n_b"])), 6
+    )
+    assert row["ks_crit"] == want_crit
+    assert row["drifted"] == 0, row  # same generator -> below critical value
+
+
+def test_k_anonymity_counts_sum_to_corpus(spark, sf_dir):
+    from bigdatawork_spark.registry import QUERIES as Q
+
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).num_rows
+    rows = Q["privacy_k_anonymity"](spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    for r in rows:
+        assert r["at_risk"] == (1 if r["n_rows"] < 5 else 0)

@@ -29,6 +29,7 @@ BNLJ_OK = {
     "text_unigram_logprob",     # 1-row corpus stats fold
     "tfidf_keywords",           # 1-row n_docs fold
     "vocab_build",              # 1-row n_docs fold (df-bound threshold)
+    "ks_test_drift",            # 1-row sample-size fold (ECDF denominators)
     "mixture_resample",         # per-source target-rate stats fold
     "vector_quantize",          # 1-row global min/max fold
     "sim_cosine_topk",          # 5-probe broadcast × corpus (brute baseline)
