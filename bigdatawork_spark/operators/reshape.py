@@ -81,7 +81,10 @@ def join_bucketed_colocated(spark, sf_dir):
     sides arrive pre-partitioned, so the join plan contains NO shuffle
     exchange (asserted in tests/test_plans.py) — at 100 TB this deletes the
     dominant cost of fact⋈fact joins."""
-    warehouse = os.path.join(tempfile.gettempdir(), "bdw_warehouse")
+    # pid-scoped external-table path: a shared dir lets two concurrent
+    # verification processes overwrite each other's bucket files mid-read
+    # (same race class as io_ops._TMP_ROOT, hardened in round 4)
+    warehouse = os.path.join(tempfile.gettempdir(), f"bdw_warehouse-{os.getpid()}")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ot, lt = f"bdw_orders_b_{tag}", f"bdw_lineitem_b_{tag}"
     if not spark.catalog.tableExists(ot):

@@ -17,7 +17,13 @@ from .. import schemas
 from ..io import load
 from ..registry import register
 
-_TMP_ROOT = os.path.join(tempfile.gettempdir(), "bdw_io")
+# Per-process scratch root: fixtures like the manifest tables are rebuilt
+# by each builder call, and a SHARED path lets two concurrent verification
+# processes (e.g. the driver sim at two SFs) clobber each other's files
+# mid-read — observed as spurious hash mismatches in round 4.  The pid
+# suffix makes every process's fixture tree private; correctness runs are
+# unaffected (each process still reuses its own tree across calls).
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), f"bdw_io-{os.getpid()}")
 
 
 def _tmp(name: str) -> str:
