@@ -546,3 +546,75 @@ def ngram_lm_train(spark, sf_dir):
         .where("rank <= 200")
         .orderBy("rank")
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+pos AS (SELECT vec_id, label FROM embeddings),
+cand AS (
+  SELECT vec_id, label, unnest([1, 2, 3]) AS neg_rank, n_vecs
+  FROM pos, n
+),
+pick AS (
+  SELECT vec_id, label, neg_rank,
+         CASE WHEN (vec_id * 7919 + neg_rank * 104729) % n_vecs = vec_id
+              THEN ((vec_id * 7919 + neg_rank * 104729) % n_vecs + 1) % n_vecs
+              ELSE (vec_id * 7919 + neg_rank * 104729) % n_vecs
+         END AS neg_id
+  FROM cand
+)
+SELECT p.vec_id, CAST(p.neg_rank AS INTEGER) AS neg_rank,
+       CAST(p.neg_id AS BIGINT) AS neg_id,
+       CAST(CASE WHEN p.label = e.label THEN 1 ELSE 0 END AS INTEGER)
+         AS same_label
+FROM pick p JOIN embeddings e ON p.neg_id = e.vec_id
+ORDER BY p.vec_id, p.neg_rank
+""",
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Deterministic negative-pair sampling for contrastive-embedding
+    training: each anchor draws 3 pseudo-random negatives via fixed prime
+    multipliers over the contiguous id space ((id*7919 + rank*104729)
+    mod n, bumped by one on self-collision) — the hash-arithmetic analog
+    of seeded sampling that, like ``sample_hash_deterministic``, yields
+    the SAME pairs on any cluster layout or engine.  The pair table joins
+    back to fetch each negative's label so a curriculum can separate
+    easy (different-label) from hard (same-label) negatives.
+
+    Plan: one broadcast 1-row count fold, a 3× explode, and ONE shuffle
+    join on neg_id to resolve negatives — at 100 TB the join carries
+    (anchor, neg_id) pairs, never embedding payloads; gather vectors
+    lazily in the training reader."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n_df = e.selectExpr("cast(count(1) as bigint) as n_vecs")
+    cand = (
+        e.crossJoin(F.broadcast(n_df))
+        .selectExpr(
+            "vec_id",
+            "label",
+            "explode(array(1, 2, 3)) as neg_rank",
+            "n_vecs",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "neg_rank",
+            "case when (vec_id * 7919 + neg_rank * 104729) % n_vecs = vec_id"
+            " then ((vec_id * 7919 + neg_rank * 104729) % n_vecs + 1) % n_vecs"
+            " else (vec_id * 7919 + neg_rank * 104729) % n_vecs end as neg_id",
+        )
+    )
+    neg = e.selectExpr("vec_id as neg_id", "label as neg_label")
+    return (
+        cand.join(neg, "neg_id")
+        .selectExpr(
+            "vec_id",
+            "cast(neg_rank as int) as neg_rank",
+            "cast(neg_id as bigint) as neg_id",
+            "cast(case when label = neg_label then 1 else 0 end as int)"
+            " as same_label",
+        )
+        .orderBy("vec_id", "neg_rank")
+    )

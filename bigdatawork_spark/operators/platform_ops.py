@@ -713,3 +713,77 @@ def privacy_k_anonymity(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@register("parquet_layout_audit")
+def parquet_layout_audit(spark, sf_dir):
+    """Physical-layout audit of a parquet dataset — the diagnostic you run
+    BEFORE tuning maxPartitionBytes or scheduling a compaction at 100 TB:
+    per row group, its row count, column count, and byte size, plus a
+    small-rowgroup flag (tiny row groups defeat vectorized scans and
+    bloat footer metadata; the fix is table_format_compaction).
+
+    Plan: the driver holds only the FILE LIST (bounded by file count, the
+    same information any planner lists); footers are read in EXECUTORS
+    via pyarrow through ``mapInPandas`` — distributed metadata
+    inspection, no data pages touched, so auditing a petabyte costs
+    footer-bytes × files.
+
+    rows-only: oracle SQL cannot parameterize file paths (the driver
+    pre-registers table VIEWS only) — tests/test_corpus_ops.py
+    cross-checks every emitted row against DuckDB's parquet_metadata()
+    on the same files."""
+    import os as _os
+
+    import pandas as pd
+
+    target = f"{sf_dir}/lineitem.parquet"
+    files = (
+        [target]
+        if _os.path.isfile(target)
+        else sorted(
+            _os.path.join(target, f)
+            for f in _os.listdir(target)
+            if f.endswith(".parquet")
+        )
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "file_path string")
+
+    def inspect(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["file_path"]:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    rows.append(
+                        (
+                            _os.path.basename(p),
+                            i,
+                            rg.num_rows,
+                            rg.num_columns,
+                            rg.total_byte_size,
+                            1 if rg.num_rows < 10_000 else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "row_group_id",
+                    "n_rows",
+                    "n_columns",
+                    "n_bytes",
+                    "small_rowgroup",
+                ],
+            )
+
+    return fdf.repartition(8, "file_path").mapInPandas(
+        inspect,
+        schema=(
+            "file_name string, row_group_id int, n_rows long,"
+            " n_columns int, n_bytes long, small_rowgroup int"
+        ),
+    ).orderBy("file_name", "row_group_id")

@@ -274,3 +274,39 @@ def test_k_anonymity_counts_sum_to_corpus(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == n_docs
     for r in rows:
         assert r["at_risk"] == (1 if r["n_rows"] < 5 else 0)
+
+
+def test_parquet_layout_audit_matches_duckdb_metadata(spark, sf_dir):
+    """rows-only key: every emitted row group must match DuckDB's
+    independent parquet_metadata() reading of the same file."""
+    import duckdb
+
+    rows = QUERIES["parquet_layout_audit"](spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            "SELECT row_group_id, row_group_num_rows, row_group_num_columns,"
+            " row_group_bytes FROM"
+            f" parquet_metadata('{sf_dir}/lineitem.parquet') GROUP BY ALL"
+        ).fetchall()
+    }
+    got = {
+        (r["row_group_id"], r["n_rows"]): (r["n_columns"], r["n_bytes"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["small_rowgroup"] == (1 if r["n_rows"] < 10_000 else 0)
+
+
+def test_negative_pairs_deterministic_and_never_self(spark, sf_dir):
+    a = QUERIES["sample_negative_pairs"](spark, sf_dir).collect()
+    b = QUERIES["sample_negative_pairs"](spark, sf_dir).collect()
+    assert a == b  # hash arithmetic, not RNG
+    n_vecs = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).num_rows
+    assert len(a) == 3 * n_vecs  # every anchor gets exactly 3 resolved negatives
+    for r in a:
+        assert r["neg_id"] != r["vec_id"]  # self-collision bumped away
+        assert 0 <= r["neg_id"] < n_vecs

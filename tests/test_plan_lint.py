@@ -30,6 +30,7 @@ BNLJ_OK = {
     "tfidf_keywords",           # 1-row n_docs fold
     "vocab_build",              # 1-row n_docs fold (df-bound threshold)
     "ks_test_drift",            # 1-row sample-size fold (ECDF denominators)
+    "sample_negative_pairs",    # 1-row corpus-count fold (modulus base)
     "mixture_resample",         # per-source target-rate stats fold
     "vector_quantize",          # 1-row global min/max fold
     "sim_cosine_topk",          # 5-probe broadcast × corpus (brute baseline)
