@@ -61,6 +61,72 @@ EXTENDED = [
 ]
 
 
+SF1_DIR = "/tmp/sfsynth/sf1.0"
+SF1_REPLICAS = 10
+
+
+def _ensure_sf1(src: str) -> bool:
+    """Build (or reuse) the key-shifted synthetic sf1.0 replica set
+    (tools/synth_scale.py).  Returns True when the directory is ready;
+    never raises — the matched-scale section is best-effort evidence."""
+    import pyarrow.parquet as pq
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        want = pq.read_metadata(f"{src}/lineitem.parquet").num_rows * SF1_REPLICAS
+        if (
+            os.path.exists(f"{SF1_DIR}/lineitem.parquet")
+            and pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows == want
+        ):
+            return True
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "synth_scale.py"),
+             str(SF1_REPLICAS)],
+            capture_output=True, timeout=600,
+        )
+        return (
+            r.returncode == 0
+            and pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows == want
+        )
+    except Exception:
+        return False
+
+
+def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
+    """Time the headline shapes' oracle SQL through DuckDB over the SAME
+    sf1.0 parquet, warm, via fetch_arrow_table (neither engine pays Python
+    row materialization) — the BASELINE.md matched-scale protocol."""
+    from bigdatawork_spark.registry import ORACLES
+    from bigdatawork_spark.schemas import TABLES
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF1_DIR}/{t}.parquet')"
+            )
+        out: dict[str, float] = {}
+        for key in keys:
+            sql = ORACLES.get(key)
+            if sql is None:
+                return None  # a headline key without an oracle breaks parity
+            con.execute(sql).fetch_arrow_table()  # untimed warm run
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetch_arrow_table()
+                times.append(time.perf_counter() - t0)
+            out[key] = round(sorted(times)[len(times) // 2], 4)
+        return out
+    except Exception:
+        return None
+
+
 def _warmup(spark, keys) -> None:
     """Run every headline query once at sf0.001 (untimed): warms JIT/codegen,
     parquet reader paths, and broadcast machinery.  Standard JVM bench
@@ -97,23 +163,23 @@ def main() -> None:
     # Catalyst analysis/optimization is inside the timing) — symmetric with
     # the warm per-query protocol the DuckDB BASELINE was measured under.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    def time_keys(key_list) -> dict[str, float]:
+    def time_keys(key_list, in_dir) -> dict[str, float]:
         out: dict[str, float] = {}
         for key in key_list:
             # One untimed priming run at the bench SF: the DuckDB BASELINE
             # was measured warm at the same SF, so the timed medians should
             # not carry this query shape's one-time codegen/broadcast build.
-            QUERIES[key](spark, sf_dir).count()
+            QUERIES[key](spark, in_dir).count()
             times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
-                n = QUERIES[key](spark, sf_dir).count()  # force full execution
+                n = QUERIES[key](spark, in_dir).count()  # force full execution
                 times.append(time.perf_counter() - t0)
                 assert n >= 0
             out[key] = round(sorted(times)[len(times) // 2], 4)
         return out
 
-    per_query = time_keys(keys)
+    per_query = time_keys(keys, sf_dir)
     total = round(sum(per_query.values()), 4)
 
     payload = {
@@ -124,8 +190,38 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
+
+    # Matched-scale section (VERDICT r04 item 2): per-query ratios at sf0.1
+    # measure the local-mode scheduler floor, not plan quality, so the 2×
+    # adjudication runs at synthetic sf1.0 where neither engine is
+    # floor-dominated.  Both engines, same parquet, same machine, warm,
+    # median of `runs` — emitted INSIDE the same single JSON line so the
+    # BENCH_r{N}.json artifact is self-contained (previously BASELINE.md
+    # prose).  Runs only for the default sf0.1 invocation (the per-round
+    # protocol); disable with SPARK_GRAFT_BENCH_SF1=0.
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1") != "0":
+        if _ensure_sf1(sf_dir):
+            duck_q = _bench_duckdb(keys, runs)
+            _fill_cache(spark, SF1_DIR)
+            spark_q = time_keys(keys, SF1_DIR)
+            spark_total = round(sum(spark_q.values()), 4)
+            sf1: dict = {
+                "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
+                "key-shifted), both engines warm, median of runs_per_query, "
+                "DuckDB via fetch_arrow_table",
+                "spark_sec": spark_total,
+                "spark_queries": spark_q,
+            }
+            if duck_q is not None:
+                duck_total = round(sum(duck_q.values()), 4)
+                sf1["duckdb_sec"] = duck_total
+                sf1["duckdb_queries"] = duck_q
+                if duck_total > 0:
+                    sf1["ratio_vs_duckdb"] = round(spark_total / duck_total, 3)
+            payload["sf1_0"] = sf1
+
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1":
-        ext = time_keys([k for k in EXTENDED if k in QUERIES])
+        ext = time_keys([k for k in EXTENDED if k in QUERIES], sf_dir)
         payload["extended_queries"] = ext
         payload["extended_total"] = round(sum(ext.values()), 4)
     print(json.dumps(payload))

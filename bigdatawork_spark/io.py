@@ -51,6 +51,27 @@ def _session_store(spark: SparkSession, attr: str) -> dict:
 
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
 
+# Epoch-unit bands, unambiguous for any date between 1973 and 2262:
+# seconds ~1e9, millis ~1e12, micros ~1e15, nanos ~1e18.
+_EPOCH_BANDS = ((10**17, "ns"), (10**14, "us"), (10**11, "ms"))
+
+
+def epoch_unit_for_magnitude(v: int) -> str:
+    """Classify an absolute epoch value into its unit band (pure, testable)."""
+    for threshold, unit in _EPOCH_BANDS:
+        if v >= threshold:
+            return unit
+    return "s"
+
+
+_EPOCH_CONVERTERS = {
+    "s": lambda name: F.timestamp_seconds(F.col(name)),
+    "ms": lambda name: F.timestamp_millis(F.col(name)),
+    "us": lambda name: F.timestamp_micros(F.col(name)),
+    # integer `div` (not /) — ns epoch values overflow double precision
+    "ns": lambda name: F.timestamp_micros(F.expr(f"`{name}` div 1000")),
+}
+
 
 def _normalize(df: DataFrame, name: str) -> DataFrame:
     """Cast columns back to the canonical schema when the fixture vintage
@@ -77,17 +98,31 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
             # A plain long->timestamp CAST means epoch SECONDS to Spark, so a
             # future vintage shipping nanos/micros/millis-as-long here would
             # silently produce garbage dates (ADVICE r03).  Detect the epoch
-            # unit by magnitude instead — unambiguous for any date between
-            # 1973 and 2262: seconds ~1e9, millis ~1e12, micros ~1e15,
-            # nanos ~1e18.
-            c = F.col(f.name)
-            df = df.withColumn(
-                f.name,
-                F.when(c >= F.lit(10**17), F.timestamp_micros(F.expr(f"{f.name} div 1000")))
-                .when(c >= F.lit(10**14), F.timestamp_micros(c))
-                .when(c >= F.lit(10**11), F.timestamp_millis(c))
-                .otherwise(F.timestamp_seconds(c)),
+            # unit ONCE PER COLUMN from the min/max magnitude — a per-row
+            # WHEN chain would decode near-epoch outliers (< 1e11, e.g.
+            # pre-1973 dates or small sentinels) as seconds while the bulk
+            # decodes as millis, silently mixing units (ADVICE r04).  One
+            # bounded 1-row aggregate per drifted column, fired only on
+            # fixture-vintage repair — never in the steady-state load path.
+            c = F.abs(F.col(f.name))
+            row = df.agg(
+                F.min(F.when(c > 0, c)).alias("lo"), F.max(c).alias("hi")
+            ).first()
+            if row["hi"] is None:  # all-null column: unit is moot
+                df = df.withColumn(f.name, F.timestamp_seconds(F.col(f.name)))
+                continue
+            unit = epoch_unit_for_magnitude(int(row["hi"]))
+            lo_unit = (
+                unit if row["lo"] is None
+                else epoch_unit_for_magnitude(int(row["lo"]))
             )
+            if lo_unit != unit:
+                raise ValueError(
+                    f"column {name}.{f.name}: epoch values straddle a unit "
+                    f"boundary (min-abs band {lo_unit!r} vs max-abs band "
+                    f"{unit!r}) — refusing to guess a per-row unit"
+                )
+            df = df.withColumn(f.name, _EPOCH_CONVERTERS[unit](f.name))
             continue
         df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return df

@@ -20,6 +20,15 @@ from ..io import load
 from ..registry import register
 
 
+
+def _sql_str(s: str) -> str:
+    """Escape a Python string for interpolation into a single-quoted Spark
+    SQL literal.  Backslash FIRST, then quote — Spark parses backslash
+    escapes inside string literals by default, so quote-only escaping
+    (the r04 bug) corrupts any corpus token containing a backslash."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 @register(
     "text_normalize",
     oracle="""
@@ -281,7 +290,31 @@ def char_ngram_profile(spark, sf_dir):
     )
 
 
+# Learned merge rules memoized per (sf_dir, n_merges) ON the session object
+# (io.py's pattern — dies with the session, id-reuse-safe).  The rules are a
+# plain list of tuples (no JVM handles), training is deterministic, and the
+# corpus is immutable per sf_dir, so re-training is pure waste: without the
+# memo, bpe_encode_apply re-trains from scratch right after bpe_train_merges
+# already did, and the schema-only driver-contract sweep paid two full
+# trainings just to inspect output schemas (ADVICE r04).
+_BPE_ATTR = "_bigdatawork_bpe_memo"
+
+
 def _bpe_train(spark, sf_dir, n_merges: int = 4):
+    memo = getattr(spark, _BPE_ATTR, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, _BPE_ATTR, memo)
+        except Exception:
+            pass  # un-taggable session: degrade to re-training per call
+    key = (sf_dir, n_merges)
+    if key not in memo:
+        memo[key] = _bpe_train_impl(spark, sf_dir, n_merges)
+    return memo[key]
+
+
+def _bpe_train_impl(spark, sf_dir, n_merges: int = 4):
     """Distributed BPE merge learning (Sennrich et al. 2016, the
     subword-tokenizer trainer) on the whitespace-tokenized corpus.
 
@@ -325,7 +358,7 @@ def _bpe_train(spark, sf_dir, n_merges: int = 4):
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((i, l, r, l + r, int(cnt)))
-        ql, qr = l.replace("'", "\\'"), r.replace("'", "\\'")
+        ql, qr = _sql_str(l), _sql_str(r)
         vocab = vocab.selectExpr(
             "freq",
             "aggregate(syms, cast(array() as array<string>),"
@@ -449,7 +482,7 @@ def bpe_encode_apply(spark, sf_dir):
         "transform(ws, w -> filter(split(w, ''), c -> c != '')) as syms",
     )
     for _, l, r, _, _ in merges:
-        ql, qr = l.replace("'", "\\'"), r.replace("'", "\\'")
+        ql, qr = _sql_str(l), _sql_str(r)
         toks = toks.selectExpr(
             "doc_id",
             "n_chars",
@@ -588,7 +621,20 @@ def sample_negative_pairs(spark, sf_dir):
     (anchor, neg_id) pairs, never embedding payloads; gather vectors
     lazily in the training reader."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n_df = e.selectExpr("cast(count(1) as bigint) as n_vecs")
+    # The modular arithmetic assumes vec_id is contiguous 0..n-1; with gaps
+    # the neg_id join would silently DROP candidates (anchors get < 3
+    # negatives).  Verify contiguity inside the same 1-row fold and fail
+    # loudly (raise_error) instead of degrading (ADVICE r04).
+    n_df = e.selectExpr(
+        "cast(count(1) as bigint) as n_cnt",
+        "max(vec_id) as max_id",
+        "min(vec_id) as min_id",
+    ).selectExpr(
+        "case when n_cnt = max_id + 1 and min_id = 0 then n_cnt"
+        " else raise_error('sample_negative_pairs: vec_id must be"
+        " contiguous 0..n-1 — gapped ids would silently drop negatives')"
+        " end as n_vecs"
+    )
     cand = (
         e.crossJoin(F.broadcast(n_df))
         .selectExpr(

@@ -209,8 +209,78 @@ ORDER BY probe_id, rn
 )
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for probe set vec_id ≤ 5 — the correctness
-    baseline for ANN (sim_ann_lsh is the scale path).  Probe side broadcasts;
-    the corpus is scanned once."""
+    baseline for ANN (sim_ann_lsh is the scale path).
+
+    Scorer is a BLAS matmul per Arrow batch (mapInPandas) against the
+    sc.broadcast probe matrix — one numpy ``C @ P.T`` replaces per-pair
+    ``zip_with`` allocation, the VERDICT r04 weak-item fix (sf1.0 was 3.9×
+    DuckDB on the expr form).  Each batch emits only its LOCAL top-5 per
+    probe under the global total order (cos desc, neighbor_id asc), so the
+    final window ranks #batches×probes×5 candidate rows, never the corpus:
+    the global top-5 is contained in the union of per-batch top-5s under
+    the same strict total order.  At 100 TB this is a single corpus scan
+    with constant-size (probes×5) state per task — the same shape as the
+    expr twin, minus the per-pair array churn.  float32→float64 is exact,
+    so products match the oracle bit-for-bit; only the sum ORDER differs
+    (BLAS pairwise vs sequential fold), ~1e-15 — invisible at the rounded
+    6-decimal output.  ``_sim_cosine_topk_expr`` keeps the pure-expr
+    formulation as the oracle-parity twin (tests assert identity)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.where("vec_id <= 5").collect()  # bounded probe set (≤6 rows)
+    pid = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    P = np.array([list(r["embedding"]) for r in probes], dtype=np.float64)
+    pnrm = np.sqrt((P * P).sum(axis=1))
+    bc = spark.sparkContext.broadcast((pid, P, pnrm))
+    k = 5
+
+    def score(batches):
+        bpid, bP, bpnrm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cnrm = np.sqrt((C * C).sum(axis=1))
+            sims = (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :])
+            out = []
+            for j in range(len(bpid)):
+                mask = cid != bpid[j]
+                s_m, id_m = sims[mask, j], cid[mask]
+                if not len(id_m):
+                    continue
+                order = np.lexsort((id_m, -s_m))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": bpid[j],
+                            "neighbor_id": id_m[order],
+                            "cos_raw": s_m[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    cand = e.mapInPandas(
+        score, "probe_id bigint, neighbor_id bigint, cos_raw double"
+    )
+    return cand.selectExpr(
+        "probe_id",
+        "neighbor_id",
+        "round(cos_raw, 6) as cos_sim",
+        "row_number() over (partition by probe_id"
+        " order by cos_raw desc, neighbor_id) as rn",
+    ).where("rn <= 5")
+
+
+def _sim_cosine_topk_expr(spark, sf_dir):
+    """Pure-expr twin of ``sim_cosine_topk`` (the original formulation):
+    broadcast probes × single corpus scan, per-pair zip_with dot product.
+    Unregistered — kept as the oracle-parity reference; the differential
+    test asserts the vectorized scorer returns the identical frame."""
     n = _normed_vectors(spark, sf_dir)
     p = n.where("vec_id <= 5").selectExpr(
         "vec_id as probe_id", "e as pe", "nrm as pnrm"

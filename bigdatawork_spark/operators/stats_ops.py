@@ -364,6 +364,14 @@ def ks_test_drift(spark, sf_dir):
     )
     totals = grid.selectExpr(
         "cast(sum(ca) as double) as n_a", "cast(sum(cb) as double) as n_b"
+    ).selectExpr(
+        # An empty side makes the n_a*n_b divisions yield null ks_stat
+        # silently; a degenerate fixture should fail loudly instead
+        # (ADVICE r04).
+        "case when n_a > 0 and n_b > 0 then n_a"
+        " else raise_error('ks_test_drift: empty sample side"
+        " (n_a or n_b = 0) — KS statistic undefined') end as n_a",
+        "n_b",
     )
     cdf = grid.crossJoin(F.broadcast(totals)).selectExpr(
         "n_a",

@@ -219,3 +219,66 @@ def test_kmeans_sse_monotone_and_covering(spark, sf_dir):
         for r in assign2.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes1 == sizes2
+
+
+# --- ADVICE r04 hardening: loud failures and SQL-literal escaping ---
+
+
+def test_sql_str_escapes_backslash_then_quote(spark):
+    """BPE merge symbols are interpolated into Spark SQL string literals;
+    quote-only escaping corrupted backslash-bearing tokens (ADVICE r04).
+    Round-trip the nasty cases through an actual Spark literal."""
+    from bigdatawork_spark.operators.corpus_ops import _sql_str
+
+    for raw in ["a\\b", "it's", "\\'", "\\\\", "a'b\\c'd", "\\n", "tab\\there"]:
+        got = spark.sql(f"select '{_sql_str(raw)}' as s").first()["s"]
+        assert got == raw, (raw, got)
+
+
+def test_sample_negative_pairs_rejects_gapped_ids(spark, tmp_path):
+    """Gapped vec_id would silently drop negatives via the modular join;
+    the operator must raise instead (ADVICE r04)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    # vec_id 0,1,3 — gap at 2
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1, 3], pa.int64()),
+            "embedding": pa.array([[0.1] * 4] * 3, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        QUERIES["sample_negative_pairs"](spark, str(tmp_path)).collect()
+    assert "contiguous" in str(ei.value)
+
+
+def test_ks_test_drift_empty_side_raises(spark, tmp_path):
+    """An empty doc_id-parity half must fail loudly, not emit null
+    ks_stat (ADVICE r04)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    # only even doc_ids -> side b empty
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 2, 4], pa.int64()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["web"] * 3),
+            "n_chars": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc"]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(Exception) as ei:
+        QUERIES["ks_test_drift"](spark, str(tmp_path)).collect()
+    assert "empty sample side" in str(ei.value)

@@ -130,3 +130,102 @@ def test_long_timestamp_vintage_detects_epoch_unit(spark):
         trunc = {"nanos": 1, "micros": 1, "millis": 1000, "seconds": 1_000_000}[unit]
         want = instant.replace(microsecond=instant.microsecond // trunc * trunc)
         assert got == want, (unit, got, want)
+
+# --- per-column epoch-unit decision (ADVICE r04: the per-row WHEN chain
+# could silently mix units within one column; now the unit is decided once
+# per column from min/max magnitude, and straddling values fail loudly) ---
+
+_BOUNDARY_CASES = [
+    # (value, expected unit) — exact band edges around 1e11 / 1e14 / 1e17
+    (0, "s"),
+    (1, "s"),
+    (10**11 - 1, "s"),
+    (10**11, "ms"),
+    (10**14 - 1, "ms"),
+    (10**14, "us"),
+    (10**17 - 1, "us"),
+    (10**17, "ns"),
+    (2**63 - 1, "ns"),
+]
+
+
+@pytest.mark.parametrize("value,unit", _BOUNDARY_CASES)
+def test_epoch_unit_band_edges(value, unit):
+    from bigdatawork_spark.io import epoch_unit_for_magnitude
+
+    assert epoch_unit_for_magnitude(value) == unit
+
+
+def test_epoch_unit_roundtrip_property():
+    """Hypothesis: any instant in the unambiguous 1973-2262 window encodes
+    into each unit's band — the magnitude heuristic cannot misclassify a
+    real date regardless of vintage."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatawork_spark.io import epoch_unit_for_magnitude
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(
+            min_value=10**11 // 1000 + 1,      # > 1e8 s  (~1973-03)
+            max_value=10**14 // 1000 - 1,      # < 1e11 s (~5138) capped below
+        )
+    )
+    def check(sec):
+        # cap seconds at the 2262 ns-overflow edge so the ns encoding stays
+        # a valid long
+        sec = min(sec, 9_000_000_000)
+        assert epoch_unit_for_magnitude(sec) == "s"
+        assert epoch_unit_for_magnitude(sec * 10**3) == "ms"
+        assert epoch_unit_for_magnitude(sec * 10**6) == "us"
+        assert epoch_unit_for_magnitude(sec * 10**9) == "ns"
+
+    check()
+
+
+def _long_ts_events(spark, values):
+    from pyspark.sql import functions as F
+
+    rows = [(i + 1, v, 10, "view", 1.5, "{}") for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "event_id int, ts long, user_id int, event_type string, value double, props string"
+    )
+
+
+def test_epoch_unit_uniform_within_column(spark):
+    """Regression for the r04 per-row bug: two in-band millis values —
+    one of them small — must BOTH decode as millis (one column, one unit)."""
+    from bigdatawork_spark.io import _normalize
+
+    lo, hi = 2 * 10**11, 2 * 10**12  # both in the ms band
+    out = _normalize(_long_ts_events(spark, [lo, hi]), "events")
+    got = [r["ts"] for r in out.orderBy("event_id").collect()]
+    want = [
+        datetime.datetime.fromtimestamp(v / 1000, datetime.timezone.utc).replace(tzinfo=None)
+        for v in (lo, hi)
+    ]
+    assert got == want, (got, want)
+
+
+def test_epoch_unit_straddle_raises(spark):
+    """Values spanning two unit bands in one column must fail loudly, not
+    silently decode with mixed units."""
+    from bigdatawork_spark.io import _normalize
+
+    df = _long_ts_events(spark, [5 * 10**10, 2 * 10**12])  # s-band + ms-band
+    with pytest.raises(ValueError, match="straddle"):
+        _normalize(df, "events")
+
+
+def test_epoch_unit_all_null_column(spark):
+    from bigdatawork_spark.io import _normalize
+
+    from pyspark.sql import functions as F
+
+    df = _long_ts_events(spark, [0]).select(
+        "event_id", F.lit(None).cast("long").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    out = _normalize(df, "events")
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.collect()[0]["ts"] is None

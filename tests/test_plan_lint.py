@@ -33,7 +33,6 @@ BNLJ_OK = {
     "sample_negative_pairs",    # 1-row corpus-count fold (modulus base)
     "mixture_resample",         # per-source target-rate stats fold
     "vector_quantize",          # 1-row global min/max fold
-    "sim_cosine_topk",          # 5-probe broadcast × corpus (brute baseline)
     "sim_ann_ivf",              # k-centroid broadcast assign/probe
     "dedup_embedding_cosine",   # normed-probe broadcast threshold pairs
     "knn_classify",             # bounded probe set × corpus

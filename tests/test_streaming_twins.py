@@ -104,3 +104,14 @@ def test_stream_stream_left_join_equals_batch(spark, sf_dir):
     stream_pd = QUERIES["stream_stream_left_join"](spark, sf_dir).toPandas()
     batch_pd = QUERIES["join_interval_left"](spark, sf_dir).toPandas()
     assert_frames_match(stream_pd, batch_pd, "stream_stream_left_join≡batch")
+
+
+def test_sim_cosine_vectorized_equals_expr_twin(spark, sf_dir):
+    """The BLAS mapInPandas scorer must return the IDENTICAL frame to the
+    pure-expr zip_with formulation it replaced (r05 weak-item fix) — same
+    neighbors, same ranks, same rounded similarities."""
+    from bigdatawork_spark.operators.llm_ops import _sim_cosine_topk_expr
+
+    fast = QUERIES["sim_cosine_topk"](spark, sf_dir).toPandas()
+    twin = _sim_cosine_topk_expr(spark, sf_dir).toPandas()
+    assert_frames_match(fast, twin, "sim_cosine_topk≡expr-twin")
