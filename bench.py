@@ -122,6 +122,7 @@ def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
                 con.execute(sql).fetch_arrow_table()
                 times.append(time.perf_counter() - t0)
             out[key] = round(sorted(times)[len(times) // 2], 4)
+        con.close()  # release the buffer pool before the Spark-side timing
         return out
     except Exception:
         return None
