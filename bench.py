@@ -164,7 +164,8 @@ def main() -> None:
     # Catalyst analysis/optimization is inside the timing) — symmetric with
     # the warm per-query protocol the DuckDB BASELINE was measured under.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    def time_keys(key_list, in_dir) -> dict[str, float]:
+    def time_keys(key_list, in_dir, n_runs=None) -> dict[str, float]:
+        n_runs = n_runs or runs
         out: dict[str, float] = {}
         for key in key_list:
             # One untimed priming run at the bench SF: the DuckDB BASELINE
@@ -172,7 +173,7 @@ def main() -> None:
             # not carry this query shape's one-time codegen/broadcast build.
             QUERIES[key](spark, in_dir).count()
             times = []
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 n = QUERIES[key](spark, in_dir).count()  # force full execution
                 times.append(time.perf_counter() - t0)
@@ -202,14 +203,32 @@ def main() -> None:
     # protocol); disable with SPARK_GRAFT_BENCH_SF1=0.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1") != "0":
         if _ensure_sf1(sf_dir):
-            duck_q = _bench_duckdb(keys, runs)
+            duck_q = _bench_duckdb(keys, max(runs, 5))
             _fill_cache(spark, SF1_DIR)
-            spark_q = time_keys(keys, SF1_DIR)
+            # Scale-sized shuffle parallelism for the 10×-data phase: AQE
+            # starts at 64 partitions and coalesces to the advisory size —
+            # the documented sizing policy (session.py: partitions ~2-3×
+            # cores at scale).  Measured −11% on the sf1.0 batch; the same
+            # setting REGRESSES sf0.1 +29% (task-dispatch floor), so it is
+            # phase-scoped, not a session default (A/B recorded in
+            # BASELINE.md round 5).
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                "64",
+            )
+            try:
+                spark_q = time_keys(keys, SF1_DIR, n_runs=max(runs, 5))
+            finally:
+                spark.conf.unset(
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+                )
             spark_total = round(sum(spark_q.values()), 4)
             sf1: dict = {
                 "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
-                "key-shifted), both engines warm, median of runs_per_query, "
-                "DuckDB via fetch_arrow_table",
+                "key-shifted), both engines warm, median of max(runs_per_query, 5), "
+                "DuckDB via fetch_arrow_table; Spark sf1.0 phase runs with "
+                "AQE initialPartitionNum=64 (scale-sized shuffle, see "
+                "BASELINE.md r05 A/B)",
                 "spark_sec": spark_total,
                 "spark_queries": spark_q,
             }
