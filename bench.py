@@ -65,19 +65,42 @@ SF1_DIR = "/tmp/sfsynth/sf1.0"
 SF1_REPLICAS = 10
 
 
+def _sf1_complete(want_lineitem_rows: int) -> bool:
+    """All ten tables present AND the success marker records the expected
+    lineitem row count — guards against reusing a torn replica set from a
+    killed or concurrent synth_scale run (r05 review)."""
+    import pyarrow.parquet as pq
+    from bigdatawork_spark.schemas import TABLES
+
+    marker = os.path.join(SF1_DIR, "_SUCCESS")
+    try:
+        if not all(
+            os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet")) for t in TABLES
+        ):
+            return False
+        with open(marker) as f:
+            if f.read().strip() != str(want_lineitem_rows):
+                return False
+        return (
+            pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows
+            == want_lineitem_rows
+        )
+    except OSError:
+        return False
+
+
 def _ensure_sf1(src: str) -> bool:
     """Build (or reuse) the key-shifted synthetic sf1.0 replica set
     (tools/synth_scale.py).  Returns True when the directory is ready;
-    never raises — the matched-scale section is best-effort evidence."""
+    never raises — the matched-scale section is best-effort evidence.
+    Completeness is judged on ALL tables plus a row-count marker written
+    only after a fully successful build, not on lineitem alone."""
     import pyarrow.parquet as pq
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         want = pq.read_metadata(f"{src}/lineitem.parquet").num_rows * SF1_REPLICAS
-        if (
-            os.path.exists(f"{SF1_DIR}/lineitem.parquet")
-            and pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows == want
-        ):
+        if _sf1_complete(want):
             return True
         import subprocess
 
@@ -86,10 +109,11 @@ def _ensure_sf1(src: str) -> bool:
              str(SF1_REPLICAS)],
             capture_output=True, timeout=600,
         )
-        return (
-            r.returncode == 0
-            and pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows == want
-        )
+        if r.returncode != 0:
+            return False
+        with open(os.path.join(SF1_DIR, "_SUCCESS"), "w") as f:
+            f.write(str(want))
+        return _sf1_complete(want)
     except Exception:
         return False
 
@@ -101,6 +125,7 @@ def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
     from bigdatawork_spark.registry import ORACLES
     from bigdatawork_spark.schemas import TABLES
 
+    con = None
     try:
         import duckdb
 
@@ -122,10 +147,14 @@ def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
                 con.execute(sql).fetch_arrow_table()
                 times.append(time.perf_counter() - t0)
             out[key] = round(sorted(times)[len(times) // 2], 4)
-        con.close()  # release the buffer pool before the Spark-side timing
         return out
     except Exception:
         return None
+    finally:
+        # always release the buffer pool before the Spark-side timing —
+        # including on the missing-oracle early return and on errors
+        if con is not None:
+            con.close()
 
 
 def _warmup(spark, keys) -> None:
@@ -146,6 +175,21 @@ def _fill_cache(spark, sf_dir) -> None:
 
     for t in TABLES:
         load(spark, sf_dir, t).count()
+
+
+def _drop_cache(spark, sf_dir) -> None:
+    """Unpersist every cached table for ``sf_dir`` and forget the handles,
+    so a later phase at another SF is not squeezed by this one's cache."""
+    from bigdatawork_spark.io import _CACHE_ATTR, _HANDLES_ATTR
+
+    for attr in (_CACHE_ATTR, _HANDLES_ATTR):
+        store = getattr(spark, attr, None) or {}
+        for key in [k for k in store if k[0] == sf_dir]:
+            df = store.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def main() -> None:
@@ -202,43 +246,55 @@ def main() -> None:
     # prose).  Runs only for the default sf0.1 invocation (the per-round
     # protocol); disable with SPARK_GRAFT_BENCH_SF1=0.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1") != "0":
-        if _ensure_sf1(sf_dir):
-            duck_q = _bench_duckdb(keys, max(runs, 5))
-            _fill_cache(spark, SF1_DIR)
-            # Scale-sized shuffle parallelism for the 10×-data phase: AQE
-            # starts at 64 partitions and coalesces to the advisory size —
-            # the documented sizing policy (session.py: partitions ~2-3×
-            # cores at scale).  Measured −11% on the sf1.0 batch; the same
-            # setting REGRESSES sf0.1 +29% (task-dispatch floor), so it is
-            # phase-scoped, not a session default (A/B recorded in
-            # BASELINE.md round 5).
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                "64",
-            )
-            try:
-                spark_q = time_keys(keys, SF1_DIR, n_runs=max(runs, 5))
-            finally:
-                spark.conf.unset(
-                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        # Best-effort by construction: any failure in this phase degrades to
+        # "no sf1_0 field" — it must never discard the already-measured
+        # sf0.1 results above (r05 review).
+        try:
+            if _ensure_sf1(sf_dir):
+                duck_q = _bench_duckdb(keys, max(runs, 5))
+                _fill_cache(spark, SF1_DIR)
+                # Scale-sized shuffle parallelism for the 10×-data phase:
+                # AQE starts at 64 partitions and coalesces to the advisory
+                # size — the documented sizing policy (session.py:
+                # partitions ~2-3× cores at scale).  Measured −11% on the
+                # sf1.0 batch; the same setting REGRESSES sf0.1 +29%
+                # (task-dispatch floor), so it is phase-scoped, not a
+                # session default (A/B recorded in BASELINE.md round 5).
+                spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                    "64",
                 )
-            spark_total = round(sum(spark_q.values()), 4)
-            sf1: dict = {
-                "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
-                "key-shifted), both engines warm, median of max(runs_per_query, 5), "
-                "DuckDB via fetch_arrow_table; Spark sf1.0 phase runs with "
-                "AQE initialPartitionNum=64 (scale-sized shuffle, see "
-                "BASELINE.md r05 A/B)",
-                "spark_sec": spark_total,
-                "spark_queries": spark_q,
-            }
-            if duck_q is not None:
-                duck_total = round(sum(duck_q.values()), 4)
-                sf1["duckdb_sec"] = duck_total
-                sf1["duckdb_queries"] = duck_q
-                if duck_total > 0:
-                    sf1["ratio_vs_duckdb"] = round(spark_total / duck_total, 3)
-            payload["sf1_0"] = sf1
+                try:
+                    spark_q = time_keys(keys, SF1_DIR, n_runs=max(runs, 5))
+                finally:
+                    spark.conf.unset(
+                        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+                    )
+                spark_total = round(sum(spark_q.values()), 4)
+                sf1: dict = {
+                    "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
+                    "key-shifted), both engines warm, median of "
+                    "max(runs_per_query, 5), DuckDB via fetch_arrow_table; "
+                    "Spark sf1.0 phase runs with AQE initialPartitionNum=64 "
+                    "(scale-sized shuffle, see BASELINE.md r05 A/B)",
+                    "spark_sec": spark_total,
+                    "spark_queries": spark_q,
+                }
+                if duck_q is not None:
+                    duck_total = round(sum(duck_q.values()), 4)
+                    sf1["duckdb_sec"] = duck_total
+                    sf1["duckdb_queries"] = duck_q
+                    if duck_total > 0:
+                        sf1["ratio_vs_duckdb"] = round(
+                            spark_total / duck_total, 3
+                        )
+                payload["sf1_0"] = sf1
+        except Exception as ex:
+            payload["sf1_0_error"] = f"{type(ex).__name__}: {ex}"[:200]
+        finally:
+            # Drop the 10× cache so any later phase (EXTENDED tier) times
+            # sf0.1 under the same memory conditions as previous rounds.
+            _drop_cache(spark, SF1_DIR)
 
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1":
         ext = time_keys([k for k in EXTENDED if k in QUERIES], sf_dir)

@@ -627,12 +627,18 @@ def sample_negative_pairs(spark, sf_dir):
     # loudly (raise_error) instead of degrading (ADVICE r04).
     n_df = e.selectExpr(
         "cast(count(1) as bigint) as n_cnt",
+        "cast(count(distinct vec_id) as bigint) as n_distinct",
         "max(vec_id) as max_id",
         "min(vec_id) as min_id",
     ).selectExpr(
-        "case when n_cnt = max_id + 1 and min_id = 0 then n_cnt"
+        # n_cnt = max+1 alone is defeated by duplicate ids masking a gap
+        # (e.g. [0,1,1,3]): require distinct count to match too, so the id
+        # space is exactly {0..n-1} with no duplicates (r05 review).
+        "case when n_cnt = max_id + 1 and n_distinct = n_cnt"
+        " and min_id = 0 then n_cnt"
         " else raise_error('sample_negative_pairs: vec_id must be"
-        " contiguous 0..n-1 — gapped ids would silently drop negatives')"
+        " contiguous 0..n-1 without duplicates — gapped ids would"
+        " silently drop negatives')"
         " end as n_vecs"
     )
     cand = (

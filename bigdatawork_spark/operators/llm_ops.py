@@ -185,6 +185,39 @@ n AS (
 """
 
 
+# Probe matrix + sc.broadcast memoized per sf_dir ON the session object
+# (io.py's pattern): the probe set is constant for a given corpus, so the
+# bounded collect + broadcast happens once per session instead of on every
+# DataFrame construction (plan-lint sweeps, bench rebuilds — r05 review).
+_PROBE_ATTR = "_bigdatawork_cosine_probes"
+
+
+def _cosine_probe_broadcast(spark, sf_dir, e):
+    """Broadcast (probe_ids, probe_matrix, probe_norms) for vec_id ≤ 5,
+    or None when the probe set is empty."""
+    import numpy as np
+
+    memo = getattr(spark, _PROBE_ATTR, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, _PROBE_ATTR, memo)
+        except Exception:
+            pass  # un-taggable session: degrade to re-collecting per call
+    if sf_dir not in memo:
+        probes = e.where("vec_id <= 5").collect()  # bounded (≤6 rows)
+        if not probes:
+            memo[sf_dir] = None
+        else:
+            pid = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+            P = np.array(
+                [list(r["embedding"]) for r in probes], dtype=np.float64
+            )
+            pnrm = np.sqrt((P * P).sum(axis=1))
+            memo[sf_dir] = spark.sparkContext.broadcast((pid, P, pnrm))
+    return memo[sf_dir]
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -228,45 +261,55 @@ def sim_cosine_topk(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    _CAND_SCHEMA = "probe_id bigint, neighbor_id bigint, cos_raw double"
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    probes = e.where("vec_id <= 5").collect()  # bounded probe set (≤6 rows)
-    pid = np.array([r["vec_id"] for r in probes], dtype=np.int64)
-    P = np.array([list(r["embedding"]) for r in probes], dtype=np.float64)
-    pnrm = np.sqrt((P * P).sum(axis=1))
-    bc = spark.sparkContext.broadcast((pid, P, pnrm))
-    k = 5
+    bc = _cosine_probe_broadcast(spark, sf_dir, e)
+    if bc is None:  # no probes (vec_id ≤ 5 absent): empty result, no crash
+        cand = spark.createDataFrame([], _CAND_SCHEMA)
+    else:
+        k = 5
 
-    def score(batches):
-        bpid, bP, bpnrm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cnrm = np.sqrt((C * C).sum(axis=1))
-            sims = (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :])
-            out = []
-            for j in range(len(bpid)):
-                mask = cid != bpid[j]
-                s_m, id_m = sims[mask, j], cid[mask]
-                if not len(id_m):
+        def score(batches):
+            bpid, bP, bpnrm = bc.value
+            for pdf in batches:
+                if not len(pdf):
                     continue
-                order = np.lexsort((id_m, -s_m))[:k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "probe_id": bpid[j],
-                            "neighbor_id": id_m[order],
-                            "cos_raw": s_m[order],
-                        }
+                C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cnrm = np.sqrt((C * C).sum(axis=1))
+                if (cnrm == 0).any() or (bpnrm == 0).any():
+                    # ANSI parity: the expr twin's 0/0 raises DIVIDE_BY_ZERO
+                    # under Spark 4's default ANSI mode — numpy would
+                    # silently produce NaN (which Spark then ranks GREATEST
+                    # under cos DESC, diverging from the twin).  The engine
+                    # invariant is norms > 0 (test_division_by_zero
+                    # semantics); degenerate vectors fail loudly here too.
+                    bad = cid[cnrm == 0].tolist() or bpid[bpnrm == 0].tolist()
+                    raise ValueError(
+                        f"sim_cosine_topk: zero-norm embedding(s) {bad} — "
+                        "cosine undefined; filter degenerate vectors first"
                     )
-                )
-            if out:
-                yield pd.concat(out)
+                sims = (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :])
+                out = []
+                for j in range(len(bpid)):
+                    mask = cid != bpid[j]
+                    s_m, id_m = sims[mask, j], cid[mask]
+                    if not len(id_m):
+                        continue
+                    order = np.lexsort((id_m, -s_m))[:k]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "probe_id": bpid[j],
+                                "neighbor_id": id_m[order],
+                                "cos_raw": s_m[order],
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out)
 
-    cand = e.mapInPandas(
-        score, "probe_id bigint, neighbor_id bigint, cos_raw double"
-    )
+        cand = e.mapInPandas(score, _CAND_SCHEMA)
     return cand.selectExpr(
         "probe_id",
         "neighbor_id",

@@ -252,10 +252,28 @@ def test_sample_negative_pairs_rejects_gapped_ids(spark, tmp_path):
         }),
         str(tmp_path / "embeddings.parquet"),
     )
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises(Exception) as ei:
+        QUERIES["sample_negative_pairs"](spark, str(tmp_path)).collect()
+    assert "contiguous" in str(ei.value)
 
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+
+def test_sample_negative_pairs_rejects_duplicate_ids(spark, tmp_path):
+    """Duplicate vec_ids can mask a gap from the count=max+1 check
+    ([0,1,1,3]) — the distinct-count guard must catch it (r05 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1, 1, 3], pa.int64()),
+            "embedding": pa.array([[0.1] * 4] * 4, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0, 1], pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with pytest.raises(Exception) as ei:
         QUERIES["sample_negative_pairs"](spark, str(tmp_path)).collect()
     assert "contiguous" in str(ei.value)
 
@@ -282,3 +300,51 @@ def test_ks_test_drift_empty_side_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         QUERIES["ks_test_drift"](spark, str(tmp_path)).collect()
     assert "empty sample side" in str(ei.value)
+
+
+def _write_embeddings(tmp_path, ids, vecs, labels=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels or [0] * len(ids), pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+
+def test_sim_cosine_topk_empty_probe_set(spark, tmp_path):
+    """No vec_id <= 5 in the corpus: the vectorized builder must return an
+    empty frame (the expr form's behavior), not crash at construction
+    (r05 review)."""
+    from bigdatawork_spark.registry import QUERIES
+
+    _write_embeddings(tmp_path, [10, 11, 12], [[0.1, 0.2], [0.3, 0.4], [0.5, 0.6]])
+    out = QUERIES["sim_cosine_topk"](spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "probe_id", "neighbor_id", "cos_sim", "rn",
+    ]
+
+
+def test_sim_cosine_topk_zero_norm_fails_loudly_like_expr_twin(spark, tmp_path):
+    """A zero-norm embedding makes cosine 0/0.  Under Spark 4's default
+    ANSI mode the expr twin raises DIVIDE_BY_ZERO; numpy would instead
+    produce a silent NaN that Spark ranks GREATEST under cos DESC —
+    divergent results.  Both implementations must therefore fail loudly
+    on the degenerate input (r05 review; the engine invariant is
+    norms > 0, see test_division_by_zero_semantics)."""
+    from bigdatawork_spark.operators.llm_ops import _sim_cosine_topk_expr
+    from bigdatawork_spark.registry import QUERIES
+
+    ids = list(range(10))
+    vecs = [[float(i + 1), float(2 * i + 1)] for i in range(9)]
+    vecs.insert(3, [0.0, 0.0])  # vec_id 3 is the zero vector
+    _write_embeddings(tmp_path, ids, vecs)
+    with pytest.raises(Exception, match="zero-norm"):
+        QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _sim_cosine_topk_expr(spark, str(tmp_path)).collect()
