@@ -324,3 +324,131 @@ def test_random_json_extraction(spark, rows):
         """
     ).df()
     assert_frames_match(got, want, "random_json")
+
+
+def _second_frame(spark, con, rows2):
+    pdf2 = pd.DataFrame(rows2, columns=["k", "v", "tag"]).astype(
+        {"k": "Int64", "v": "float64", "tag": "object"}
+    )
+    sdf2 = spark.createDataFrame(
+        [tuple(None if pd.isna(x) else x for x in r) for r in rows2],
+        "k int, v double, tag string",
+    )
+    con.register("u", pdf2)
+    return sdf2
+
+
+@given(rows=_rows, rows2=_rows)
+@settings(**_SETTINGS)
+def test_random_set_operations(spark, rows, rows2):
+    """UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT with duplicate rows
+    and nulls — cross-engine bag-vs-set semantics are a classic drift
+    point (NULLs compare EQUAL in set ops, unlike joins)."""
+    sdf, con = _frames(spark, rows)
+    sdf2 = _second_frame(spark, con, rows2)
+    cases = [
+        (sdf.unionAll(sdf2), "SELECT * FROM t UNION ALL SELECT * FROM u"),
+        (sdf.union(sdf2).distinct(), "SELECT * FROM t UNION SELECT * FROM u"),
+        (sdf.intersect(sdf2), "SELECT * FROM t INTERSECT SELECT * FROM u"),
+        (sdf.exceptAll(sdf2), "SELECT * FROM t EXCEPT ALL SELECT * FROM u"),
+    ]
+    for i, (sres, sql) in enumerate(cases):
+        assert_frames_match(
+            sres.toPandas(), con.execute(sql).df(), f"random_setop_{i}"
+        )
+
+
+@given(rows=_rows, rows2=_rows)
+@settings(**_SETTINGS)
+def test_random_semi_anti_join(spark, rows, rows2):
+    """LEFT SEMI / LEFT ANTI with null keys: null keys never match in the
+    semi side but DO survive in the anti side — both engines must agree."""
+    sdf, con = _frames(spark, rows)
+    sdf2 = _second_frame(spark, con, rows2)
+    semi = sdf.join(sdf2.select("k"), "k", "left_semi").toPandas()
+    want_semi = con.execute(
+        "SELECT * FROM t WHERE k IN (SELECT k FROM u WHERE k IS NOT NULL)"
+    ).df()
+    assert_frames_match(semi, want_semi, "random_semi")
+    anti = sdf.join(sdf2.select("k"), "k", "left_anti").toPandas()
+    want_anti = con.execute(
+        "SELECT * FROM t WHERE k IS NULL OR k NOT IN "
+        "(SELECT k FROM u WHERE k IS NOT NULL)"
+    ).df()
+    assert_frames_match(anti, want_anti, "random_anti")
+
+
+@given(rows=_rows.filter(lambda r: len(r) > 0))
+@settings(**_SETTINGS)
+def test_random_rollup(spark, rows):
+    """ROLLUP over (k, tag): the super-aggregate null rows must be
+    distinguishable from genuine null group keys the same way in both
+    engines (GROUPING() disambiguates).
+
+    Non-empty input only: this fuzzer FOUND a real divergence on empty
+    input — DuckDB emits the SQL-standard grand-total row (n=0) while
+    Spark's rollup returns zero rows; pinned explicitly in
+    test_rollup_empty_input_divergence below."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    got = (
+        sdf.rollup("k", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).alias("s"),
+            F.grouping("k").alias("gk"),
+            F.grouping("tag").alias("gt"),
+        )
+        .toPandas()
+    )
+    # Spark emits grouping() as tinyint; DuckDB as int — align for compare
+    got["gk"] = got["gk"].astype("int64")
+    got["gt"] = got["gt"].astype("int64")
+    want = con.execute(
+        """
+        SELECT k, tag, COUNT(*) AS n, ROUND(SUM(v), 6) AS s,
+               CAST(GROUPING(k) AS BIGINT) AS gk,
+               CAST(GROUPING(tag) AS BIGINT) AS gt
+        FROM t GROUP BY ROLLUP (k, tag)
+        """
+    ).df()
+    assert_frames_match(got, want, "random_rollup")
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_sort_limit_deterministic(spark, rows):
+    """ORDER BY with a full tiebreak + LIMIT must return the identical
+    prefix in both engines (the §5.3.3 determinism rule, fuzzed)."""
+    sdf, con = _frames(spark, rows)
+    got = (
+        sdf.orderBy("k", "v", "tag")
+        .limit(5)
+        .toPandas()
+    )
+    want = con.execute(
+        "SELECT * FROM t ORDER BY k NULLS FIRST, v NULLS FIRST, "
+        "tag NULLS FIRST LIMIT 5"
+    ).df()
+    assert_frames_match(got, want, "random_sort_limit")
+
+
+def test_rollup_empty_input_divergence(spark):
+    """Pin the empty-input ROLLUP divergence the fuzzer found: the SQL
+    standard (and DuckDB) emit the grand-total super-aggregate row even
+    over zero rows — count 0, sums NULL — while Spark's rollup emits
+    nothing.  Engine queries therefore must not rely on the grand-total
+    row existing for empty partitions (agg_rollup runs on never-empty
+    corpus tables)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([], "k int, v double, tag string")
+    got = sdf.rollup("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert got == []  # Spark: zero rows
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT k, COUNT(*) AS n FROM (SELECT 1 AS k, 1.0 AS v WHERE false) "
+        "GROUP BY ROLLUP (k)"
+    ).fetchall()
+    assert want == [(None, 0)]  # DuckDB: standard grand-total row
