@@ -479,3 +479,61 @@ def test_round_half_boundary_divergence(spark):
         "SELECT round(CAST(CAST(1.005 AS DECIMAL(10,4)) AS DOUBLE), 6)"
     ).fetchone()[0]
     assert s2 == d2 == 1.005
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_running_sum_frame(spark, rows):
+    """ROWS UNBOUNDED PRECEDING running sum per key with a deterministic
+    total order — frame semantics and null accumulation must agree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("v").asc_nulls_first(), F.col("tag").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = sdf.select(
+        "k", "v", "tag", F.round(F.sum("v").over(w), 6).alias("rs")
+    ).toPandas()
+    want = con.execute(
+        """
+        SELECT k, v, tag,
+               ROUND(SUM(v) OVER (PARTITION BY k
+                     ORDER BY v ASC NULLS FIRST, tag ASC NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rs
+        FROM t
+        """
+    ).df()
+    # (v, tag) ties make per-row rs frame-order-dependent; compare the
+    # multiset of full rows, which is identical iff the tie group's partial
+    # sums agree — they do, because tied rows have equal v.
+    assert_frames_match(got, want, "random_running_sum")
+
+
+@given(rows=_rows, rows2=_rows)
+@settings(**_SETTINGS)
+def test_random_full_outer_join(spark, rows, rows2):
+    """FULL OUTER with null keys: unmatched sides pad with nulls and null
+    keys never match each other — the asymmetric padding must agree."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    sdf2 = _second_frame(spark, con, rows2)
+    got = (
+        sdf.select("k", "v")
+        .join(sdf2.select(F.col("k").alias("k2"), "tag"),
+              F.col("k") == F.col("k2"), "full_outer")
+        .select("k", "v", "k2", "tag")
+        .toPandas()
+    )
+    want = con.execute(
+        """
+        SELECT t.k AS k, t.v AS v, u.k AS k2, u.tag AS tag
+        FROM (SELECT k, v FROM t) t
+        FULL OUTER JOIN (SELECT k, tag FROM u) u ON t.k = u.k
+        """
+    ).df()
+    assert_frames_match(got, want, "random_full_outer")

@@ -1,7 +1,8 @@
 """Simulate the grading driver: entry() smoke + queries() vs oracle_sql()
 through DuckDB at sf0.01 with an order-insensitive value-hash.
 
-Usage: python tools/drive_driver.py [N]   # check first N keys of queries() order
+Usage: python tools/drive_driver.py [N]        # first N keys of queries() order
+       python tools/drive_driver.py key [key…] # only the named keys
 (vendored from the /verify skill recipe; the driver runs ~50 keys/round)
 """
 import hashlib
@@ -17,7 +18,9 @@ from pyspark.sql import SparkSession
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 SF_DIR = __import__("os").environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
-limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+args = sys.argv[1:]
+limit = int(args[0]) if len(args) == 1 and args[0].isdigit() else None
+only = None if limit is not None or not args else set(args)
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -50,7 +53,12 @@ def canon_hash(df):
 
 qs = E.queries()
 oracles = E.oracle_sql()
-keys = list(qs)[:limit] if limit else list(qs)
+if only is not None:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown keys: {sorted(unknown)}"
+    keys = [k for k in qs if k in only]
+else:
+    keys = list(qs)[:limit] if limit else list(qs)
 fails = []
 t0 = time.time()
 for i, k in enumerate(keys):
