@@ -176,6 +176,110 @@ class CurationPipeline:
 
         return self.stage(f"chunk({size},{stride})", chunked)
 
+    def pii_scrub(self, col: str = "text") -> "CurationPipeline":
+        """Redact emails then long digit runs in place (the text_pii_scrub
+        rules as a chainable stage).  Pure regexp_replace — narrow,
+        zero-shuffle, linear at any scale."""
+        return self.stage(
+            f"pii_scrub({col})",
+            lambda df: df.withColumn(
+                col,
+                F.regexp_replace(
+                    F.regexp_replace(
+                        col, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]"
+                    ),
+                    r"[0-9]{4,}",
+                    "[NUM]",
+                ),
+            ),
+        )
+
+    def repetition_gate(
+        self, max_rep3: float = 0.2, col: str = "text"
+    ) -> "CurationPipeline":
+        """Drop documents whose repeated-3-gram fraction (1 − distinct/total,
+        the repetition_ngram_ratio signal) exceeds ``max_rep3`` — the
+        Gopher boilerplate/spam gate as a stage.  Per-row array exprs only:
+        narrow, zero-shuffle."""
+
+        def gate(df: DataFrame) -> DataFrame:
+            ws = f"filter(split({col}, ' '), w -> w != '')"
+            grams = (
+                f"transform(sequence(1, greatest(size({ws}) - 2, 0)),"
+                f" i -> concat_ws(' ', slice({ws}, i, 3)))"
+            )
+            rep3 = (
+                f"case when size({ws}) < 3 then 0.0 else"
+                f" 1.0 - cast(size(array_distinct({grams})) as double)"
+                f" / size({grams}) end"
+            )
+            return df.filter(F.expr(f"{rep3} <= {max_rep3}"))
+
+        return self.stage(f"repetition_gate(<={max_rep3})", gate)
+
+    def split_holdout(
+        self, key: str = "doc_id", out: str = "split"
+    ) -> "CurationPipeline":
+        """Add the deterministic 90/5/5 train/val/test label from an
+        id-hash (split_train_holdout's thresholds) — appending data never
+        reassigns old rows and every engine reproduces the same split.
+        Map-only labeling, no shuffle."""
+        return self.stage(
+            f"split_holdout({key})",
+            lambda df: df.withColumn(
+                out,
+                F.expr(
+                    f"CASE WHEN substr(md5(CAST({key} AS STRING)), 1, 4)"
+                    " < 'e666' THEN 'train'"
+                    f" WHEN substr(md5(CAST({key} AS STRING)), 1, 4)"
+                    " < 'f333' THEN 'val' ELSE 'test' END"
+                ),
+            ),
+        )
+
+    def mixture_temperature(
+        self, source_col: str = "source", key: str = "text"
+    ) -> "CurationPipeline":
+        """Temperature-balance the source mixture (alpha=0.5): downsample
+        each source toward the smallest with keep-rate sqrt(min/n), keyed
+        on a content-hash threshold so the kept set is a pure function of
+        content and rates (mixture_resample's policy as a stage).  The
+        per-source rate table is a broadcast aggregate — the fact side is
+        never shuffled, so this composes after the narrow gates at any
+        scale."""
+
+        def mix(df: DataFrame) -> DataFrame:
+            counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+            min_n = counts.agg(F.min("__n").alias("__min_n"))
+            thresh = (
+                counts.crossJoin(F.broadcast(min_n))
+                .select(
+                    source_col,
+                    F.lower(
+                        F.lpad(
+                            F.hex(
+                                F.floor(
+                                    F.sqrt(
+                                        F.col("__min_n").cast("double")
+                                        / F.col("__n").cast("double")
+                                    )
+                                    * F.lit(4294967296.0)
+                                )
+                            ),
+                            8,
+                            "0",
+                        )
+                    ).alias("__hex_thresh"),
+                )
+            )
+            return (
+                df.join(F.broadcast(thresh), source_col)
+                .filter(F.substring(F.md5(key), 1, 8) < F.col("__hex_thresh"))
+                .drop("__hex_thresh")
+            )
+
+        return self.stage(f"mixture_temperature({source_col})", mix)
+
     def describe(self) -> list[str]:
         """Stage names in application order (for audit logging)."""
         return [name for name, _ in self._stages]

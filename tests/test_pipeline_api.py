@@ -87,3 +87,82 @@ def test_normalize_entropy_chunk_stages(spark, sf_dir):
     assert row["chunk_text"].split(" ") == words[:32]
     n_chunks = chunked.filter(F.col("doc_id") == row["doc_id"]).count()
     assert n_chunks == len(range(0, len(words), 24))
+
+
+def test_pii_scrub_stage_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.example or call 12345678")],
+        "doc_id int, text string",
+    )
+    out = CurationPipeline().pii_scrub().apply(df).first()["text"]
+    assert "[EMAIL]" in out and "[NUM]" in out
+    assert "bob.smith" not in out and "12345678" not in out
+
+
+def test_repetition_gate_stage(spark):
+    spam = "buy now " * 30          # rep3 ratio near 1
+    clean = " ".join(f"w{i}" for i in range(60))  # all distinct 3-grams
+    df = spark.createDataFrame(
+        [(1, spam), (2, clean)], "doc_id int, text string"
+    )
+    kept = [r["doc_id"] for r in
+            CurationPipeline().repetition_gate(0.2).apply(df).collect()]
+    assert kept == [2]
+
+
+def test_split_holdout_stage_matches_operator_thresholds(spark, sf_dir):
+    """The stage's split column must reproduce split_train_holdout's
+    aggregate exactly (same hash thresholds, same proportions)."""
+    from bigdatawork_spark.registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    staged = (
+        CurationPipeline().split_holdout().apply(docs)
+        .groupBy("source", "split")
+        .agg(F.expr("count(1) as n_docs"),
+             F.expr("cast(sum(n_chars) as bigint) as n_chars"))
+        .orderBy("source", "split")
+    )
+    want = QUERIES["split_train_holdout"](spark, sf_dir)
+    assert [tuple(r) for r in staged.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_mixture_temperature_stage_matches_operator(spark, sf_dir):
+    """Per-source kept counts from the stage must equal mixture_resample's
+    n_after column (same sqrt temperature policy, same hash threshold)."""
+    from bigdatawork_spark.registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    staged = (
+        CurationPipeline().mixture_temperature().apply(docs)
+        .groupBy("source").count().orderBy("source")
+    )
+    got = {r["source"]: r["count"] for r in staged.collect()}
+    want = {
+        r["source"]: r["n_after"]
+        for r in QUERIES["mixture_resample"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_full_stack_pipeline_composes(spark, sf_dir):
+    """All ten stage types chained in the canonical order still build one
+    lazy plan and produce rows; describe() reflects the order."""
+    docs = load(spark, sf_dir, "documents")
+    pipe = (
+        CurationPipeline()
+        .normalize()
+        .pii_scrub()
+        .lang_filter("en")
+        .quality_gate()
+        .entropy_gate()
+        .repetition_gate()
+        .dedup_exact()
+        .mixture_temperature()
+        .split_holdout()
+        .chunk()
+    )
+    assert len(pipe.describe()) == 10
+    out = pipe.apply(docs)
+    assert out.where("split = 'train'").count() > 0
+    assert "chunk_text" in out.columns
