@@ -261,15 +261,24 @@ ORDER BY 1, 2
 )
 def win_time_tumbling(spark, sf_dir):
     """1-hour tumbling window aggregate per event type (batch twin of
-    stream_tumbling)."""
+    stream_tumbling).
+
+    Grouping key is ``date_trunc('hour', ts)`` rather than the
+    ``window(ts, '1 hour')`` struct: for epoch-aligned tumbling windows
+    the two are value-identical (asserted against the streaming twin),
+    and the scalar timestamp key measured 27% faster at sf1.0 than the
+    struct build+extract (r05 A/B: 1264 ms vs 1728 ms, identical rows).
+    The streaming twin keeps ``window()`` — watermark eviction needs the
+    struct — but the batch path has no reason to pay for it."""
     ev = load(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.expr("window(ts, '1 hour') as w"), "event_type")
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
         .agg(
             F.expr("count(1) as n_events"),
             F.expr("round(sum(value), 6) as total_value"),
         )
-        .selectExpr("w.start as window_start", "event_type", "n_events", "total_value")
     )
 
 
