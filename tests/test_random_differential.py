@@ -537,3 +537,50 @@ def test_random_full_outer_join(spark, rows, rows2):
         """
     ).df()
     assert_frames_match(got, want, "random_full_outer")
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_cube_and_grouping_sets(spark, rows):
+    """CUBE and explicit GROUPING SETS over (k, tag) with nulls — the
+    full super-aggregate lattice must agree row-for-row (GROUPING id
+    disambiguates genuine nulls, as in the rollup fuzz)."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    if not rows:  # empty-input super-aggregate divergence pinned separately
+        return
+    got = (
+        sdf.cube("k", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("k").cast("long").alias("gk"),
+            F.grouping("tag").cast("long").alias("gt"),
+        )
+        .toPandas()
+    )
+    want = con.execute(
+        """
+        SELECT k, tag, COUNT(*) AS n,
+               CAST(GROUPING(k) AS BIGINT) AS gk,
+               CAST(GROUPING(tag) AS BIGINT) AS gt
+        FROM t GROUP BY CUBE (k, tag)
+        """
+    ).df()
+    assert_frames_match(got, want, "random_cube")
+
+    got2 = spark.sql(
+        """
+        SELECT k, tag, COUNT(1) AS n
+        FROM {df}
+        GROUP BY GROUPING SETS ((k), (tag), ())
+        """,
+        df=sdf,
+    ).toPandas()
+    want2 = con.execute(
+        """
+        SELECT k, tag, COUNT(*) AS n
+        FROM t GROUP BY GROUPING SETS ((k), (tag), ())
+        """
+    ).df()
+    assert_frames_match(got2, want2, "random_grouping_sets")
