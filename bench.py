@@ -85,7 +85,10 @@ def _sf1_complete(want_lineitem_rows: int) -> bool:
             pq.read_metadata(f"{SF1_DIR}/lineitem.parquet").num_rows
             == want_lineitem_rows
         )
-    except OSError:
+    except Exception:
+        # includes pyarrow.ArrowInvalid from a torn/truncated footer —
+        # corruption must map to False so _ensure_sf1 REBUILDS rather than
+        # silently skipping the phase (r05 review)
         return False
 
 
@@ -178,18 +181,11 @@ def _fill_cache(spark, sf_dir) -> None:
 
 
 def _drop_cache(spark, sf_dir) -> None:
-    """Unpersist every cached table for ``sf_dir`` and forget the handles,
-    so a later phase at another SF is not squeezed by this one's cache."""
-    from bigdatawork_spark.io import _CACHE_ATTR, _HANDLES_ATTR
+    """Unpersist ``sf_dir``'s cached tables so a later phase at another SF
+    is not squeezed (delegates to io.drop_tables — the store owner)."""
+    from bigdatawork_spark.io import drop_tables
 
-    for attr in (_CACHE_ATTR, _HANDLES_ATTR):
-        store = getattr(spark, attr, None) or {}
-        for key in [k for k in store if k[0] == sf_dir]:
-            df = store.pop(key)
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+    drop_tables(spark, sf_dir)
 
 
 def main() -> None:

@@ -153,6 +153,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
+def drop_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist every cached table for ``sf_dir`` and forget the handles.
+    Lives here, next to the stores it evicts, so the store layout has ONE
+    owner (bench.py's sf1.0 phase calls this to avoid squeezing the
+    sf0.1 cache it times afterwards)."""
+    for attr in (_CACHE_ATTR, _HANDLES_ATTR):
+        store = getattr(spark, attr, None) or {}
+        for key in [k for k in store if k[0] == sf_dir]:
+            df = store.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.  Tunes the session on first contact so the
     driver-owned session also gets UTC/AQE/shuffle settings; returns a

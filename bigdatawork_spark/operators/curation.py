@@ -143,6 +143,33 @@ def quality_filter_gopher(spark, sf_dir):
     )
 
 
+
+
+def pii_scrub_expr(col):
+    """Email-then-long-digit-run redaction — shared by text_pii_scrub and
+    CurationPipeline.pii_scrub so the redaction policy has ONE source of
+    truth (r05 review: the stage previously copy-pasted the regexes with
+    no cross-check test)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]"),
+        r"[0-9]{4,}",
+        "[NUM]",
+    )
+
+
+def split_label_sql(key: str) -> str:
+    """Deterministic 90/5/5 train/val/test CASE over an id-hash — shared by
+    split_train_holdout and CurationPipeline.split_holdout (one policy
+    site; thresholds 0.9·65536=0xe666, 0.95·65536=0xf333 compared as
+    strings so Spark and DuckDB agree byte-for-byte)."""
+    h = f"substr(md5(CAST({key} AS STRING)), 1, 4)"
+    return (
+        f"CASE WHEN {h} < 'e666' THEN 'train'"
+        f" WHEN {h} < 'f333' THEN 'val' ELSE 'test' END"
+    )
+
+
 @register(
     "text_pii_scrub",
     oracle="""
@@ -177,11 +204,7 @@ def text_pii_scrub(spark, sf_dir):
         F.lit("@example.com> id "),
         (F.col("c_custkey") + 1000000).cast("string"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(contact, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]"),
-        r"[0-9]{4,}",
-        "[NUM]",
-    )
+    scrubbed = pii_scrub_expr(contact)
     return (
         c.select("c_custkey", scrubbed.alias("scrubbed")).orderBy("c_custkey")
     )
@@ -645,11 +668,7 @@ def split_train_holdout(spark, sf_dir):
     any corpus size.  REF:∅ (SURVEY §2-K neighborhood; training pipeline)."""
     d = load(spark, sf_dir, "documents")
     tagged = d.selectExpr(
-        "source",
-        "n_chars",
-        "CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'e666' THEN 'train'"
-        " WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < 'f333' THEN 'val'"
-        " ELSE 'test' END AS split",
+        "source", "n_chars", f"{split_label_sql('doc_id')} AS split"
     )
     return (
         tagged.groupBy("source", "split")

@@ -194,7 +194,15 @@ _PROBE_ATTR = "_bigdatawork_cosine_probes"
 
 def _cosine_probe_broadcast(spark, sf_dir, e):
     """Broadcast (probe_ids, probe_matrix, probe_norms) for vec_id ≤ 5,
-    or None when the probe set is empty."""
+    or None when the probe set is empty.
+
+    Unlike the io.py handle memo (lazy plans that re-read on each action),
+    this snapshots MATERIALIZED values — so the memo key includes the
+    embeddings parquet's mtime: rewriting the file at the same path
+    invalidates the entry instead of silently serving stale probes
+    (r05 review)."""
+    import os
+
     import numpy as np
 
     memo = getattr(spark, _PROBE_ATTR, None)
@@ -204,18 +212,23 @@ def _cosine_probe_broadcast(spark, sf_dir, e):
             setattr(spark, _PROBE_ATTR, memo)
         except Exception:
             pass  # un-taggable session: degrade to re-collecting per call
-    if sf_dir not in memo:
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = None  # non-standard layout: fall back to path-only keying
+    key = (sf_dir, mtime)
+    if key not in memo:
         probes = e.where("vec_id <= 5").collect()  # bounded (≤6 rows)
         if not probes:
-            memo[sf_dir] = None
+            memo[key] = None
         else:
             pid = np.array([r["vec_id"] for r in probes], dtype=np.int64)
             P = np.array(
                 [list(r["embedding"]) for r in probes], dtype=np.float64
             )
             pnrm = np.sqrt((P * P).sum(axis=1))
-            memo[sf_dir] = spark.sparkContext.broadcast((pid, P, pnrm))
-    return memo[sf_dir]
+            memo[key] = spark.sparkContext.broadcast((pid, P, pnrm))
+    return memo[key]
 
 
 @register(

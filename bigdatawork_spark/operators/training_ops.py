@@ -174,6 +174,21 @@ def inverted_index(spark, sf_dir):
     )
 
 
+
+
+def mixture_hex_thresh(rate_col):
+    """32-bit content-hash keep threshold for a keep-rate in (0, 1] —
+    shared by mixture_resample and CurationPipeline.mixture_temperature
+    so the policy lives in ONE place.  A full keep-rate maps to 'g'
+    (lexicographically after every hex digit, so `md5 prefix < 'g'` keeps
+    every row): floor(1.0·2³²) = 2³² whose 9-char hex lpad(…, 8) silently
+    TRUNCATED to '10000000', keeping only ~6% of the smallest source
+    (r05 review bug, previously mirrored in the oracle)."""
+    return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(rate_col * F.lit(4294967296.0))), 8, "0"))
+    )
+
+
 @register(
     "mixture_resample",
     oracle="""
@@ -188,8 +203,10 @@ rates AS (
 ),
 thresh AS (
   SELECT source, n, keep_rate,
-         lower(lpad(to_hex(CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)),
-                    8, '0')) AS hex_thresh
+         CASE WHEN keep_rate >= 1.0 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(FLOOR(keep_rate * 4294967296.0)
+                                          AS BIGINT)), 8, '0')) END
+           AS hex_thresh
   FROM rates
 )
 SELECT t.source,
@@ -224,12 +241,7 @@ def mixture_resample(spark, sf_dir):
         ),
     )
     thresh = rates.withColumn(
-        "hex_thresh",
-        F.lower(
-            F.lpad(
-                F.hex(F.floor(F.col("keep_rate") * F.lit(4294967296.0))), 8, "0"
-            )
-        ),
+        "hex_thresh", mixture_hex_thresh(F.col("keep_rate"))
     )
     return (
         d.join(F.broadcast(thresh), "source")

@@ -177,21 +177,15 @@ class CurationPipeline:
         return self.stage(f"chunk({size},{stride})", chunked)
 
     def pii_scrub(self, col: str = "text") -> "CurationPipeline":
-        """Redact emails then long digit runs in place (the text_pii_scrub
-        rules as a chainable stage).  Pure regexp_replace — narrow,
-        zero-shuffle, linear at any scale."""
+        """Redact emails then long digit runs in place — the shared
+        ``curation.pii_scrub_expr`` policy as a chainable stage (one
+        source of truth with text_pii_scrub).  Pure regexp_replace —
+        narrow, zero-shuffle, linear at any scale."""
+        from .operators.curation import pii_scrub_expr
+
         return self.stage(
             f"pii_scrub({col})",
-            lambda df: df.withColumn(
-                col,
-                F.regexp_replace(
-                    F.regexp_replace(
-                        col, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]"
-                    ),
-                    r"[0-9]{4,}",
-                    "[NUM]",
-                ),
-            ),
+            lambda df: df.withColumn(col, pii_scrub_expr(col)),
         )
 
     def repetition_gate(
@@ -208,8 +202,12 @@ class CurationPipeline:
                 f"transform(sequence(1, greatest(size({ws}) - 2, 0)),"
                 f" i -> concat_ws(' ', slice({ws}, i, 3)))"
             )
+            # coalesce: NULL text makes size(ws) NULL, which would fall
+            # into the ELSE branch and score an accidental 0.5 (r05
+            # review); NULL rows take the short-text path (rep3=0) like
+            # repetition_ngram_ratio's empty-array convention.
             rep3 = (
-                f"case when size({ws}) < 3 then 0.0 else"
+                f"case when coalesce(size({ws}), 0) < 3 then 0.0 else"
                 f" 1.0 - cast(size(array_distinct({grams})) as double)"
                 f" / size({grams}) end"
             )
@@ -223,18 +221,14 @@ class CurationPipeline:
         """Add the deterministic 90/5/5 train/val/test label from an
         id-hash (split_train_holdout's thresholds) — appending data never
         reassigns old rows and every engine reproduces the same split.
-        Map-only labeling, no shuffle."""
+        Map-only labeling, no shuffle.  Thresholds come from the shared
+        ``curation.split_label_sql`` (one policy site with the
+        split_train_holdout operator)."""
+        from .operators.curation import split_label_sql
+
         return self.stage(
             f"split_holdout({key})",
-            lambda df: df.withColumn(
-                out,
-                F.expr(
-                    f"CASE WHEN substr(md5(CAST({key} AS STRING)), 1, 4)"
-                    " < 'e666' THEN 'train'"
-                    f" WHEN substr(md5(CAST({key} AS STRING)), 1, 4)"
-                    " < 'f333' THEN 'val' ELSE 'test' END"
-                ),
-            ),
+            lambda df: df.withColumn(out, F.expr(split_label_sql(key))),
         )
 
     def mixture_temperature(
@@ -249,28 +243,18 @@ class CurationPipeline:
         scale."""
 
         def mix(df: DataFrame) -> DataFrame:
+            from .operators.training_ops import mixture_hex_thresh
+
             counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
             min_n = counts.agg(F.min("__n").alias("__min_n"))
-            thresh = (
-                counts.crossJoin(F.broadcast(min_n))
-                .select(
-                    source_col,
-                    F.lower(
-                        F.lpad(
-                            F.hex(
-                                F.floor(
-                                    F.sqrt(
-                                        F.col("__min_n").cast("double")
-                                        / F.col("__n").cast("double")
-                                    )
-                                    * F.lit(4294967296.0)
-                                )
-                            ),
-                            8,
-                            "0",
-                        )
-                    ).alias("__hex_thresh"),
-                )
+            thresh = counts.crossJoin(F.broadcast(min_n)).select(
+                source_col,
+                mixture_hex_thresh(
+                    F.sqrt(
+                        F.col("__min_n").cast("double")
+                        / F.col("__n").cast("double")
+                    )
+                ).alias("__hex_thresh"),
             )
             return (
                 df.join(F.broadcast(thresh), source_col)

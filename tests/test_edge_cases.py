@@ -348,3 +348,40 @@ def test_sim_cosine_topk_zero_norm_fails_loudly_like_expr_twin(spark, tmp_path):
         QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         _sim_cosine_topk_expr(spark, str(tmp_path)).collect()
+
+
+def test_mixture_resample_keeps_full_smallest_source(spark, sf_dir):
+    """keep_rate 1.0 must keep (essentially) ALL of the smallest source:
+    the old hex threshold lpad-TRUNCATED floor(1.0*2^32)'s 9-char hex to
+    '10000000', silently keeping ~6% (r05 review bug, mirrored in the
+    oracle).  The fixed threshold 'g' sorts after every hex digit."""
+    from bigdatawork_spark.registry import QUERIES
+
+    rows = {r["source"]: r for r in QUERIES["mixture_resample"](spark, sf_dir).collect()}
+    smallest = min(rows.values(), key=lambda r: r["n_before"])
+    assert smallest["keep_rate"] == 1.0
+    assert smallest["n_after"] == smallest["n_before"], (
+        smallest["n_after"], smallest["n_before"]
+    )
+
+
+def test_cosine_probe_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting embeddings.parquet at the same path must refresh the
+    memoized probe matrix (mtime-keyed), not serve stale probes
+    (r05 review)."""
+    import time as _time
+
+    from bigdatawork_spark.registry import QUERIES
+
+    ids = list(range(8))
+    _write_embeddings(tmp_path, ids, [[float(i + 1), 1.0] for i in ids])
+    first = QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
+    assert len(first) > 0
+    _time.sleep(0.05)  # distinct mtime
+    # rewrite with NO probe ids: a stale memo would still return rows
+    _write_embeddings(tmp_path, [10, 11], [[1.0, 2.0], [3.0, 4.0]])
+    from bigdatawork_spark.io import drop_tables
+
+    drop_tables(spark, str(tmp_path))  # drop the table-handle memo too
+    second = QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
+    assert second == []
