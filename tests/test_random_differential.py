@@ -584,3 +584,21 @@ def test_random_cube_and_grouping_sets(spark, rows):
         """
     ).df()
     assert_frames_match(got2, want2, "random_grouping_sets")
+
+
+def test_strict_cast_and_try_cast_converge(spark):
+    """Spark 4 ANSI and DuckDB AGREE on cast strictness (probed r05):
+    plain CAST raises on overflow (bigint→int) and on malformed strings
+    in BOTH engines, and both offer try_cast→NULL — so unlike round()
+    and empty-ROLLUP, cast needs no bridging in oracled queries."""
+    with pytest.raises(Exception, match="CAST_OVERFLOW"):
+        spark.sql("select cast(3000000000 as int) as x").collect()
+    assert spark.sql(
+        "select try_cast(3000000000 as int) as x"
+    ).first()["x"] is None
+    con = duckdb.connect()
+    with pytest.raises(Exception):
+        con.execute("select cast(3000000000 as integer)").fetchone()
+    assert con.execute(
+        "select try_cast(3000000000 as integer)"
+    ).fetchone()[0] is None
