@@ -1,0 +1,130 @@
+"""Oracle-independent INVARIANT tests — the guard class the r05
+mixture_resample bug motivated: a co-designed DuckDB oracle can share an
+operator's defect (both sides lpad-truncated the same hex threshold, so
+hash-parity was green while the smallest source silently lost 94% of its
+rows).  Parity proves the two implementations agree; these tests prove
+properties that must hold regardless of what the oracle says."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatawork_spark.registry import QUERIES
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    """Every node's rank ≥ the teleport floor (1-d)/n and total mass stays
+    within (0, n]: dangling-edge drops may only REMOVE mass, never mint
+    it."""
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    floor = (1 - 0.85) / n * 0.999  # teleport term, tolerance for rounding
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] >= floor for r in rows), min(
+        r["pagerank"] for r in rows
+    )
+    assert 0 < total <= n + 1e-6, total
+
+
+def test_interpolation_fills_every_gap_within_bounds(spark, sf_dir):
+    """The interpolated hourly series must be gap-free, and every value
+    must lie inside the entity's observed [min, max] band — a linear
+    blend can never extrapolate outside its endpoints."""
+    out = QUERIES["ts_interpolate_linear"](spark, sf_dir)
+    assert out.where("value_interp is null").count() == 0
+    bands = (
+        out.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("observed"), F.col("value_interp"))).alias("lo"),
+            F.max(F.when(F.col("observed"), F.col("value_interp"))).alias("hi"),
+            F.min("value_interp").alias("all_lo"),
+            F.max("value_interp").alias("all_hi"),
+            F.count(F.lit(1)).alias("n_hours"),
+            (
+                (
+                    F.unix_timestamp(F.max("hour"))
+                    - F.unix_timestamp(F.min("hour"))
+                )
+                / 3600
+                + 1
+            ).alias("span_hours"),
+        )
+        .collect()
+    )
+    eps = 1e-6
+    for b in bands:
+        assert b["n_hours"] == int(b["span_hours"]), b  # spine complete
+        # interpolated values never extrapolate outside the OBSERVED band
+        assert b["all_lo"] >= b["lo"] - eps, b
+        assert b["all_hi"] <= b["hi"] + eps, b
+
+
+def test_gopher_keep_flag_consistent_with_features(spark, sf_dir):
+    """The emitted keep flag must equal the rule recomputed from the
+    emitted feature columns — the flag cannot drift from its inputs."""
+    out = QUERIES["quality_filter_gopher"](spark, sf_dir)
+    bad = out.where(
+        "keep != (n_words between 5 and 1000"
+        " and mean_wlen between 3.0 and 10.0 and stop_frac < 0.3)"
+    ).count()
+    assert bad == 0
+
+
+def test_split_proportions_near_90_5_5(spark, sf_dir):
+    """The id-hash split must land near its declared 90/5/5 proportions
+    overall (uniform-hash concentration; wide tolerance for small SF)."""
+    rows = QUERIES["split_train_holdout"](spark, sf_dir).collect()
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["split"]] = totals.get(r["split"], 0) + r["n_docs"]
+    n = sum(totals.values())
+    assert 0.85 <= totals.get("train", 0) / n <= 0.95, totals
+    for part in ("val", "test"):
+        assert 0.02 <= totals.get(part, 0) / n <= 0.09, totals
+
+
+def test_negative_pairs_exactly_three_per_anchor_no_self(spark, sf_dir):
+    """Every anchor draws exactly 3 negatives and never itself — the
+    property the contiguity guard exists to protect."""
+    out = QUERIES["sample_negative_pairs"](spark, sf_dir)
+    assert out.where("vec_id = neg_id").count() == 0
+    counts = out.groupBy("vec_id").count().where("count != 3").count()
+    assert counts == 0
+
+
+def test_tfidf_topk_structure(spark, sf_dir):
+    """Per document: at most 3 keywords, ranks are exactly 1..k, and
+    scores are non-increasing in rank."""
+    out = QUERIES["tfidf_keywords"](spark, sf_dir)
+    assert out.where("rn < 1 or rn > 3").count() == 0
+    bad_rank = (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx"))
+        .where("n != mx or n > 3")
+        .count()
+    )
+    assert bad_rank == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("rn")
+    non_monotone = (
+        out.withColumn("prev", F.lag("score").over(w))
+        .where("prev is not null and score > prev")
+        .count()
+    )
+    assert non_monotone == 0
+
+
+def test_mixture_keep_rates_monotone_in_source_size(spark, sf_dir):
+    """sqrt-temperature policy: larger sources get strictly smaller
+    keep-rates, every rate is in (0, 1], and kept counts never exceed
+    originals."""
+    rows = QUERIES["mixture_resample"](spark, sf_dir).collect()
+    assert all(0 < r["keep_rate"] <= 1.0 for r in rows)
+    assert all(r["n_after"] <= r["n_before"] for r in rows)
+    by_size = sorted(rows, key=lambda r: r["n_before"])
+    for a, b in zip(by_size, by_size[1:]):
+        if a["n_before"] < b["n_before"]:
+            assert a["keep_rate"] >= b["keep_rate"], (a, b)
