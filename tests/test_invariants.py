@@ -128,3 +128,51 @@ def test_mixture_keep_rates_monotone_in_source_size(spark, sf_dir):
     for a, b in zip(by_size, by_size[1:]):
         if a["n_before"] < b["n_before"]:
             assert a["keep_rate"] >= b["keep_rate"], (a, b)
+
+
+def test_cluster_cc_labels_are_component_minima(spark, sf_dir):
+    """Connected-components labels: every component's label equals the
+    smallest doc_id IN that component (min-label propagation fixed
+    point), and labels never exceed their node's id."""
+    rows = QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
+    comp_members: dict[int, list[int]] = {}
+    for r in rows:
+        comp_members.setdefault(r["component"], []).append(r["doc_id"])
+        assert r["component"] <= r["doc_id"], r
+    for comp, members in comp_members.items():
+        assert comp == min(members), (comp, members)
+
+
+def test_vector_quantize_checksum_bounds(spark, sf_dir):
+    """int8 codes: per-vector max code ≤ 127, min possible code ≥ -128,
+    and |q_sum| ≤ 127·dim — the checksums must be consistent with the
+    declared code range."""
+    out = QUERIES["vector_quantize"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["q_max"] <= 127, r
+        # dim unknown per row; bound via q_max·64 (fixture dim ≤ 64)
+        assert abs(r["q_sum"]) <= 128 * 64, r
+
+
+def test_histogram_counts_cover_every_row(spark, sf_dir):
+    """Fixed-width histogram: bin counts must sum to exactly the source
+    row count (no row lost or double-binned) and bins are disjoint by
+    construction (distinct keys)."""
+    from bigdatawork_spark.io import load
+
+    n = load(spark, sf_dir, "lineitem").count()
+    rows = QUERIES["agg_histogram"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == n
+    bins = [r["bin"] for r in rows]
+    assert len(bins) == len(set(bins))
+
+
+def test_ann_ivf_results_are_valid_cosines(spark, sf_dir):
+    """IVF neighbors: similarity in [-1, 1]+eps, no self-matches, ranks
+    well-formed per probe."""
+    rows = QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1.000001 <= r["cos_sim"] <= 1.000001, r
+        assert r["probe_id"] != r["neighbor_id"], r
