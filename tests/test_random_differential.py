@@ -602,3 +602,18 @@ def test_strict_cast_and_try_cast_converge(spark):
     assert con.execute(
         "select try_cast(3000000000 as integer)"
     ).fetchone()[0] is None
+
+
+def test_strict_cast_malformed_string_converges(spark):
+    """The other half of the cast-convergence claim: malformed strings
+    also raise in BOTH engines under plain CAST, and try_cast yields
+    NULL (r05 third-review: only the overflow path was probed)."""
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        spark.sql("select cast('abc' as int) as x").collect()
+    assert spark.sql("select try_cast('abc' as int) as x").first()["x"] is None
+    con = duckdb.connect()
+    with pytest.raises(Exception):
+        con.execute("select cast('abc' as integer)").fetchone()
+    assert con.execute(
+        "select try_cast('abc' as integer)"
+    ).fetchone()[0] is None
