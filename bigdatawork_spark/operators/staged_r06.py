@@ -1,0 +1,595 @@
+"""STAGED round-6 operators — implemented and tested in round 5, but NOT
+registered in the live registry.  REF:∅ (reference snapshot empty —
+SURVEY.md §0); these extend §2-K / the north-star pipeline mandate
+(BASELINE.json:6).
+
+Why staged: round 5 froze key additions so the 49 outstanding extras fit
+the driver's 50-key CORRECTNESS window exactly (VERDICT r04 item 1 —
+"freeze new key additions until r05 lands").  Each entry below is a
+driver-shape builder ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle, held in ``STAGED_QUERIES`` /
+``STAGED_ORACLES``.  Round 6 promotes them with ``promote()`` — a one-call
+re-registration into the live registry — after CORRECTNESS_r05 lands.
+
+The set closes the "declared scale path" gaps VERDICT r04 / SCALE.md §8
+left as docstring promises:
+
+- ``knn_classify_lsh``  — knn_classify's documented swap ("at scale the
+  pair stage swaps for the LSH candidate generator") made real.
+- ``dedup_ladder``      — the MEASURED production order from SCALE.md §8
+  (exact-dup pre-pass → MinHash on unique representatives) as one
+  composed operator instead of a prose recommendation.
+- ``privacy_dp_count``  — ε-differential-privacy noisy group counts with
+  deterministic content-hash noise (cross-engine reproducible, hence
+  hash-green oracleable — same rationale as sample_hash_deterministic).
+- ``ts_downsample_lttb``— parallel LTTB-mean downsampling (bucketed
+  largest-triangle vs neighbor-bucket means; the sequential dependence of
+  classic LTTB removed so every bucket resolves independently —
+  shuffle-free beyond one ntile window, SQL-expressible, hash-green).
+- ``embedding_pca_gram`` — top principal component via distributed
+  Gramian accumulation (constant d×d state per task) + driver-side
+  eigensolve of the d×d covariance (the MLlib RowMatrix layout); the
+  dimensionality-reduction primitive for embedding-space curation
+  (SemDeDup-style clustering preprocessing).
+- ``coreset_sample_kcenter`` — greedy k-center coreset (diversity
+  sampling for training-data pruning); iterative with one collected row
+  per round, the kmeans_iterative state discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+
+STAGED_QUERIES: dict[str, Callable] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def _staged(key: str, oracle: str | None = None):
+    def deco(fn):
+        if key in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged key: {key}")
+        STAGED_QUERIES[key] = fn
+        if oracle is not None:
+            STAGED_ORACLES[key] = oracle.strip()
+        fn.query_key = key
+        return fn
+
+    return deco
+
+
+def promote() -> list[str]:
+    """Round-6 hook: register every staged key into the live registry.
+    Call from operators/__init__ (or delete this module and inline the
+    @register decorators) AFTER CORRECTNESS_r05 is committed."""
+    from ..registry import register
+
+    for key, fn in STAGED_QUERIES.items():
+        register(key, oracle=STAGED_ORACLES.get(key))(fn)
+    return sorted(STAGED_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# knn_classify_lsh — the declared scale path of knn_classify
+
+
+@_staged("knn_classify_lsh")  # rows-only: LSH bucketing is engine-specific
+def knn_classify_lsh(spark, sf_dir):
+    """k=5 leave-one-out cosine kNN majority vote with the candidate stage
+    swapped from the all-pairs cross join to BucketedRandomProjectionLSH —
+    exactly the swap knn_classify's docstring (llm_ops.py:431) and
+    SCALE.md §8 declare for ≥10⁶ vectors.  Candidates come from LSH band
+    buckets (euclidean radius 8.0 on unit-incomparable raw vectors — wide
+    enough to keep recall high, see tests), then the EXACT cosine ranks
+    the survivors, so approximation only ever drops candidates, never
+    mis-scores them.  Same output schema + deterministic tiebreaks as the
+    exact twin; tests assert ≥90% prediction agreement and identical
+    schema at sf0.01.
+
+    100 TB: the approxSimilarityJoin is a band-bucket equi-join (shuffle
+    key = LSH hash), re-rank state is top-5 per src — no all-pairs stage
+    anywhere."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 8.0, distCol="eucl_dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ae, be, (x, y) -> x * y),"
+        " cast(0.0 as double), (a, x) -> a + x)"
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({c}, x -> x * x),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+        )
+    )
+    scored = pairs.select(
+        F.col("datasetA.vec_id").alias("src"),
+        F.col("datasetB.vec_id").alias("nb"),
+        F.col("datasetB.label").alias("nb_label"),
+        F.col("datasetA.e").alias("ae"),
+        F.col("datasetB.e").alias("be"),
+    ).withColumn("cos_raw", dot / (nrm("ae") * nrm("be")))
+    w_knn = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("nb"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= 5)
+        .select("src", "nb_label")
+    )
+    votes = knn.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("src").orderBy(
+        F.col("votes").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w_vote))
+        .filter(F.col("rv") == 1)
+        .select("src", F.col("nb_label").alias("pred_label"))
+    )
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        base.join(pred, base.vec_id == pred.src)
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            F.when(F.col("label") == F.col("pred_label"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ladder — the measured production order (SCALE.md §8) as one operator
+
+
+@_staged("dedup_ladder")  # rows-only: MinHash stage is engine-specific
+def dedup_ladder(spark, sf_dir):
+    """Production dedup order, composed: (1) exact-dup pre-pass collapses
+    hash-identical documents to their min-doc_id representative, (2)
+    MinHash-LSH near-dup detection runs ONLY on the unique representatives.
+    SCALE.md §8 MEASURED this order at sf1.0: the pre-pass collapses 50k
+    docs → 4992 uniques in 1.3 s and the identical MinHash pipeline then
+    finishes in 8.3 s total, vs >45 s (budget timeout) without it — exact
+    replicas flood LSH band buckets ~10× denser otherwise.
+
+    Output: one row per duplicate relation — kind='exact' rows map every
+    non-representative doc to its representative (doc_a = keep, doc_b =
+    dup, doc_a < doc_b by min-id choice); kind='near' rows are LSH
+    candidate pairs of REPRESENTATIVES with jaccard_dist ≤ 0.2.  Near-dup
+    pairs between members of two exact groups are implied by transitivity
+    through their representatives (the standard production contract —
+    grouping happens downstream in dedup_cluster_cc).
+
+    100 TB: stage 1 shuffles constant-width sha256 keys; stage 2 inherits
+    dedup_near_minhash's band-bucket shape on the collapsed corpus."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = d.select(
+        "doc_id", "text", F.sha2("text", 256).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    exact_pairs = (
+        ranked.filter(F.col("rn") > 1)
+        .select(
+            F.col("keep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit("exact").alias("kind"),
+            F.lit(0.0).alias("jaccard_dist"),
+        )
+    )
+    reps = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=3, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    staged = tf.transform(ngram.transform(tok.transform(reps)))
+    staged = staged.filter(F.size("shingles") >= 1).cache()
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(staged)
+    near = model.approxSimilarityJoin(staged, staged, 0.2, distCol="jaccard_dist")
+    near_pairs = (
+        near.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.lit("near").alias("kind"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+    return exact_pairs.unionByName(near_pairs).orderBy("kind", "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count — deterministic-noise DP counts (hash-green)
+
+_DP_EPS = 1.0  # laplace scale b = sensitivity/eps = 1.0 for count queries
+
+
+@_staged(
+    "privacy_dp_count",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS true_n,
+         ('0x' || substr(md5(lang || '|' || source), 1, 6))::BIGINT
+           / 16777216.0 - 0.5 AS c
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
+       ROUND(-1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c))), 6)
+         AS noise,
+       CAST(greatest(0, CAST(round(true_n
+           - 1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c)))) AS BIGINT))
+         AS BIGINT) AS dp_n
+FROM g ORDER BY lang, source
+""",
+)
+def privacy_dp_count(spark, sf_dir):
+    """ε-DP noisy group counts (ε=1, sensitivity 1): per-(lang, source)
+    counts plus Laplace(1/ε) noise drawn by INVERSE-CDF from a
+    content-hash uniform — u = first 6 md5 hex digits of the group key /
+    16^6, noise = -b·sign(u-½)·ln(1-2|u-½|).  The hash-derived draw makes
+    the mechanism deterministic per key, hence reproducible across
+    engines/partitionings/runs (same rationale as
+    sample_hash_deterministic) and oracle-verifiable; production would
+    swap the uniform for a calibrated RNG — the surrounding plan is
+    unchanged.  Released count clamps at 0 (post-processing preserves DP).
+
+    100 TB: one keyed aggregation; noise is a scalar expression on the
+    (tiny) grouped result — zero extra shuffles."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.expr("conv(substring(md5(concat(lang, '|', source)), 1, 6), 16, 10)")
+        .cast("double")
+        / F.lit(16777216.0)
+    )
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(c)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - F.lit(2.0) * F.abs(c)))
+    )
+    return (
+        g.select(
+            "lang",
+            "source",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.round(noise, 6).alias("noise"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.round(F.col("true_n") + noise, 0).cast("bigint"),
+            ).alias("dp_n"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb — parallel LTTB-mean downsampling (hash-green)
+
+_LTTB_BUCKETS = 20
+
+
+@_staged(
+    "ts_downsample_lttb",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, event_id, ts, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS DOUBLE) AS x,
+         ntile({_LTTB_BUCKETS}) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS bkt
+  FROM events
+),
+bmeans AS (
+  SELECT event_type, bkt, AVG(x) AS mx, AVG(value) AS my
+  FROM pts GROUP BY event_type, bkt
+),
+ctx AS (
+  SELECT event_type, bkt,
+         lag(mx)  OVER (PARTITION BY event_type ORDER BY bkt) AS px,
+         lag(my)  OVER (PARTITION BY event_type ORDER BY bkt) AS py,
+         lead(mx) OVER (PARTITION BY event_type ORDER BY bkt) AS nx,
+         lead(my) OVER (PARTITION BY event_type ORDER BY bkt) AS ny
+  FROM bmeans
+),
+scored AS (
+  SELECT p.event_type, p.event_id, p.ts, p.value, p.bkt,
+         CASE WHEN c.px IS NULL OR c.nx IS NULL THEN NULL
+              ELSE abs((c.px - c.nx) * (p.value - c.py)
+                       - (c.px - p.x) * (c.ny - c.py)) / 2.0 END AS area
+  FROM pts p JOIN ctx c ON p.event_type = c.event_type AND p.bkt = c.bkt
+),
+picked AS (
+  SELECT event_type, event_id, ts, value, bkt, area,
+         row_number() OVER (PARTITION BY event_type, bkt
+                            ORDER BY area DESC, ts ASC, event_id ASC) AS pk
+  FROM scored
+)
+SELECT event_type, event_id, ts, CAST(bkt AS INTEGER) AS bkt,
+       ROUND(value, 6) AS value,
+       ROUND(COALESCE(area, -1.0), 6) AS area
+FROM picked WHERE pk = 1
+ORDER BY event_type, bkt
+""",
+)
+def ts_downsample_lttb(spark, sf_dir):
+    """Series downsampling for plotting/sketching — LTTB-mean, the
+    parallelizable variant of Largest-Triangle-Three-Buckets (Steinarsson
+    2013): split each event_type series into equal-count buckets
+    (20 buckets; ntile over ts, event_id), score every interior point by
+    the triangle area it forms with the NEIGHBOR BUCKETS' MEAN points, keep the
+    max-area point per bucket.  Classic LTTB anchors the triangle on the
+    previously SELECTED point, a sequential chain; substituting the
+    neighbor-bucket mean (which classic LTTB already uses on the right
+    side) removes the chain so all buckets resolve independently —
+    the map-reduce-able formulation.  Edge buckets (no left/right
+    neighbor) keep their first point (area column = -1 sentinel).
+    Deterministic: total order (ts, event_id) everywhere; tiebreak
+    area DESC, ts ASC, event_id ASC.  Null-ordering note: within any one
+    (event_type, bkt) partition the area column is homogeneous (edge
+    buckets all-NULL, interior buckets no-NULL), so the pick never
+    compares NULL against non-NULL and Spark's nulls-first-on-asc vs
+    DuckDB's nulls-last default cannot diverge.
+
+    100 TB: one shuffle per series partition (the ntile window), one tiny
+    bucket-means aggregate joined back (broadcast at any scale — bucket
+    count is constant), argmax per bucket via the same partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.row_number().over(w).cast("double").alias("x"),
+        F.ntile(_LTTB_BUCKETS).over(w).alias("bkt"),
+    )
+    bmeans = pts.groupBy("event_type", "bkt").agg(
+        F.avg("x").alias("mx"), F.avg("value").alias("my")
+    )
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    ctx = bmeans.select(
+        "event_type",
+        "bkt",
+        F.lag("mx").over(wb).alias("px"),
+        F.lag("my").over(wb).alias("py"),
+        F.lead("mx").over(wb).alias("nx"),
+        F.lead("my").over(wb).alias("ny"),
+    )
+    scored = pts.join(F.broadcast(ctx), ["event_type", "bkt"]).withColumn(
+        "area",
+        F.when(
+            F.col("px").isNull() | F.col("nx").isNull(), F.lit(None)
+        ).otherwise(
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("value") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+            )
+            / 2.0
+        ),
+    )
+    # Edge buckets (area all-NULL): area desc ties for every row and the
+    # (ts, event_id) tiebreak keeps the first point.  Interior buckets
+    # (area no-NULL): plain max-area argmax.
+    wp = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("area").desc(),
+        F.col("ts").asc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        scored.withColumn("pk", F.row_number().over(wp))
+        .filter(F.col("pk") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.col("bkt").cast("int").alias("bkt"),
+            F.round("value", 6).alias("value"),
+            F.round(F.coalesce("area", F.lit(-1.0)), 6).alias("area"),
+        )
+        .orderBy("event_type", "bkt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_gram — distributed Gramian + driver eigensolve
+
+
+@_staged("embedding_pca_gram")  # rows-only: eigensolve not SQL-expressible
+def embedding_pca_gram(spark, sf_dir):
+    """Top principal component of the (mean-centered) embedding cloud via
+    the two-step every distributed PCA uses below ~10³ dims — the exact
+    layout of Spark MLlib RowMatrix.computePrincipalComponents: (1) one
+    distributed pass accumulates the d×d Gramian and the d-vector mean as
+    CONSTANT-SIZE per-task state (mapInPandas partial sums → driver
+    reduce — d=64 here, 32 KB per task; same state discipline as
+    kmeans_iterative), (2) the driver eigensolves the tiny covariance
+    matrix (LAPACK ``eigh``, deterministic; sign-canonicalized so
+    component[argmax|c|] > 0 — power iteration was measured too slow to
+    converge on this cloud's tight λ₂/λ₁ ≈ 0.96 spectrum, leaving ~1e-2
+    projection residuals after 100 rounds), then (3) a second distributed
+    pass projects every embedding onto the component.  The d×d collapse
+    is why this scales: 100 TB of rows stream through step 1 once,
+    nothing driver-side ever depends on row count.
+
+    Output: per-vector PC1 projection + the shared explained-variance
+    ratio, the inputs embedding-space curation (SemDeDup-style clustering,
+    stratified-by-projection sampling) starts from.  rows-only; tests
+    re-derive the projections and variance ratio with an independent
+    numpy eigensolve over the raw parquet."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    part_schema = "n bigint, s binary, g binary"
+
+    def partial(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n += M.shape[0]
+            s = M.sum(axis=0) if s is None else s + M.sum(axis=0)
+            g = M.T @ M if g is None else g + M.T @ M
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tobytes()], "g": [g.tobytes()]}
+            )
+
+    parts = e.mapInPandas(partial, part_schema).collect()  # ≤ #tasks rows
+    if not parts:
+        return spark.createDataFrame(
+            [], "vec_id bigint, pc1 double, explained_var_ratio double"
+        )
+    d = len(np.frombuffer(parts[0]["s"]))
+    n_tot = sum(r["n"] for r in parts)
+    s_tot = sum(np.frombuffer(r["s"]) for r in parts)
+    g_tot = sum(np.frombuffer(r["g"]).reshape(d, d) for r in parts)
+    mean = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mean, mean)
+
+    w, V = np.linalg.eigh(cov)
+    v = V[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+        v = -v
+    lam = float(w[-1])
+    ratio = lam / float(np.trace(cov)) if np.trace(cov) > 0 else 0.0
+
+    comp = [float(x) for x in v]
+    mean_l = [float(x) for x in mean]
+    # three-array zip isn't a builtin: fold over the index instead (the
+    # mean and component arrays are constant literals, element_at is O(1))
+    return (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("ev"),
+        )
+        .withColumn("c", F.array(*[F.lit(x) for x in comp]))
+        .withColumn("m", F.array(*[F.lit(x) for x in mean_l]))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(sequence(1, size(ev)),"
+                    " i -> (element_at(ev, i) - element_at(m, i))"
+                    " * element_at(c, i)),"
+                    " cast(0.0 as double), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("pc1"),
+            F.lit(round(ratio, 6)).alias("explained_var_ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# coreset_sample_kcenter — greedy k-center diversity sample
+
+_KCENTER_K = 8
+
+
+@_staged("coreset_sample_kcenter")  # rows-only: iterative argmax chain
+def coreset_sample_kcenter(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez 1985) over the embedding cloud —
+    the diversity-sampling primitive for training-data pruning: pick the
+    point farthest from all chosen centers, k=8 times, starting from
+    min vec_id.  Each round the driver collects exactly ONE row (the
+    argmax) and the distributed side keeps a single running min-distance
+    column updated by a narrow expression — kmeans_iterative's state
+    discipline, with localCheckpoint keeping the plan flat.  2-approx of
+    the optimal k-center radius, fully deterministic (dist DESC, vec_id
+    ASC tiebreak).
+
+    Output: the k centers in selection order with their coverage radius
+    at selection time (radius_before = how far the farthest point was
+    when this center was chosen — monotonically non-increasing, asserted
+    in tests).
+
+    100 TB: k scans of a cached/checkpointed narrow table; no shuffle at
+    all inside a round (global argmax = orderBy(...).limit(1), which
+    Spark executes as TakeOrdered — per-partition top-1 then driver
+    merge, constant state)."""
+    import math
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("ev"),
+        )
+        .localCheckpoint()
+    )
+    first = e.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "pick_order int, vec_id bigint, radius_before double"
+        )
+    centers = [(0, int(first[0]["vec_id"]), float("inf"))]
+
+    # euclidean distance from each row's ev to the constant-literal array cv
+    _dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ev, cv, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+        )
+    )
+
+    cur = (
+        e.withColumn("cv", F.array(*[F.lit(float(x)) for x in first[0]["ev"]]))
+        .select("vec_id", "ev", _dist.alias("mind"))
+        .localCheckpoint()
+    )
+
+    for i in range(1, _KCENTER_K):
+        far = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far or far[0]["mind"] == 0.0:
+            break  # fewer than k distinct points
+        radius = float(far[0]["mind"])
+        cid = int(far[0]["vec_id"])
+        centers.append((i, cid, radius))
+        cvec = far[0]["ev"]
+        cur = (
+            cur.withColumn("cv", F.array(*[F.lit(float(x)) for x in cvec]))
+            .select("vec_id", "ev", F.least("mind", _dist).alias("mind"))
+            .localCheckpoint()
+        )
+
+    rows = [
+        (o, vid, (round(r, 6) if math.isfinite(r) else -1.0))
+        for o, vid, r in centers
+    ]
+    return spark.createDataFrame(
+        rows, "pick_order int, vec_id bigint, radius_before double"
+    ).orderBy("pick_order")

@@ -1,0 +1,272 @@
+"""Staged round-6 operators (operators/staged_r06.py) — full driver-shape
+verification BEFORE registration: oracled keys run the same DuckDB
+differential as test_differential, rows-only keys carry engine-side
+equivalence/invariant tests (the SURVEY §2 rows-only convention).  The
+keys stay out of the live registry until round 6 (key freeze — VERDICT
+r04 item 1); ``promote()`` flips them in."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bigdatawork_spark.operators.staged_r06 import (
+    _KCENTER_K,
+    _LTTB_BUCKETS,
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from bigdatawork_spark.registry import ORACLES, QUERIES
+
+from .compare import assert_frames_match
+
+
+def test_staged_keys_do_not_collide_with_live_registry():
+    """promote() must be a pure addition: no staged key may shadow a live
+    key, and every oracled staged key carries non-empty SQL."""
+    clash = set(STAGED_QUERIES) & set(QUERIES)
+    assert not clash, f"staged keys already registered: {sorted(clash)}"
+    assert set(STAGED_ORACLES) <= set(STAGED_QUERIES)
+    assert all(s.strip() for s in STAGED_ORACLES.values())
+    assert not (set(STAGED_ORACLES) & set(ORACLES))
+
+
+@pytest.mark.parametrize("key", sorted(STAGED_ORACLES))
+def test_staged_oracle_match(key, spark, duck, sf_dir):
+    """Driver-identical differential for the SQL-expressible staged keys."""
+    spark_pd = STAGED_QUERIES[key](spark, sf_dir).toPandas()
+    oracle_pd = duck.execute(STAGED_ORACLES[key]).df()
+    assert_frames_match(spark_pd, oracle_pd, key)
+
+
+@pytest.mark.parametrize("key", sorted(set(STAGED_QUERIES) - set(STAGED_ORACLES)))
+def test_staged_rows_only_smoke(key, spark, sf_dir):
+    df = STAGED_QUERIES[key](spark, sf_dir)
+    assert df.count() > 0
+    df.limit(5).collect()
+
+
+# ---------------------------------------------------------------------------
+# knn_classify_lsh — agreement with the exact twin
+
+
+def test_knn_lsh_agrees_with_exact(spark, sf_dir):
+    """The LSH candidate swap may only DROP candidates, so predictions can
+    differ — but at sf0.01 (500 vectors, radius 8.0, 4 tables) recall is
+    high enough that ≥90% of per-vector predictions must match the exact
+    brute-force twin, with the identical output schema."""
+    exact_df = QUERIES["knn_classify"](spark, sf_dir)
+    lsh_df = STAGED_QUERIES["knn_classify_lsh"](spark, sf_dir)
+    assert lsh_df.schema == exact_df.schema
+    exact = {r["vec_id"]: r["pred_label"] for r in exact_df.collect()}
+    approx = {r["vec_id"]: r["pred_label"] for r in lsh_df.collect()}
+    assert len(exact) > 0
+    # every vector classified by the exact twin must appear (radius 8.0 is
+    # wide enough that nobody loses ALL five neighbors)
+    assert set(approx) == set(exact)
+    agree = sum(1 for k, v in exact.items() if approx[k] == v)
+    assert agree / len(exact) >= 0.90, f"agreement {agree}/{len(exact)}"
+
+
+# ---------------------------------------------------------------------------
+# dedup_ladder — composition properties
+
+
+def test_dedup_ladder_structure(spark, duck, sf_dir):
+    out = STAGED_QUERIES["dedup_ladder"](spark, sf_dir).collect()
+    assert out
+    exact = [r for r in out if r["kind"] == "exact"]
+    near = [r for r in out if r["kind"] == "near"]
+
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    reps = {
+        r[0]
+        for r in duck.execute(
+            "SELECT min(doc_id) FROM documents GROUP BY md5(text)"
+        ).fetchall()
+    }
+    group_min = {
+        t: m
+        for t, m in duck.execute(
+            "SELECT text, min(doc_id) FROM documents GROUP BY text"
+        ).fetchall()
+    }
+    for r in exact:
+        # exact rows: identical text, keep-side is the group minimum
+        assert texts[r["doc_a"]] == texts[r["doc_b"]]
+        assert r["doc_a"] == group_min[texts[r["doc_b"]]]
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard_dist"] == 0.0
+    # every non-representative appears exactly once as an exact dup target
+    dup_targets = sorted(r["doc_b"] for r in exact)
+    expected = sorted(set(texts) - reps)
+    assert dup_targets == expected
+    for r in near:
+        # near rows connect REPRESENTATIVES only, within the LSH threshold
+        assert r["doc_a"] in reps and r["doc_b"] in reps
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["jaccard_dist"] <= 0.2
+    assert near, "sf0.01 corpus has near-dups (dedup_near_minhash finds 25)"
+
+
+def test_dedup_ladder_exact_stage_on_replicated_corpus(spark, tmp_path):
+    """sf0.01 has no hash-identical texts (verified against the corpus), so
+    the exact stage's collapse logic needs its own fixture: a corpus where
+    two texts carry three copies each must yield exactly the four
+    (group-min → dup) rows, and the near stage must see only the three
+    unique representatives."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),
+        (9, "totally different text with unique words here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = STAGED_QUERIES["dedup_ladder"](spark, str(tmp_path)).collect()
+    exact = sorted(
+        (r["doc_a"], r["doc_b"]) for r in out if r["kind"] == "exact"
+    )
+    assert exact == [(1, 2), (1, 5), (3, 4)]
+    near_ids = {
+        i for r in out if r["kind"] == "near" for i in (r["doc_a"], r["doc_b"])
+    }
+    # representatives are 1, 3, 9 — no dup member may reach the LSH stage
+    assert near_ids <= {1, 3, 9}
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_gram — against numpy's dense eigensolver
+
+
+def _embeddings_matrix(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def test_pca_gram_matches_numpy_eigh(spark, sf_dir):
+    ids, M = _embeddings_matrix(sf_dir)
+    mean = M.mean(axis=0)
+    cov = (M - mean).T @ (M - mean) / len(M)
+    w, V = np.linalg.eigh(cov)
+    top = V[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    ref_proj = (M - mean) @ top
+    ref_ratio = w[-1] / w.sum()
+
+    rows = STAGED_QUERIES["embedding_pca_gram"](spark, sf_dir).collect()
+    assert len(rows) == len(ids)
+    got = {r["vec_id"]: r["pc1"] for r in rows}
+    got_proj = np.array([got[i] for i in ids])
+    # both sides eigensolve the same 64x64 covariance; residual is float
+    # accumulation order in the distributed Gramian plus the 1e-6 rounding
+    assert np.allclose(got_proj, ref_proj, atol=1e-4), (
+        np.abs(got_proj - ref_proj).max()
+    )
+    ratios = {r["explained_var_ratio"] for r in rows}
+    assert len(ratios) == 1
+    assert abs(next(iter(ratios)) - ref_ratio) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# coreset_sample_kcenter — greedy invariants
+
+
+def test_kcenter_invariants(spark, sf_dir):
+    rows = STAGED_QUERIES["coreset_sample_kcenter"](spark, sf_dir).collect()
+    assert len(rows) == _KCENTER_K
+    picks = [r["vec_id"] for r in rows]
+    assert len(set(picks)) == _KCENTER_K
+    assert rows[0]["pick_order"] == 0
+    assert rows[0]["radius_before"] == -1.0  # sentinel for the seed pick
+
+    ids, M = _embeddings_matrix(sf_dir)
+    assert picks[0] == ids.min()  # deterministic seed = min vec_id
+    radii = [r["radius_before"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True), radii  # non-increasing
+
+    # each reported radius equals the true farthest-point distance given
+    # the previously selected centers (greedy re-derivation in numpy)
+    by_id = {int(i): M[j] for j, i in enumerate(ids)}
+    centers = [by_id[picks[0]]]
+    for r in rows[1:]:
+        dists = np.min(
+            [np.linalg.norm(M - c, axis=1) for c in centers], axis=0
+        )
+        far_idx = np.lexsort((ids, -dists))[0]
+        assert ids[far_idx] == r["vec_id"]
+        assert abs(dists[far_idx] - r["radius_before"]) < 1e-5
+        centers.append(by_id[r["vec_id"]])
+
+    # coverage: after all k picks the farthest remaining point is no
+    # farther than the last reported radius (greedy monotonicity)
+    final = np.min([np.linalg.norm(M - c, axis=1) for c in centers], axis=0)
+    assert final.max() <= rows[-1]["radius_before"] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb — shape invariants beyond the oracle
+
+
+def test_lttb_bucket_coverage(spark, duck, sf_dir):
+    rows = STAGED_QUERIES["ts_downsample_lttb"](spark, sf_dir).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    n_per_type = dict(
+        duck.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(series) == set(n_per_type)
+    for et, picked in series.items():
+        expect = min(n_per_type[et], _LTTB_BUCKETS)
+        assert len(picked) == expect, (et, len(picked))
+        assert sorted(p["bkt"] for p in picked) == list(range(1, expect + 1))
+        # edge buckets carry the -1 sentinel, interior buckets a real area
+        for p in picked:
+            if p["bkt"] in (1, expect):
+                assert p["area"] == -1.0
+            else:
+                assert p["area"] >= 0.0
+        # first pick is the series head (earliest ts, min event_id tiebreak)
+        head = duck.execute(
+            "SELECT event_id FROM events WHERE event_type = ? "
+            "ORDER BY ts, event_id LIMIT 1",
+            [et],
+        ).fetchone()[0]
+        assert picked[0]["event_id"] == head
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count — mechanism properties
+
+
+def test_dp_count_mechanism(spark, duck, sf_dir):
+    rows = STAGED_QUERIES["privacy_dp_count"](spark, sf_dir).collect()
+    assert rows
+    true = {
+        (lang, src): n
+        for lang, src, n in duck.execute(
+            "SELECT lang, source, COUNT(*) FROM documents GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert {(r["lang"], r["source"]) for r in rows} == set(true)
+    for r in rows:
+        assert r["true_n"] == true[(r["lang"], r["source"])]
+        assert r["dp_n"] >= 0  # post-processing clamp
+        # released = clamp(round(true + noise)): re-derive exactly
+        assert r["dp_n"] == max(0, round(r["true_n"] + r["noise"]))
+    # the hash-uniform draw must actually vary across keys (both signs)
+    noises = [r["noise"] for r in rows]
+    assert min(noises) < 0 < max(noises)
