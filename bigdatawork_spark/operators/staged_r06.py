@@ -14,8 +14,11 @@ re-registration into the live registry — after CORRECTNESS_r05 lands.
 The set closes the "declared scale path" gaps VERDICT r04 / SCALE.md §8
 left as docstring promises:
 
-- ``knn_classify_lsh``  — knn_classify's documented swap ("at scale the
-  pair stage swaps for the LSH candidate generator") made real.
+- ``knn_classify_ivf``  — knn_classify's documented swap ("at scale the
+  pair stage swaps for the LSH candidate generator") made real, with IVF
+  lists instead of BRP-LSH: the unit-norm corpus defeats euclidean LSH
+  radii (measured quadratic blow-up at sf1.0), IVF stays n^1.5 and is
+  deterministic enough for a hash-green oracle.
 - ``dedup_ladder``      — the MEASURED production order from SCALE.md §8
   (exact-dup pre-pass → MinHash on unique representatives) as one
   composed operator instead of a prose recommendation.
@@ -74,83 +77,189 @@ def promote() -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# knn_classify_lsh — the declared scale path of knn_classify
+# knn_classify_ivf — the declared scale path of knn_classify
 
 
-@_staged("knn_classify_lsh")  # rows-only: LSH bucketing is engine-specific
-def knn_classify_lsh(spark, sf_dir):
+@_staged(
+    "knn_classify_ivf",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+         row_number() OVER (ORDER BY vec_id) AS rk,
+         CAST(ceil(sqrt(COUNT(*) OVER ())) AS BIGINT) AS n_cent
+  FROM v
+),
+centroids AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE rk <= n_cent
+),
+assign AS (
+  SELECT vec_id, label, e, nrm, cid FROM (
+    SELECT x.vec_id, x.label, x.e, x.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(x.e, c.ce),
+                      z -> z[1] * z[2]), 'sum') / (x.nrm * c.cnrm) DESC, c.cid
+           ) AS rc
+    FROM n x CROSS JOIN centroids c
+  ) WHERE rc = 1
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS nb, b.label AS nb_label,
+         list_aggregate(list_transform(list_zip(a.e, b.e),
+                        z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) AS cos_raw
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, nb_label FROM (
+    SELECT src, nb_label,
+           row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, nb) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT src, nb_label, COUNT(*) AS n_votes FROM knn GROUP BY src, nb_label
+),
+pred AS (
+  SELECT src, nb_label AS pred_label FROM (
+    SELECT src, nb_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_votes DESC, nb_label) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT e.vec_id, e.label, p.pred_label,
+       CAST(CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM embeddings e JOIN pred p ON e.vec_id = p.src
+ORDER BY e.vec_id
+""",
+)
+def knn_classify_ivf(spark, sf_dir):
     """k=5 leave-one-out cosine kNN majority vote with the candidate stage
-    swapped from the all-pairs cross join to BucketedRandomProjectionLSH —
-    exactly the swap knn_classify's docstring (llm_ops.py:431) and
-    SCALE.md §8 declare for ≥10⁶ vectors.  Candidates come from LSH band
-    buckets (euclidean radius 8.0 on unit-incomparable raw vectors — wide
-    enough to keep recall high, see tests), then the EXACT cosine ranks
-    the survivors, so approximation only ever drops candidates, never
-    mis-scores them.  Same output schema + deterministic tiebreaks as the
-    exact twin; tests assert ≥90% prediction agreement and identical
-    schema at sf0.01.
+    swapped from the all-pairs cross join to IVF inverted lists — the swap
+    knn_classify's docstring (llm_ops.py:431) and SCALE.md §8 declare for
+    ≥10⁶ vectors, realized with the sim_ann_ivf machinery rather than
+    BRP-LSH: this corpus is unit-norm (every pairwise distance ≤ 2), so
+    any euclidean LSH radius wide enough for recall degenerates to a
+    quadratic cross join (measured: >45 s at sf1.0), while IVF caps each
+    point's candidates at its own list.  ⌈√n⌉ centroids (the standard IVF
+    sizing: lists and centroid count both ~√n, so candidate pairs grow
+    n^1.5, not n²) taken deterministically as the first ⌈√n⌉ vectors by
+    vec_id; assignment = max cosine, tiebreak cid asc; then the exact
+    cosine top-5 / (votes desc, label asc) vote of the brute-force twin,
+    restricted to same-list pairs.  Fully deterministic → SQL-expressible
+    → hash-green oracle, the stronger gate: a vote-agreement threshold
+    would be meaningless here because the corpus labels carry no
+    embedding structure (exact kNN accuracy ≈ 10% = chance, measured), so
+    approximate candidate sets produce chaotic prediction flips.
 
-    100 TB: the approxSimilarityJoin is a band-bucket equi-join (shuffle
-    key = LSH hash), re-rank state is top-5 per src — no all-pairs stage
-    anywhere."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    100 TB: centroid table is √n×d — collected once (bounded driver
+    state, the kmeans_iterative discipline: 1e9 rows → 31623×64 doubles ≈
+    16 MB) and sc.broadcast; assignment is a BLAS matmul per Arrow batch
+    emitting narrow (vec_id, cid) rows; the ONLY shuffle is the cid
+    grouped-map, whose per-list kNN + vote runs as one numpy Gram matrix
+    per inverted list (bounded ~√n×√n).  The JVM-expr formulation was
+    measured first and rejected: per-pair ``zip_with`` folds put the
+    sf1.0 run at ~39 s against the 45 s budget (the same interpreted-fold
+    wall sim_cosine_topk hit pre-BLAS); this form completes in seconds.
+    Float caveat as sim_cosine_topk: BLAS sums differ from the oracle's
+    sequential folds by ~1e-15, invisible at the 6-decimal rounding and
+    far below any argmax/rank gap in this corpus."""
+    import math
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
-    )
-    model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, 8.0, distCol="eucl_dist").filter(
-        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ae, be, (x, y) -> x * y),"
-        " cast(0.0 as double), (a, x) -> a + x)"
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(transform({c}, x -> x * x),"
-            " cast(0.0 as double), (a, x) -> a + x)"
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # one scalar count (bounded driver state), then TakeOrdered for the
+    # first ⌈√n⌉ vec_ids — per-partition top-C + driver merge of C rows,
+    # never a global-window shuffle
+    n_rows = e.count()
+    n_cent = max(1, math.ceil(math.sqrt(n_rows)))
+    cent_rows = e.orderBy("vec_id").limit(n_cent).collect()
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, pred_label int, is_correct int"
         )
+    # ascending cid order makes numpy's first-max argmax reproduce the
+    # (cos desc, cid asc) assignment tiebreak exactly
+    cid_arr = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    cnrm = np.sqrt((Cm * Cm).sum(axis=1))
+    if (cnrm == 0).any():
+        raise ValueError(
+            f"knn_classify_ivf: zero-norm centroid(s) "
+            f"{cid_arr[cnrm == 0].tolist()} — cosine undefined"
+        )
+    bc = spark.sparkContext.broadcast((cid_arr, Cm, cnrm))
+
+    def assign_batches(batches):
+        bcid, bC, bcn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0).any():
+                bad = pdf["vec_id"].to_numpy()[xn == 0].tolist()
+                raise ValueError(
+                    f"knn_classify_ivf: zero-norm embedding(s) {bad} — "
+                    "cosine undefined; filter degenerate vectors first"
+                )
+            cs = (X @ bC.T) / (xn[:, None] * bcn[None, :])
+            j = cs.argmax(axis=1)  # first max ⇒ cid-asc tiebreak
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": bcid[j]}
+            )
+
+    best = e.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id bigint, cid bigint"
     )
-    scored = pairs.select(
-        F.col("datasetA.vec_id").alias("src"),
-        F.col("datasetB.vec_id").alias("nb"),
-        F.col("datasetB.label").alias("nb_label"),
-        F.col("datasetA.e").alias("ae"),
-        F.col("datasetB.e").alias("be"),
-    ).withColumn("cos_raw", dot / (nrm("ae") * nrm("be")))
-    w_knn = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("nb"))
-    knn = (
-        scored.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= 5)
-        .select("src", "nb_label")
-    )
-    votes = knn.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
-    w_vote = Window.partitionBy("src").orderBy(
-        F.col("votes").desc(), F.col("nb_label")
-    )
-    pred = (
-        votes.withColumn("rv", F.row_number().over(w_vote))
-        .filter(F.col("rv") == 1)
-        .select("src", F.col("nb_label").alias("pred_label"))
-    )
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = e.join(best, "vec_id")
+
+    def list_knn(pdf):
+        if len(pdf) < 2:  # singleton list: no leave-one-out neighbors
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "pred_label": pd.Series([], dtype="int64"),
+                    "is_correct": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labs = pdf["label"].to_numpy(dtype=np.int64)
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        xn = np.sqrt((X * X).sum(axis=1))
+        if (xn == 0).any():
+            raise ValueError(
+                f"knn_classify_ivf: zero-norm embedding(s) "
+                f"{ids[xn == 0].tolist()} — cosine undefined"
+            )
+        S = (X @ X.T) / np.outer(xn, xn)
+        np.fill_diagonal(S, -np.inf)
+        out = []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -S[i]))  # cos desc, nb asc
+            top = [o for o in order if o != i][:5]
+            votes: dict[int, int] = {}
+            for o in top:
+                votes[labs[o]] = votes.get(labs[o], 0) + 1
+            pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            out.append((ids[i], labs[i], pred, int(labs[i] == pred)))
+        return pd.DataFrame(
+            out, columns=["vec_id", "label", "pred_label", "is_correct"]
+        )
+
     return (
-        base.join(pred, base.vec_id == pred.src)
-        .select(
-            "vec_id",
-            "label",
-            "pred_label",
-            F.when(F.col("label") == F.col("pred_label"), 1)
-            .otherwise(0)
-            .alias("is_correct"),
+        assign.groupBy("cid")
+        .applyInPandas(
+            list_knn, "vec_id bigint, label int, pred_label int, is_correct int"
         )
         .orderBy("vec_id")
     )

@@ -48,25 +48,54 @@ def test_staged_rows_only_smoke(key, spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# knn_classify_lsh — agreement with the exact twin
+# knn_classify_ivf — independent numpy re-derivation (third implementation)
 
 
-def test_knn_lsh_agrees_with_exact(spark, sf_dir):
-    """The LSH candidate swap may only DROP candidates, so predictions can
-    differ — but at sf0.01 (500 vectors, radius 8.0, 4 tables) recall is
-    high enough that ≥90% of per-vector predictions must match the exact
-    brute-force twin, with the identical output schema."""
-    exact_df = QUERIES["knn_classify"](spark, sf_dir)
-    lsh_df = STAGED_QUERIES["knn_classify_lsh"](spark, sf_dir)
-    assert lsh_df.schema == exact_df.schema
-    exact = {r["vec_id"]: r["pred_label"] for r in exact_df.collect()}
-    approx = {r["vec_id"]: r["pred_label"] for r in lsh_df.collect()}
-    assert len(exact) > 0
-    # every vector classified by the exact twin must appear (radius 8.0 is
-    # wide enough that nobody loses ALL five neighbors)
-    assert set(approx) == set(exact)
-    agree = sum(1 for k, v in exact.items() if approx[k] == v)
-    assert agree / len(exact) >= 0.90, f"agreement {agree}/{len(exact)}"
+def test_knn_ivf_matches_numpy_rederivation(spark, sf_dir):
+    """The hash-green oracle is co-designed SQL, so re-derive the whole
+    IVF-kNN pipeline (⌈√n⌉ first-by-vec_id centroids → max-cos assignment
+    → same-list top-5 → majority vote) independently in numpy and demand
+    identical predictions.  A vote-agreement threshold against the exact
+    twin would be meaningless: this corpus's labels carry no embedding
+    structure (exact kNN accuracy ≈ chance), so candidate-set perturbations
+    flip votes chaotically — only exact semantic parity is testable."""
+    from collections import Counter
+
+    ids, M = _embeddings_matrix(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    lab_by_id = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    lab = np.array([lab_by_id[i] for i in ids])
+    n = len(ids)
+    n_cent = int(np.ceil(np.sqrt(n)))
+    nrm = np.linalg.norm(M, axis=1)
+    C = M[:n_cent]  # ids are sorted — first √n by vec_id
+    cs = (M @ C.T) / np.outer(nrm, nrm[:n_cent])
+    # max cos, tiebreak smaller cid: lexsort on (-cs, cid) per row
+    own = np.array(
+        [np.lexsort((ids[:n_cent], -cs[i]))[0] for i in range(n)]
+    )  # index into centroid block
+    preds = {}
+    for c in set(own):
+        members = np.where(own == c)[0]
+        if len(members) < 2:
+            continue
+        sub = (M[members] @ M[members].T) / np.outer(nrm[members], nrm[members])
+        np.fill_diagonal(sub, -np.inf)
+        for j, i in enumerate(members):
+            order = np.lexsort((ids[members], -sub[j]))
+            top = [members[o] for o in order if members[o] != i][:5]
+            votes = Counter(lab[top])
+            preds[ids[i]] = sorted(
+                votes.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0][0]
+
+    rows = STAGED_QUERIES["knn_classify_ivf"](spark, sf_dir).collect()
+    got = {r["vec_id"]: r["pred_label"] for r in rows}
+    assert got == preds
+    exact_schema = QUERIES["knn_classify"](spark, sf_dir).schema
+    assert [f.name for f in STAGED_QUERIES["knn_classify_ivf"](
+        spark, sf_dir
+    ).schema.fields] == [f.name for f in exact_schema.fields]
 
 
 # ---------------------------------------------------------------------------
