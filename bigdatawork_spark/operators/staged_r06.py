@@ -37,6 +37,13 @@ left as docstring promises:
 - ``coreset_sample_kcenter`` — greedy k-center coreset (diversity
   sampling for training-data pruning); iterative with one collected row
   per round, the kmeans_iterative state discipline.
+- ``semdedup_prune``    — SemDeDup (embedding-space semantic dedup):
+  within-cluster near-duplicate pruning over the shared IVF assignment;
+  hash-green.
+- ``win_rolling_median`` — exact median over a bounded moving row frame
+  (the windowed-quantile shape §2-E lacks); hash-green.
+- ``dedup_containment`` — asymmetric |A∩B|/min(|A|,|B|) containment, the
+  quote/subset-inclusion detector symmetric Jaccard misses; hash-green.
 """
 
 from __future__ import annotations
@@ -80,10 +87,11 @@ def promote() -> list[str]:
 # knn_classify_ivf — the declared scale path of knn_classify
 
 
-@_staged(
-    "knn_classify_ivf",
-    oracle="""
-WITH v AS (
+# Shared oracle prefix: deterministic ⌈√n⌉-centroid IVF assignment (the
+# sim_ann_ivf recipe generalized to a data-dependent centroid count).
+# Used by knn_classify_ivf and semdedup_prune.
+_IVF_ASSIGN_SQL = """
+v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
@@ -107,7 +115,66 @@ assign AS (
            ) AS rc
     FROM n x CROSS JOIN centroids c
   ) WHERE rc = 1
-),
+)
+"""
+
+
+def _ivf_assign(spark, sf_dir):
+    """Deterministic IVF assignment shared by knn_classify_ivf and
+    semdedup_prune: ⌈√n⌉ centroids = first ⌈√n⌉ vectors by vec_id
+    (TakeOrdered + one bounded collect — √n×d doubles of driver state),
+    sc.broadcast numpy matrix, BLAS argmax per Arrow batch (ascending cid
+    order makes numpy's first-max reproduce the cos-desc/cid-asc
+    tiebreak).  Returns (embeddings df, assignment df joined with label —
+    one narrow shuffle on vec_id), or (df, None) for an empty table."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_rows = e.count()
+    n_cent = max(1, math.ceil(math.sqrt(n_rows)))
+    cent_rows = e.orderBy("vec_id").limit(n_cent).collect()
+    if not cent_rows:
+        return e, None
+    cid_arr = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    cnrm = np.sqrt((Cm * Cm).sum(axis=1))
+    if (cnrm == 0).any():
+        raise ValueError(
+            f"ivf_assign: zero-norm centroid(s) "
+            f"{cid_arr[cnrm == 0].tolist()} — cosine undefined"
+        )
+    bc = spark.sparkContext.broadcast((cid_arr, Cm, cnrm))
+
+    def assign_batches(batches):
+        bcid, bC, bcn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0).any():
+                bad = pdf["vec_id"].to_numpy()[xn == 0].tolist()
+                raise ValueError(
+                    f"ivf_assign: zero-norm embedding(s) {bad} — "
+                    "cosine undefined; filter degenerate vectors first"
+                )
+            cs = (X @ bC.T) / (xn[:, None] * bcn[None, :])
+            j = cs.argmax(axis=1)  # first max ⇒ cid-asc tiebreak
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cid": bcid[j]})
+
+    best = e.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id bigint, cid bigint"
+    )
+    return e, e.join(best, "vec_id")
+
+
+@_staged(
+    "knn_classify_ivf",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL.strip()},
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS nb, b.label AS nb_label,
          list_aggregate(list_transform(list_zip(a.e, b.e),
@@ -170,57 +237,14 @@ def knn_classify_ivf(spark, sf_dir):
     Float caveat as sim_cosine_topk: BLAS sums differ from the oracle's
     sequential folds by ~1e-15, invisible at the 6-decimal rounding and
     far below any argmax/rank gap in this corpus."""
-    import math
-
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    # one scalar count (bounded driver state), then TakeOrdered for the
-    # first ⌈√n⌉ vec_ids — per-partition top-C + driver merge of C rows,
-    # never a global-window shuffle
-    n_rows = e.count()
-    n_cent = max(1, math.ceil(math.sqrt(n_rows)))
-    cent_rows = e.orderBy("vec_id").limit(n_cent).collect()
-    if not cent_rows:
+    _, assign = _ivf_assign(spark, sf_dir)
+    if assign is None:
         return spark.createDataFrame(
             [], "vec_id bigint, label int, pred_label int, is_correct int"
         )
-    # ascending cid order makes numpy's first-max argmax reproduce the
-    # (cos desc, cid asc) assignment tiebreak exactly
-    cid_arr = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
-    cnrm = np.sqrt((Cm * Cm).sum(axis=1))
-    if (cnrm == 0).any():
-        raise ValueError(
-            f"knn_classify_ivf: zero-norm centroid(s) "
-            f"{cid_arr[cnrm == 0].tolist()} — cosine undefined"
-        )
-    bc = spark.sparkContext.broadcast((cid_arr, Cm, cnrm))
-
-    def assign_batches(batches):
-        bcid, bC, bcn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            xn = np.sqrt((X * X).sum(axis=1))
-            if (xn == 0).any():
-                bad = pdf["vec_id"].to_numpy()[xn == 0].tolist()
-                raise ValueError(
-                    f"knn_classify_ivf: zero-norm embedding(s) {bad} — "
-                    "cosine undefined; filter degenerate vectors first"
-                )
-            cs = (X @ bC.T) / (xn[:, None] * bcn[None, :])
-            j = cs.argmax(axis=1)  # first max ⇒ cid-asc tiebreak
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cid": bcid[j]}
-            )
-
-    best = e.select("vec_id", "embedding").mapInPandas(
-        assign_batches, "vec_id bigint, cid bigint"
-    )
-    assign = e.join(best, "vec_id")
 
     def list_knn(pdf):
         if len(pdf) < 2:  # singleton list: no leave-one-out neighbors
@@ -702,3 +726,294 @@ def coreset_sample_kcenter(spark, sf_dir):
     return spark.createDataFrame(
         rows, "pick_order int, vec_id bigint, radius_before double"
     ).orderBy("pick_order")
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — embedding-space semantic dedup (SemDeDup)
+
+_SEMDEDUP_TAU = 0.25
+
+
+@_staged(
+    "semdedup_prune",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL.strip()},
+close AS (
+  SELECT a.vec_id AS kept_by, b.vec_id AS pruned_id, b.cid,
+         list_aggregate(list_transform(list_zip(a.e, b.e),
+                        z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) AS cos_raw
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_aggregate(list_transform(list_zip(a.e, b.e),
+                       z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm)
+        >= {_SEMDEDUP_TAU}
+)
+SELECT pruned_id, kept_by, cid, ROUND(cos_raw, 6) AS cos_sim FROM (
+  SELECT pruned_id, kept_by, cid, cos_raw,
+         row_number() OVER (PARTITION BY pruned_id
+                            ORDER BY kept_by) AS rk
+  FROM close
+) WHERE rk = 1
+ORDER BY pruned_id
+""",
+)
+def semdedup_prune(spark, sf_dir):
+    """Semantic dedup in embedding space (SemDeDup, Abbas et al. 2023):
+    cluster the corpus, then inside each cluster prune every vector that
+    has a near-duplicate (cos ≥ 0.25 here — sized to this corpus's 5-NN
+    cos ≈ 0.29 band) with a SMALLER vec_id, keeping the minimum-id member
+    of each similarity clique.  Clustering is the deterministic ⌈√n⌉-
+    centroid IVF assignment shared with knn_classify_ivf (the paper uses
+    k-means; the candidate-bounding role is identical), which keeps the
+    pair stage at n^1.5, never all-pairs — and makes the whole operator
+    SQL-expressible, hence hash-green.
+
+    Output: one row per PRUNED vector — (pruned_id, kept_by = its
+    smallest same-cluster near-duplicate, cid, cos_sim of that pair).
+    Downstream keeps `corpus MINUS pruned_id` (an anti-join).
+
+    100 TB: same shape as knn_classify_ivf — broadcast centroids, BLAS
+    assignment per Arrow batch, one cid shuffle, per-list Gram matrix in
+    applyInPandas with bounded ~√n×√n lists."""
+    import numpy as np
+    import pandas as pd
+
+    _, assign = _ivf_assign(spark, sf_dir)
+    if assign is None:
+        return spark.createDataFrame(
+            [], "pruned_id bigint, kept_by bigint, cid bigint, cos_sim double"
+        )
+
+    def list_prune(pdf):
+        empty = pd.DataFrame(
+            {
+                "pruned_id": pd.Series([], dtype="int64"),
+                "kept_by": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+        cid = int(pdf["cid"].iloc[0])
+        xn = np.sqrt((X * X).sum(axis=1))
+        if (xn == 0).any():
+            raise ValueError(
+                f"semdedup_prune: zero-norm embedding(s) "
+                f"{ids[xn == 0].tolist()} — cosine undefined"
+            )
+        S = (X @ X.T) / np.outer(xn, xn)
+        out = []
+        for j in range(1, len(ids)):  # ids ascending: candidates are i < j
+            hits = np.where(S[j, :j] >= _SEMDEDUP_TAU)[0]
+            if len(hits):
+                i = hits[0]  # ascending ids ⇒ first hit = smallest kept_by
+                out.append((int(ids[j]), int(ids[i]), cid, float(S[j, i])))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out, columns=["pruned_id", "kept_by", "cid", "cos_sim"]
+        )
+
+    return (
+        assign.groupBy("cid")
+        .applyInPandas(
+            list_prune,
+            "pruned_id bigint, kept_by bigint, cid bigint, cos_sim double",
+        )
+        .select(
+            "pruned_id", "kept_by", "cid", F.round("cos_sim", 6).alias("cos_sim")
+        )
+        .orderBy("pruned_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_median — exact median over a moving row frame (hash-green)
+
+
+@_staged(
+    "win_rolling_median",
+    oracle="""
+SELECT event_id, user_id, ts, ROUND(value, 6) AS value,
+       ROUND(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS rolling_median
+FROM events
+WHERE user_id <= 50
+ORDER BY user_id, ts, event_id
+""",
+)
+def win_rolling_median(spark, sf_dir):
+    """EXACT median over a 5-row moving frame per user — the windowed
+    quantile shape the §2-E suite lacks (win_moving_avg is the mean twin;
+    agg_median_percentile is the grouped, non-windowed one).  Spark has no
+    native median window aggregate over a row frame, so the frame's values
+    are gathered with collect_list OVER the same frame (bounded: ≤5
+    elements — constant state per row, unlike a whole-partition collect)
+    and the median computed by sorting the tiny array in-expression:
+    odd count → middle, even count → mean of the two middles, matching
+    DuckDB's continuous-interpolation median.
+
+    100 TB: one shuffle on user_id (the window), O(frame log frame)
+    per-row work on a constant-size frame — the standard pattern until
+    SPARK native median-over-frame lands."""
+    e = load(spark, sf_dir, "events").where("user_id <= 50")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med = F.expr(
+        "case when size(frame) % 2 = 1"
+        " then element_at(array_sort(frame), cast(size(frame) div 2 + 1 as int))"
+        " else (element_at(array_sort(frame), cast(size(frame) div 2 as int))"
+        "     + element_at(array_sort(frame),"
+        "                  cast(size(frame) div 2 + 1 as int))) / 2.0"
+        " end"
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "value")
+        .withColumn("frame", F.collect_list("value").over(w))
+        .withColumn("rolling_median", F.round(med, 6))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 6).alias("value"),
+            "rolling_median",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup: quote/subset inclusion
+
+
+@_staged(
+    "dedup_containment",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+  FROM toks WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = r.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, contained_doc, containment FROM (
+  SELECT i.doc_a, i.doc_b,
+         CASE WHEN za.n_sh <= zb.n_sh THEN i.doc_a ELSE i.doc_b END
+           AS contained_doc,
+         ROUND(CAST(i.n_common AS DOUBLE)
+               / least(za.n_sh, zb.n_sh), 6) AS containment
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+) WHERE containment >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment dedup over 3-word-shingle sets:
+    |A∩B| / min(|A|,|B|) ≥ 0.8 — the quote/subset-inclusion detector
+    symmetric Jaccard structurally misses (a 50-shingle quote fully
+    embedded in a 500-shingle doc scores Jaccard 0.1 but containment 1.0;
+    Broder's original resemblance/containment pair).  SHINGLE sets, not
+    word sets, deliberately: this corpus's 31-word vocabulary makes
+    word-set containment vacuous (any long doc contains every word — and
+    conversely the registered rare-WORD blocking of dedup_near_exactjacc
+    finds zero candidates here because every word's df > 20, measured);
+    the ~16k distinct shingles discriminate.  Candidates come from
+    rare-shingle blocking (2 ≤ df ≤ 5 caps a block at 5 docs / 10 pairs),
+    bounding the pair space at any corpus size.  Reports which side is
+    the contained (smaller-set) document.
+
+    100 TB: one shingle explode, df-bounded candidate join,
+    count-intersection aggregation — dedup_near_exactjacc's shuffle shape
+    with the discriminative token granularity."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> w != '')").alias("ws"),
+        )
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 2),"
+                        " i -> concat(element_at(ws, i), ' ',"
+                        "             element_at(ws, i + 1), ' ',"
+                        "             element_at(ws, i + 2)))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 5))
+        .select("s")
+    )
+    sa_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_a"), "s")
+    sb_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        sa_r.join(sb_r, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    containment = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -299,3 +299,123 @@ def test_dp_count_mechanism(spark, duck, sf_dir):
     # the hash-uniform draw must actually vary across keys (both signs)
     noises = [r["noise"] for r in rows]
     assert min(noises) < 0 < max(noises)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — survivor independence + prune validity
+
+
+def test_semdedup_survivors_are_pairwise_dissimilar(spark, sf_dir):
+    """After pruning, no two SURVIVORS in the same cluster may still be
+    within the similarity threshold (v survives only if it has no smaller
+    near-dup, so for any surviving pair u<v, u is not near v) — and every
+    pruned row must name a smaller kept_by within the threshold.  Both
+    re-derived in numpy from the raw parquet + the operator's own cluster
+    assignment."""
+    from bigdatawork_spark.operators.staged_r06 import (
+        _SEMDEDUP_TAU,
+        _ivf_assign,
+    )
+
+    rows = STAGED_QUERIES["semdedup_prune"](spark, sf_dir).collect()
+    assert rows, "sf0.01 corpus has near-threshold pairs — prune must fire"
+    pruned = {r["pruned_id"]: r for r in rows}
+    assert len(pruned) == len(rows)  # one decision per pruned vector
+
+    ids, M = _embeddings_matrix(sf_dir)
+    nrm = np.linalg.norm(M, axis=1)
+    vec = {int(i): M[j] for j, i in enumerate(ids)}
+    nrm_by = {int(i): nrm[j] for j, i in enumerate(ids)}
+
+    _, assign = _ivf_assign(spark, sf_dir)
+    cid_of = {r["vec_id"]: r["cid"] for r in assign.select("vec_id", "cid").collect()}
+
+    for r in rows:
+        assert r["kept_by"] < r["pruned_id"]
+        assert cid_of[r["kept_by"]] == cid_of[r["pruned_id"]] == r["cid"]
+        cos = float(
+            vec[r["pruned_id"]] @ vec[r["kept_by"]]
+            / (nrm_by[r["pruned_id"]] * nrm_by[r["kept_by"]])
+        )
+        assert cos >= _SEMDEDUP_TAU - 1e-9
+        assert abs(cos - r["cos_sim"]) < 1e-5
+
+    by_cluster = {}
+    for i in ids:
+        if int(i) not in pruned:
+            by_cluster.setdefault(cid_of[int(i)], []).append(int(i))
+    for cid, members in by_cluster.items():
+        if len(members) < 2:
+            continue
+        X = np.array([vec[i] for i in members])
+        nn = np.array([nrm_by[i] for i in members])
+        S = (X @ X.T) / np.outer(nn, nn)
+        np.fill_diagonal(S, -np.inf)
+        assert S.max() < _SEMDEDUP_TAU + 1e-9, (cid, S.max())
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_median — frame-bound invariants
+
+
+def test_rolling_median_within_frame_bounds(spark, sf_dir):
+    rows = STAGED_QUERIES["win_rolling_median"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, seq in by_user.items():
+        vals = [r["value"] for r in seq]
+        # first row of each user: frame is just itself
+        assert seq[0]["rolling_median"] == seq[0]["value"]
+        for i, r in enumerate(seq):
+            frame = vals[max(0, i - 4) : i + 1]
+            assert min(frame) - 1e-9 <= r["rolling_median"] <= max(frame) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric semantics
+
+
+def _shingle_set(text):
+    ws = [w for w in text.split(" ") if w]
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+def test_containment_flags_subset_doc(spark, duck, sf_dir):
+    rows = STAGED_QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert rows, "sf0.01 has 25 full-containment near-dup pairs (measured)"
+    texts = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    for r in rows:
+        assert 0.8 <= r["containment"] <= 1.0
+        a, b = _shingle_set(texts[r["doc_a"]]), _shingle_set(texts[r["doc_b"]])
+        # pure-python re-derivation of the asymmetric metric
+        expect = len(a & b) / min(len(a), len(b))
+        assert abs(expect - r["containment"]) < 1e-6
+        small = r["doc_a"] if len(a) <= len(b) else r["doc_b"]
+        assert r["contained_doc"] == small
+
+
+def test_containment_catches_quote_inclusion(spark, tmp_path):
+    """The motivating asymmetry: a short doc fully quoted inside a long one
+    must be flagged (containment 1.0) even though symmetric Jaccard is far
+    below any dedup threshold."""
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} w{i} filler{i}" for i in range(30))
+    rows = [
+        (1, f"{filler} {quote}"),  # long doc embedding the quote
+        (2, quote),  # the quote alone
+        (3, "totally unrelated words here nothing shared at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = STAGED_QUERIES["dedup_containment"](spark, str(tmp_path)).collect()
+    flagged = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in flagged
+    assert flagged[(1, 2)]["containment"] == 1.0
+    assert flagged[(1, 2)]["contained_doc"] == 2
+    # symmetric jaccard for the same pair is tiny — the shape jaccard misses
+    a, b = _shingle_set(rows[0][1]), _shingle_set(rows[1][1])
+    assert len(a & b) / len(a | b) < 0.1
+    assert not any(3 in k for k in flagged)
