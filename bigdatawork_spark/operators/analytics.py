@@ -483,22 +483,32 @@ WITH seq AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+SELECT user_id,
+       CAST(SUM(CASE WHEN t1 = 'click' AND ts1 <= ts + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t1 = 'click' AND ts1 <= ts + INTERVAL 30 MINUTE
+                     AND t2 = 'purchase' AND ts2 <= ts1 + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
 FROM seq
-WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
-  AND ts1 <= ts + INTERVAL 30 MINUTE
-  AND ts2 <= ts1 + INTERVAL 30 MINUTE
+WHERE event_type = 'view'
 GROUP BY user_id
+HAVING SUM(CASE WHEN t1 = 'click' AND ts1 <= ts + INTERVAL 30 MINUTE
+           THEN 1 ELSE 0 END) > 0
 ORDER BY user_id
 """,
 )
 def pattern_match_strict_seq(spark, sf_dir):
-    """MATCH_RECOGNIZE-style strict-contiguity pattern: count, per user,
-    occurrences of view→click→purchase as IMMEDIATELY consecutive events
+    """MATCH_RECOGNIZE-style strict-contiguity patterns: count, per user,
+    view→click and view→click→purchase as IMMEDIATELY consecutive events
     with ≤30 min between steps (unlike funnel_conversion's
-    any-subsequence semantics).  Fixed-length patterns compile to lead()
-    probes in ONE window pass per user partition — no joins, no state
-    machine; variable-length patterns (A B* C) would move to
+    any-subsequence semantics).  Both prefix lengths are reported because
+    the full 3-step chain is corpus-rare (r05 measurement: 0 occurrences
+    at sf0.01, 1 at sf0.1 — the original 3-step-only output made this key
+    vacuously hash-green, 0 = 0 rows; the 2-step prefix fires 22 times at
+    sf0.01, so the driver check now exercises real matches while the
+    3-step column keeps its honest zeros).  Fixed-length patterns compile
+    to lead() probes in ONE window pass per user partition — no joins, no
+    state machine; variable-length patterns (A B* C) would move to
     applyInPandasWithState.  At scale: one shuffle on user_id, identical
     to any windowed read."""
     ev = load(spark, sf_dir, "events")
@@ -513,16 +523,20 @@ def pattern_match_strict_seq(spark, sf_dir):
         F.lead("ts", 2).over(w).alias("ts2"),
     )
     half_hour = F.expr("INTERVAL 30 MINUTES")
+    step1 = (F.col("t1") == "click") & (F.col("ts1") <= F.col("ts") + half_hour)
+    step2 = (
+        step1
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2") <= F.col("ts1") + half_hour)
+    )
     return (
-        seq.filter(
-            (F.col("event_type") == "view")
-            & (F.col("t1") == "click")
-            & (F.col("t2") == "purchase")
-            & (F.col("ts1") <= F.col("ts") + half_hour)
-            & (F.col("ts2") <= F.col("ts1") + half_hour)
-        )
+        seq.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .agg(
+            F.sum(F.when(step1, 1).otherwise(0)).alias("n_view_click"),
+            F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_click_purchase"),
+        )
+        .filter(F.col("n_view_click") > 0)
         .orderBy("user_id")
     )
 

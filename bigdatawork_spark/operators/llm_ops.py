@@ -36,87 +36,113 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _doc_words(spark, sf_dir) -> DataFrame:
-    """Distinct (doc_id, word) pairs."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
-    )
-
-
 @register(
     "dedup_near_exactjacc",
     oracle="""
-WITH words AS (
-  SELECT DISTINCT doc_id, word FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-  ) WHERE word <> ''
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
 ),
-doc_size AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
-df AS (SELECT word, COUNT(*) AS df FROM words GROUP BY word),
-rare AS (SELECT word FROM df WHERE df BETWEEN 2 AND 5),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+  FROM toks WHERE len(ws) >= 3
+),
+doc_size AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM words a
-  JOIN rare r ON a.word = r.word
-  JOIN words b ON b.word = r.word AND a.doc_id < b.doc_id
+  FROM sh a
+  JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = r.s AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
-  JOIN words wa ON wa.doc_id = c.doc_a
-  JOIN words wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        ROUND(CAST(i.n_common AS DOUBLE)
-             / (sa.n_words + sb.n_words - i.n_common), 6) AS jaccard
+             / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
 FROM inter i
-JOIN doc_size sa ON sa.doc_id = i.doc_a
-JOIN doc_size sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_common AS DOUBLE) / (sa.n_words + sb.n_words - i.n_common) >= 0.5
+JOIN doc_size za ON za.doc_id = i.doc_a
+JOIN doc_size zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) >= 0.5
 ORDER BY doc_a, doc_b
 """,
 )
 def dedup_near_exactjacc(spark, sf_dir):
-    """Exact word-set Jaccard for candidate pairs sharing a rare token
-    (2 ≤ df ≤ 5).  Rare-token blocking caps the pair space — the scalable
-    alternative to an all-pairs join; MinHash-LSH (dedup_near_minhash) is
-    the probabilistic twin."""
-    words = _doc_words(spark, sf_dir).cache()
-    doc_size = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    df_tab = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    rare = df_tab.filter(F.col("df").between(2, 5)).select("word")
-    wa_r = words.join(rare, "word").select(
-        F.col("doc_id").alias("doc_a"), "word"
+    """Exact Jaccard over 3-WORD-SHINGLE sets for candidate pairs sharing
+    a rare shingle (2 ≤ df ≤ 5) — the hash-checked exact twin of
+    dedup_near_minhash at the SAME token granularity (the MinHash
+    pipeline hashes NGram(3) shingles, so a word-set Jaccard never
+    measured the quantity LSH approximates).  Rare-shingle blocking caps
+    the pair space (a df-5 shingle contributes at most 10 pairs) — the
+    scalable alternative to an all-pairs join.
+
+    Shingles, not words, after round-5 measurement: the corpus vocabulary
+    is 31 words, every word's df > 20, so the original rare-WORD blocking
+    produced ZERO candidates — hash-green only because 0 = 0.  Shingle
+    dfs discriminate (~16k distinct at sf0.01; the 2-5 band holds ~6.8k),
+    the operator now emits the corpus's 25 true near-dup pairs, and the
+    SURVEY §5.2 minhash-recall contract test finally exercises a
+    non-empty exact set."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> w != '')").alias("ws"),
+        )
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 2),"
+                        " i -> concat(element_at(ws, i), ' ',"
+                        "             element_at(ws, i + 1), ' ',"
+                        "             element_at(ws, i + 2)))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .cache()
     )
-    wb_r = words.join(rare, "word").select(
-        F.col("doc_id").alias("doc_b"), "word"
+    doc_size = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 5))
+        .select("s")
     )
+    sa_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_a"), "s")
+    sb_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_b"), "s")
     cand = (
-        wa_r.join(wb_r, "word")
+        sa_r.join(sb_r, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("word").alias("wa"))
-    wb = words.select(F.col("doc_id").alias("wb_doc"), F.col("word").alias("wb"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("s_b"))
     inter = (
-        cand.join(wa, "doc_a")
-        .join(wb, (F.col("doc_b") == F.col("wb_doc")) & (F.col("wa") == F.col("wb")))
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("s_a") == F.col("s_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = doc_size.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
-    sb = doc_size.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    za = doc_size.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = doc_size.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -256,15 +256,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          AS cos_sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_aggregate(list_transform(list_zip(a.e, b.e),
-                     z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) >= 0.55
+                     z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) >= 0.45
 ORDER BY id_a, id_b
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.55 — chosen to
-    yield hits on the synthetic corpus).  All-pairs here; above ~10⁶
-    vectors the candidate stage swaps for IVF buckets (sim_ann_ivf) or LSH
-    (sim_ann_lsh) with this exact scorer as the re-rank."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — r05
+    measurement: the sf0.01 corpus's max off-diagonal cosine is 0.513, so
+    the original 0.55 threshold made the key VACUOUSLY hash-green at the
+    driver's check SF, 0 = 0 rows; 0.45 yields 14 real pairs there and
+    144 at sf0.1).  All-pairs here; above ~10⁶ vectors the candidate
+    stage swaps for IVF buckets (sim_ann_ivf) or LSH (sim_ann_lsh) with
+    this exact scorer as the re-rank."""
     n = _normed_vectors(spark, sf_dir)
     a = n.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
@@ -280,7 +283,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.55)
+        .filter(F.col("cos_raw") >= 0.45)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )

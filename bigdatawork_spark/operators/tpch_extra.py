@@ -252,34 +252,52 @@ WITH thresh AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
          AS avg_bal
   FROM customer WHERE c_acctbal > 0.0
+),
+cut AS (
+  SELECT max(o_orderdate) - INTERVAL 365 DAY AS cutoff FROM orders
 )
 SELECT c_nationkey,
        COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-FROM customer, thresh
+FROM customer, thresh, cut
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate > cutoff)
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
 )
 def q22_dormant_customers(spark, sf_dir):
-    """TPC-H Q22 shape: above-average-balance customers who never
-    ordered, grouped by nation — uncorrelated scalar threshold + anti
-    join.  The threshold is sum/count with a decimal-exact sum (a plain
-    AVG of doubles folds in partition order, so rows at the boundary
-    could flip between engines); it joins back as a broadcast 1-row
-    cross join.  NOT EXISTS is a LEFT ANTI join shipping only order
-    keys."""
+    """TPC-H Q22 shape: above-average-balance customers DORMANT for the
+    corpus's trailing 365 days (no order after max(o_orderdate) − 1 year),
+    grouped by nation — uncorrelated scalar threshold + anti join.
+    Dormancy is recency-based rather than TPC-H's never-ordered because
+    this generator leaves NO order-less customers at small SF (r05
+    measurement: 0 of 1500 at sf0.01, 1 of 15000 at sf0.1 — the original
+    never-ordered predicate made the key vacuously hash-green, 0 = 0
+    rows; the 365-day rule selects 149 customers at sf0.01).  The
+    threshold is sum/count with a decimal-exact sum (a plain AVG of
+    doubles folds in partition order, so rows at the boundary could flip
+    between engines); threshold and cutoff each join back as a broadcast
+    1-row cross join.  NOT EXISTS is a LEFT ANTI join shipping only the
+    recency-filtered order keys."""
     c = load(spark, sf_dir, "customer")
     thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
         (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
     )
     o = load(spark, sf_dir, "orders")
+    cut = o.agg(
+        F.expr("max(o_orderdate) - INTERVAL 365 DAYS").alias("cutoff")
+    )
+    recent = (
+        o.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") > F.col("cutoff"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(thresh))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
