@@ -36,7 +36,7 @@ EXTRA_NOTES = {
     "q19_disjunctive": "disjunctive cross-side predicate: per-side conjunct factors reach the scans, residual evaluates post-join",
     "dedup_cluster_cc": "iterative min-label propagation; localCheckpoint keeps each round's plan flat (shown: final-round plan)",
     "q15_top_supplier": "reused revenue CTE + scalar MAX via broadcast 1-row cross join (no whole-frame window)",
-    "q22_dormant_customers": "decimal-exact scalar threshold broadcast + LEFT ANTI join shipping only keys",
+    "q22_dormant_customers": "decimal-exact scalar threshold + 365-day recency cutoff, each a broadcast 1-row cross join; LEFT ANTI join ships only recency-filtered keys",
     "dq_referential_audit": "three anti joins over key columns only; union of 1-row aggregates",
     "merge_upsert": "MERGE INTO as a single full-outer join on the key",
     "q2_min_cost_supplier": "correlated MIN decorrelated: region-filtered offer relation computes once, per-part MIN joins back on partkey; top-100 via TakeOrderedAndProject",
