@@ -44,6 +44,12 @@ left as docstring promises:
   (the windowed-quantile shape §2-E lacks); hash-green.
 - ``dedup_containment`` — asymmetric |A∩B|/min(|A|,|B|) containment, the
   quote/subset-inclusion detector symmetric Jaccard misses; hash-green.
+- ``dsir_importance_resample`` — DSIR (unigram-LM importance weights,
+  target slice vs whole corpus) with deterministic top-k selection;
+  hash-green.
+- ``ts_seasonal_decompose`` — hour-of-day seasonal baseline + residual
+  RMS per cell (additive decomposition for seasonal anomaly detection);
+  hash-green.
 """
 
 from __future__ import annotations
@@ -1016,4 +1022,204 @@ def dedup_containment(spark, sf_dir):
             "containment",
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_resample — DSIR-style in-domain selection
+
+
+@_staged(
+    "dsir_importance_resample",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tokf AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+tgt_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tgt_freq AS (
+  SELECT word, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM tokf JOIN tgt_docs USING (doc_id) GROUP BY word
+),
+src_freq AS (
+  SELECT word, CAST(COUNT(*) AS DOUBLE) AS f FROM tokf GROUP BY word
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tokf),
+tgt_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tokf
+          JOIN tgt_docs USING (doc_id)),
+src_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tokf),
+ratio AS (
+  SELECT s.word,
+         CAST(ln((COALESCE(t.f, 0) + 1) / (tgt_n.n + vocab.v))
+              - ln((s.f + 1) / (src_n.n + vocab.v))
+              AS DECIMAL(28,12)) AS lr
+  FROM src_freq s
+  LEFT JOIN tgt_freq t ON t.word = s.word
+  CROSS JOIN vocab CROSS JOIN tgt_n CROSS JOIN src_n
+)
+SELECT doc_id, n_tokens, avg_log_ratio FROM (
+  SELECT tk.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(r.lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio,
+         row_number() OVER (
+           ORDER BY CAST(SUM(r.lr) AS DOUBLE) / COUNT(*) DESC, tk.doc_id
+         ) AS rk
+  FROM tokf tk JOIN ratio r ON r.word = tk.word
+  GROUP BY tk.doc_id
+)
+WHERE rk <= 50
+ORDER BY avg_log_ratio DESC, doc_id
+""",
+)
+def dsir_importance_resample(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    with unigram LMs: score every document by the average per-token
+    log-ratio ln p_target(w) − ln p_source(w) (add-1-smoothed unigram
+    models; target = the lang='en' slice as the in-domain proxy, source =
+    the whole corpus) and keep the top 50.  This is the importance-weight
+    half of DSIR — production resamples proportionally to exp(weight);
+    deterministic top-k keeps the operator oracle-checkable, and the
+    hash-threshold machinery of mixture_resample is the drop-in
+    stochastic-selection stage when weights become sampling rates.
+
+    Determinism: per-token log-ratios are doubles cast to DECIMAL(28,12)
+    BEFORE the per-document sum (the text_unigram_logprob discipline —
+    a double sum folds in partition order and flips 6th-decimal rounding
+    between engines); the average divides once at the end.
+
+    100 TB: two vocabulary aggregates (map-side combined), one
+    token⋈vocab equi-join (vocab table ≪ corpus → AQE broadcast; at
+    open-vocab scale a sorted-merge with df pruning), one doc-keyed
+    aggregation, TakeOrdered for the top-k — no all-pairs stage, no
+    driver state beyond k rows."""
+    d = load(spark, sf_dir, "documents")
+    tokf = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .cache()
+    )
+    tgt_freq = (
+        tokf.filter(F.col("lang") == "en")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    src_freq = tokf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("sf")
+    )
+    scalars = tokf.agg(
+        F.countDistinct("word").cast("double").alias("v"),
+        F.count(F.lit(1)).cast("double").alias("src_n"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("double").alias("tgt_n"),
+    )
+    ratio = (
+        src_freq.join(tgt_freq, "word", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "word",
+            (
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0.0)) + 1)
+                    / (F.col("tgt_n") + F.col("v"))
+                )
+                - F.log((F.col("sf") + 1) / (F.col("src_n") + F.col("v")))
+            )
+            .cast("decimal(28,12)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        tokf.join(ratio, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lr").cast("double") / F.count(F.lit(1))).alias("alr"),
+        )
+    )
+    w = Window.orderBy(F.col("alr").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("alr", 6).alias("avg_log_ratio"),
+        )
+        .orderBy(F.col("avg_log_ratio").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_decompose — hour-of-day seasonal baseline + residual energy
+
+
+@_staged(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH means AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS seasonal_mean
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT m.event_type, m.hr, m.n_events,
+       ROUND(m.seasonal_mean, 6) AS seasonal_mean,
+       ROUND(sqrt(CAST(SUM(CAST((e.value - m.seasonal_mean)
+                               * (e.value - m.seasonal_mean)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                  / m.n_events), 6) AS resid_rms
+FROM events e
+JOIN means m ON m.event_type = e.event_type
+            AND m.hr = CAST(hour(e.ts) AS INTEGER)
+GROUP BY m.event_type, m.hr, m.n_events, m.seasonal_mean
+ORDER BY m.event_type, m.hr
+""",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Seasonal-naive decomposition of the event stream: value =
+    seasonal(hour-of-day, event_type) + residual, reporting the seasonal
+    baseline and the residual RMS per (event_type, hour) cell — the
+    additive-decomposition building block behind seasonal anomaly
+    detection (anomaly_zscore is the global-stats cousin; this one
+    removes the diurnal cycle first).  Two passes: a 120-cell means
+    aggregate, then a broadcast join back to score residuals.
+
+    Determinism: cell means use decimal-exact sums divided once;
+    residual squares are cast to DECIMAL(28,12) per row before summing
+    (the repo's standard defense against partition-order double folds).
+
+    100 TB: the means table is |event_types|×24 rows — broadcast at any
+    scale; both aggregations are map-side combinable; one shuffle each."""
+    e = load(spark, sf_dir, "events")
+    means = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_mean"),
+    )
+    resid_sq = (
+        (F.col("value") - F.col("seasonal_mean"))
+        * (F.col("value") - F.col("seasonal_mean"))
+    ).cast("decimal(28,12)")
+    return (
+        e.select("event_type", F.hour("ts").cast("int").alias("hr"), "value")
+        .join(F.broadcast(means), ["event_type", "hr"])
+        .groupBy("event_type", "hr", "n_events", "seasonal_mean")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(resid_sq).cast("double") / F.col("n_events").cast("double")),
+                6,
+            ).alias("resid_rms")
+        )
+        .select(
+            "event_type",
+            "hr",
+            "n_events",
+            F.round("seasonal_mean", 6).alias("seasonal_mean"),
+            "resid_rms",
+        )
+        .orderBy("event_type", "hr")
     )
