@@ -874,8 +874,12 @@ def win_rolling_median(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-4, Window.currentRow)
     )
+    # collect_list drops NULLs (as does DuckDB's median); the size-0 guard
+    # matters when every value in the frame is NULL — element_at(.., 0)
+    # raises in Spark where DuckDB's empty-set median returns NULL
     med = F.expr(
-        "case when size(frame) % 2 = 1"
+        "case when size(frame) = 0 then cast(null as double)"
+        " when size(frame) % 2 = 1"
         " then element_at(array_sort(frame), cast(size(frame) div 2 + 1 as int))"
         " else (element_at(array_sort(frame), cast(size(frame) div 2 as int))"
         "     + element_at(array_sort(frame),"

@@ -617,3 +617,55 @@ def test_strict_cast_malformed_string_converges(spark):
     assert con.execute(
         "select try_cast('abc' as integer)"
     ).fetchone()[0] is None
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_rolling_median_frame(spark, rows):
+    """Exact median over a 4-row moving frame (the staged
+    win_rolling_median formulation: collect_list over the frame +
+    in-expression sort) vs DuckDB's native median window aggregate —
+    including NULL values, where both sides must drop NULLs inside the
+    frame and return NULL for an all-NULL frame (the r05 empty-frame
+    guard: Spark's element_at(.., 0) raises where DuckDB yields NULL)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx_rows = [(i, k, v, tag) for i, (k, v, tag) in enumerate(rows)]
+    sdf = spark.createDataFrame(
+        [tuple(None if pd.isna(x) else x for x in r) for r in idx_rows],
+        "idx int, k int, v double, tag string",
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(idx_rows, columns=["idx", "k", "v", "tag"]).astype(
+            {"idx": "Int64", "k": "Int64", "v": "float64", "tag": "object"}
+        ),
+    )
+    w = (
+        Window.partitionBy("tag").orderBy("idx").rowsBetween(-3, Window.currentRow)
+    )
+    med = F.expr(
+        "case when size(frame) = 0 then cast(null as double)"
+        " when size(frame) % 2 = 1"
+        " then element_at(array_sort(frame), cast(size(frame) div 2 + 1 as int))"
+        " else (element_at(array_sort(frame), cast(size(frame) div 2 as int))"
+        "     + element_at(array_sort(frame),"
+        "                  cast(size(frame) div 2 + 1 as int))) / 2.0"
+        " end"
+    )
+    got = (
+        sdf.withColumn("frame", F.collect_list("v").over(w))
+        .select("idx", "tag", F.round(med, 6).alias("med"))
+        .toPandas()
+    )
+    want = con.execute(
+        """
+        SELECT idx, tag,
+               ROUND(median(v) OVER (PARTITION BY tag ORDER BY idx
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS med
+        FROM t
+        """
+    ).df()
+    assert_frames_match(got, want, "random_rolling_median")
