@@ -669,3 +669,180 @@ def test_random_rolling_median_frame(spark, rows):
         """
     ).df()
     assert_frames_match(got, want, "random_rolling_median")
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_dp_noise_formula(spark, rows):
+    """privacy_dp_count's deterministic Laplace draw (md5-hex uniform →
+    inverse CDF) on random group keys including NULLs — Spark's
+    conv(hex)/greatest/concat-null semantics vs DuckDB's ::BIGINT hex
+    cast must agree bit-for-bit after 6-decimal rounding (probed r05:
+    greatest skips NULLs and concat/md5 propagate them identically on
+    both engines)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [tuple(None if pd.isna(x) else x for x in r) for r in rows],
+        "k int, v double, tag string",
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(rows, columns=["k", "v", "tag"]).astype(
+            {"k": "Int64", "v": "float64", "tag": "object"}
+        ),
+    )
+    g = sdf.groupBy("tag").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.expr("conv(substring(md5(concat(tag, '|', tag)), 1, 6), 16, 10)")
+        .cast("double")
+        / F.lit(16777216.0)
+    )
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0)
+        * F.signum(c)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - F.lit(2.0) * F.abs(c)))
+    )
+    got = g.select(
+        "tag",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.round(noise, 6).alias("noise"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.round(F.col("true_n") + noise, 0).cast("bigint"),
+        ).alias("dp_n"),
+    ).toPandas()
+    want = con.execute(
+        """
+        WITH g AS (
+          SELECT tag, COUNT(*) AS true_n,
+                 ('0x' || substr(md5(tag || '|' || tag), 1, 6))::BIGINT
+                   / 16777216.0 - 0.5 AS c
+          FROM t GROUP BY tag
+        )
+        SELECT tag, CAST(true_n AS BIGINT) AS true_n,
+               ROUND(-1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c))), 6)
+                 AS noise,
+               CAST(greatest(0, CAST(round(true_n
+                   - 1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c))))
+                   AS BIGINT)) AS BIGINT) AS dp_n
+        FROM g
+        """
+    ).df()
+    assert_frames_match(got, want, "random_dp_noise")
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_random_lttb_buckets(spark, rows):
+    """ts_downsample_lttb's bucketed argmax on random series — ntile
+    bucket-boundary semantics, neighbor-mean lag/lead, triangle-area
+    ties, and partitions SMALLER than the bucket count (every bucket an
+    edge bucket) must all agree with the DuckDB mirror."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx_rows = [
+        (i, k, v, tag)
+        for i, (k, v, tag) in enumerate(rows)
+        if v is not None and tag is not None
+    ]
+    if not idx_rows:
+        return
+    sdf = spark.createDataFrame(idx_rows, "idx int, k int, v double, tag string")
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(idx_rows, columns=["idx", "k", "v", "tag"]).astype(
+            {"idx": "Int64", "k": "Int64", "v": "float64", "tag": "object"}
+        ),
+    )
+    nb = 4
+    w = Window.partitionBy("tag").orderBy("idx")
+    pts = sdf.select(
+        "tag",
+        "idx",
+        "v",
+        F.row_number().over(w).cast("double").alias("x"),
+        F.ntile(nb).over(w).alias("bkt"),
+    )
+    bmeans = pts.groupBy("tag", "bkt").agg(
+        F.avg("x").alias("mx"), F.avg("v").alias("my")
+    )
+    wb = Window.partitionBy("tag").orderBy("bkt")
+    ctx = bmeans.select(
+        "tag",
+        "bkt",
+        F.lag("mx").over(wb).alias("px"),
+        F.lag("my").over(wb).alias("py"),
+        F.lead("mx").over(wb).alias("nx"),
+        F.lead("my").over(wb).alias("ny"),
+    )
+    scored = pts.join(ctx, ["tag", "bkt"]).withColumn(
+        "area",
+        F.when(
+            F.col("px").isNull() | F.col("nx").isNull(), F.lit(None)
+        ).otherwise(
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("v") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+            )
+            / 2.0
+        ),
+    )
+    wp = Window.partitionBy("tag", "bkt").orderBy(
+        F.col("area").desc(), F.col("idx").asc()
+    )
+    got = (
+        scored.withColumn("pk", F.row_number().over(wp))
+        .filter(F.col("pk") == 1)
+        .select(
+            "tag",
+            "bkt",
+            "idx",
+            F.round("v", 6).alias("v"),
+            F.round(F.coalesce("area", F.lit(-1.0)), 6).alias("area"),
+        )
+        .toPandas()
+    )
+    want = con.execute(
+        f"""
+        WITH pts AS (
+          SELECT tag, idx, v,
+                 CAST(row_number() OVER (PARTITION BY tag ORDER BY idx)
+                      AS DOUBLE) AS x,
+                 ntile({nb}) OVER (PARTITION BY tag ORDER BY idx) AS bkt
+          FROM t
+        ),
+        bmeans AS (
+          SELECT tag, bkt, AVG(x) AS mx, AVG(v) AS my
+          FROM pts GROUP BY tag, bkt
+        ),
+        ctx AS (
+          SELECT tag, bkt,
+                 lag(mx)  OVER (PARTITION BY tag ORDER BY bkt) AS px,
+                 lag(my)  OVER (PARTITION BY tag ORDER BY bkt) AS py,
+                 lead(mx) OVER (PARTITION BY tag ORDER BY bkt) AS nx,
+                 lead(my) OVER (PARTITION BY tag ORDER BY bkt) AS ny
+          FROM bmeans
+        ),
+        scored AS (
+          SELECT p.tag, p.idx, p.v, p.bkt,
+                 CASE WHEN c.px IS NULL OR c.nx IS NULL THEN NULL
+                      ELSE abs((c.px - c.nx) * (p.v - c.py)
+                               - (c.px - p.x) * (c.ny - c.py)) / 2.0 END AS area
+          FROM pts p JOIN ctx c ON p.tag = c.tag AND p.bkt = c.bkt
+        )
+        SELECT tag, bkt, idx, ROUND(v, 6) AS v,
+               ROUND(COALESCE(area, -1.0), 6) AS area
+        FROM (
+          SELECT tag, bkt, idx, v, area,
+                 row_number() OVER (PARTITION BY tag, bkt
+                                    ORDER BY area DESC, idx ASC) AS pk
+          FROM scored
+        ) WHERE pk = 1
+        """
+    ).df()
+    assert_frames_match(got, want, "random_lttb")
