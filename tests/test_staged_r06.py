@@ -419,3 +419,18 @@ def test_containment_catches_quote_inclusion(spark, tmp_path):
     a, b = _shingle_set(rows[0][1]), _shingle_set(rows[1][1])
     assert len(a & b) / len(a | b) < 0.1
     assert not any(3 in k for k in flagged)
+
+
+@pytest.mark.parametrize("key", sorted(STAGED_QUERIES))
+def test_staged_output_is_scalar_only(key, spark, sf_dir):
+    """The driver canonicalizer cannot hash array/map/struct cells (the
+    CORRECTNESS_r03 crash class); staged keys must satisfy the same
+    scalar-only contract BEFORE promotion day, not after."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = STAGED_QUERIES[key](spark, sf_dir)
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{key}.{f.name} is {f.dataType.simpleString()} — stringify it "
+            "(concat_ws / to_json) on BOTH the Spark and oracle side"
+        )
