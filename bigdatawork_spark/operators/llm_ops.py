@@ -453,8 +453,11 @@ ORDER BY e.vec_id
 )
 def knn_classify(spark, sf_dir):
     """k=5 leave-one-out cosine kNN majority vote (deterministic tiebreak:
-    votes DESC, label ASC).  Builds on the brute-force pair machinery; at
-    scale the pair stage swaps for the LSH candidate generator."""
+    votes DESC, label ASC).  Builds on the brute-force pair machinery; the
+    scale path is implemented as staged_r06.knn_classify_ivf (IVF lists,
+    not LSH — BRP-LSH degenerates to a cross join on this unit-norm
+    corpus; SCALE.md §9): identical vote semantics, 2.1 s at synthetic
+    sf1.0 where this exact twin exceeds the 45 s budget."""
     n = _normed_vectors(spark, sf_dir)
     a = n.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
