@@ -1139,10 +1139,15 @@ def dsir_importance_resample(spark, sf_dir):
             (F.sum("lr").cast("double") / F.count(F.lit(1))).alias("alr"),
         )
     )
-    w = Window.orderBy(F.col("alr").desc(), F.col("doc_id"))
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # top-50 heaps merged on the driver — where a global-window row_number
+    # would drag every scored document through ONE partition (the promotion
+    # rehearsal's WindowExec warning caught exactly that).  Ranking uses
+    # the unrounded decimal-exact average so the cut at rank 50 matches the
+    # oracle bit-for-bit; rounding happens after selection.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
+        scored.orderBy(F.col("alr").desc(), "doc_id")
+        .limit(50)
         .select(
             "doc_id",
             "n_tokens",
