@@ -349,9 +349,10 @@ def ks_test_drift(spark, sf_dir):
     c(alpha)*sqrt((n_a+n_b)/(n_a*n_b)) with c(0.05)=1.358 — a fixed
     cutoff would misfire at small n (the r04 test caught exactly that).
     ECDF ratios are exact integer ratios in IEEE doubles (bit-identical
-    across engines); only the published values are rounded.  At 100 TB:
-    histogram the variable first (bounded grid) — same shape, bounded
-    state."""
+    across engines); only the published values are rounded.  The ECDF
+    window is GLOBAL by necessity (lint allowlisted) but runs over the
+    value grid, not the corpus; at 100 TB: histogram the variable first
+    (bounded grid) — same shape, bounded state."""
     d = load(spark, sf_dir, "documents")
     grid = (
         d.selectExpr(

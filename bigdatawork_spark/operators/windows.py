@@ -182,7 +182,12 @@ FROM orders
 def win_range_frame(spark, sf_dir):
     """RANGE frame ±5000 by totalprice.  Frame sums run in decimal: sliding
     frames accumulate in engine-specific order (segment trees vs incremental)
-    so double sums would drift — decimal is exact (§7.4.1)."""
+    so double sums would drift — decimal is exact (§7.4.1).
+
+    Deliberately a GLOBAL window (lint allowlisted): the value-range frame
+    over the whole table is the §2-E contract semantics.  At 100 TB:
+    range-partition by o_totalprice with ±5000 boundary overlap shipped to
+    neighbor partitions, then the same frame sum per partition."""
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice").rangeBetween(-5000, 5000)
     return o.select(
@@ -205,7 +210,13 @@ FROM part
 """,
 )
 def win_percent_cume(spark, sf_dir):
-    """percent_rank / cume_dist of parts by price."""
+    """percent_rank / cume_dist of parts by price.
+
+    Deliberately a GLOBAL window (single-partition at execution — lint
+    allowlisted): corpus-wide percentile rank is the §2-E contract
+    semantics.  At 100 TB the exact form is a two-pass range-partitioned
+    rank (partition by value range, prefix-sum partition counts), or
+    percentile_approx when approximate ranks suffice."""
     p = load(spark, sf_dir, "part")
     w = Window.orderBy("p_retailprice")
     return p.select(

@@ -46,6 +46,27 @@ BNLJ_OK = {
 # the sweep's wall-clock, so they are built last / tolerated slow.
 _SLOW_BUILD = {"source_python_stream"}
 
+# Single-partition (global) windows: every ranked row flows through ONE
+# reducer — the classic local-green/cluster-dead shape (the r05 DSIR top-k
+# draft had exactly this and was rewritten to TakeOrderedAndProject).
+# Allowed only where the SEMANTICS are inherently corpus-global and the
+# docstring states the 100 TB substitute:
+GLOBAL_WINDOW_OK = {
+    "win_percent_cume",  # §2-E contract: global percent_rank/cume_dist demo
+    "win_range_frame",   # §2-E contract: global RANGE frame demo
+    "ks_test_drift",     # exact two-sample ECDF needs the global value order
+}
+
+
+def _has_global_window(plan: str) -> bool:
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln or "WindowGroupLimit" in ln:
+            for la in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in la:
+                    return True
+    return False
+
 
 def test_no_cartesian_and_bounded_python_eval(spark, sf_dir):
     offenders: list[str] = []
@@ -57,6 +78,8 @@ def test_no_cartesian_and_bounded_python_eval(spark, sf_dir):
             offenders.append(f"{key}: BatchEvalPython outside §2-J contract")
         if "BroadcastNestedLoopJoin" in plan and key not in BNLJ_OK:
             offenders.append(f"{key}: unlisted BroadcastNestedLoopJoin")
+        if _has_global_window(plan) and key not in GLOBAL_WINDOW_OK:
+            offenders.append(f"{key}: single-partition global window")
     assert not offenders, (
         "scale-guard regressions (fix the plan or, for a new intentional "
         "bounded-broadcast, extend the whitelist WITH a docstring reason):\n"
