@@ -434,3 +434,34 @@ def test_staged_output_is_scalar_only(key, spark, sf_dir):
             f"{key}.{f.name} is {f.dataType.simpleString()} — stringify it "
             "(concat_ws / to_json) on BOTH the Spark and oracle side"
         )
+
+
+def test_staged_plans_pass_scale_lint(spark, sf_dir):
+    """The registry plan lint (no cartesian, no row-Python, no unlisted
+    BNLJ, no single-partition global window) applied to the staged keys
+    BEFORE promotion.  dedup_ladder is excluded: its builder fits a
+    MinHash model (runs jobs); its plan shape is inherited from the
+    registered dedup_near_minhash, which the live lint covers."""
+    from bigdatawork_spark.plans.explain import plan_string
+
+    # 1-row scalar folds, same pattern as the registered BNLJ allowlist
+    bnlj_ok = {"dsir_importance_resample", "knn_classify_ivf", "semdedup_prune"}
+    offenders = []
+    for key in sorted(set(STAGED_QUERIES) - {"dedup_ladder"}):
+        plan = plan_string(STAGED_QUERIES[key](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(f"{key}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{key}: row-at-a-time Python eval")
+        if "BroadcastNestedLoopJoin" in plan and key not in bnlj_ok:
+            offenders.append(f"{key}: unlisted BroadcastNestedLoopJoin")
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" in ln or "WindowGroupLimit" in ln:
+                if any(
+                    "Exchange SinglePartition" in la
+                    for la in lines[i + 1 : i + 4]
+                ):
+                    offenders.append(f"{key}: single-partition global window")
+                    break
+    assert not offenders, "\n".join(offenders)
