@@ -50,6 +50,10 @@ left as docstring promises:
 - ``ts_seasonal_decompose`` — hour-of-day seasonal baseline + residual
   RMS per cell (additive decomposition for seasonal anomaly detection);
   hash-green.
+- ``table_format_vacuum`` — snapshot expiration for the manifest table
+  format (expire superseded versions, delete unreferenced data files,
+  content provably intact); hash-green via pinned file/version constants
+  + source re-aggregation, the table_format_compaction pattern.
 """
 
 from __future__ import annotations
@@ -1231,4 +1235,69 @@ def ts_seasonal_decompose(spark, sf_dir):
             "resid_rms",
         )
         .orderBy("event_type", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# table_format_vacuum — snapshot expiration for the manifest table format
+
+
+@_staged(
+    "table_format_vacuum",
+    oracle="""
+SELECT CAST(3 AS BIGINT) AS n_expired_versions,
+       CAST(12 AS BIGINT) AS n_deleted_files,
+       CAST(2 AS BIGINT) AS n_live_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+""",
+)
+def table_format_vacuum(spark, sf_dir):
+    """Snapshot expiration (VACUUM) for the manifest table format — the
+    lifecycle op that bounds storage: three 4-file appends then a 2-file
+    compaction leave 14 physical files of which the latest version
+    references only 2; vacuum(keep_last=1) must expire exactly the 3
+    superseded versions and delete exactly the 12 unreferenced files
+    while the surviving table still re-aggregates to the source content
+    (row count + decimal-exact value sum, both oracle-pinned — so the
+    deletion provably removed only dead bytes).  Manifests are removed
+    BEFORE data files, so a crash mid-vacuum leaves re-collectable
+    orphans, never a manifest pointing at deleted data.
+
+    100 TB: the whole operation is manifest-side bookkeeping plus
+    unreferenced-file deletes — no data is read or shuffled; cost scales
+    with file COUNT, not bytes (the same reason compaction matters)."""
+    import shutil as _shutil
+
+    from ..sources.io_ops import _tmp
+    from ..sources.manifest_format import ManifestTable, _events_cols
+
+    path = _tmp("manifest_vacuum")
+    _shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    for r in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == r))
+    t.compact()
+    stats = t.vacuum(keep_last=1)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.lit(stats["n_expired_versions"]).cast("bigint").alias(
+                "n_expired_versions"
+            ),
+            F.lit(stats["n_deleted_files"]).cast("bigint").alias(
+                "n_deleted_files"
+            ),
+            F.lit(stats["n_live_files"]).cast("bigint").alias("n_live_files"),
+            "n_rows",
+            "sum_value",
+        )
     )

@@ -132,6 +132,49 @@ class ManifestTable:
         version = version if version is not None else self.versions()[-1]
         return len(self._manifest(version)["files"])
 
+    # -- lifecycle ------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Expire all but the last ``keep_last`` versions and delete data
+        files no kept version references — the snapshot-expiration /
+        VACUUM lifecycle op every lakehouse format needs to bound storage
+        (old versions otherwise pin every pre-compaction file forever).
+
+        Order matters for crash safety: expired MANIFESTS are removed
+        first (a crash between the two phases leaves orphaned data files
+        — re-running vacuum collects them — never a manifest pointing at
+        deleted data).  Readers pinning a KEPT manifest are unaffected;
+        time travel to expired versions now raises, and the change feed
+        (``added_files``) truncates at the vacuum horizon — the standard
+        retention contract.
+
+        Returns {n_expired_versions, n_deleted_files, n_live_files}."""
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("vacuum must keep at least the latest version")
+        keep = set(vs[-keep_last:])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["files"])
+        expired = [v for v in vs if v not in keep]
+        for v in expired:
+            os.remove(os.path.join(self.path, f"manifest-v{v}.json"))
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        for commit in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit)
+            for f in sorted(os.listdir(cdir)):
+                p = os.path.join(cdir, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    deleted += 1
+            if not any(x.endswith(".parquet") for x in os.listdir(cdir)):
+                shutil.rmtree(cdir, ignore_errors=True)
+        return {
+            "n_expired_versions": len(expired),
+            "n_deleted_files": deleted,
+            "n_live_files": len(referenced),
+        }
+
 
 def _events_cols(spark, sf_dir):
     return load(spark, sf_dir, "events").select("event_id", "event_type", "value")

@@ -465,3 +465,52 @@ def test_staged_plans_pass_scale_lint(spark, sf_dir):
                     offenders.append(f"{key}: single-partition global window")
                     break
     assert not offenders, "\n".join(offenders)
+
+
+def test_vacuum_deletes_only_dead_files_and_truncates_history(spark, sf_dir):
+    """Filesystem-level invariants behind the oracle constants: after
+    vacuum(keep_last=1) the on-disk parquet set equals exactly the latest
+    manifest's file list, expired versions raise on time travel, and the
+    surviving read matches the pre-vacuum content row-for-row."""
+    import os
+    import shutil
+
+    from bigdatawork_spark.sources.io_ops import _tmp
+    from bigdatawork_spark.sources.manifest_format import (
+        ManifestTable,
+        _events_cols,
+    )
+
+    path = _tmp("manifest_vacuum_invariants")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    for r in range(3):
+        t.append(ev.filter(f"event_id % 3 = {r}"))
+    t.compact()
+    before_rows = sorted(map(tuple, t.read().collect()))
+    versions_before = t.versions()
+
+    stats = t.vacuum(keep_last=1)
+    assert t.versions() == versions_before[-1:]
+    assert stats["n_expired_versions"] == len(versions_before) - 1
+
+    live = set(t._manifest(t.versions()[0])["files"])
+    on_disk = set()
+    for root, _, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.join(root, f))
+    assert on_disk == live  # nothing dead survives, nothing live deleted
+    assert stats["n_live_files"] == len(live)
+
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(versions_before[0])  # expired snapshot must not be readable
+
+    # idempotence: a second vacuum finds nothing to do
+    again = t.vacuum(keep_last=1)
+    assert again["n_expired_versions"] == 0
+    assert again["n_deleted_files"] == 0
