@@ -514,3 +514,50 @@ def test_vacuum_deletes_only_dead_files_and_truncates_history(spark, sf_dir):
     again = t.vacuum(keep_last=1)
     assert again["n_expired_versions"] == 0
     assert again["n_deleted_files"] == 0
+
+
+def test_dsir_matches_python_rederivation(spark, duck, sf_dir):
+    """Independent pure-Python re-derivation of the DSIR weights (the
+    oracle is co-designed SQL): add-1-smoothed unigram models over the
+    en-slice vs the full corpus, average per-token log-ratio per doc,
+    top-50 by (weight desc, doc_id).  Exact-fraction arithmetic is
+    avoided the same way the engines avoid it — per-token doubles — so
+    agreement is asserted at the rounded 6-decimal precision the
+    operator publishes."""
+    import math
+    from collections import Counter
+
+    docs = duck.execute(
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    src = Counter()
+    tgt = Counter()
+    doc_toks = {}
+    for doc_id, lang, text in docs:
+        toks = [w for w in text.split(" ") if w]
+        doc_toks[doc_id] = toks
+        src.update(toks)
+        if lang == "en":
+            tgt.update(toks)
+    v = len(src)
+    n_src = sum(src.values())
+    n_tgt = sum(tgt.values())
+    lr = {
+        w: math.log((tgt.get(w, 0) + 1) / (n_tgt + v))
+        - math.log((src[w] + 1) / (n_src + v))
+        for w in src
+    }
+    scored = [
+        (sum(lr[w] for w in toks) / len(toks), doc_id, len(toks))
+        for doc_id, toks in doc_toks.items()
+        if toks
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = {d: (n, round(s, 6)) for s, d, n in scored[:50]}
+
+    rows = STAGED_QUERIES["dsir_importance_resample"](spark, sf_dir).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_log_ratio"]) for r in rows}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
