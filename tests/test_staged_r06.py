@@ -561,3 +561,41 @@ def test_dsir_matches_python_rederivation(spark, duck, sf_dir):
     for d in got:
         assert got[d][0] == want[d][0]
         assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
+
+
+def test_promotion_flag_registers_all_staged_keys():
+    """The rehearsal mechanism itself: importing the package with
+    SPARK_GRAFT_PROMOTE_R06=1 must land every staged key (with its
+    oracle) in the live registry.  Runs in a subprocess so the promoted
+    registry never leaks into this test session's import state."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, json\n"
+        "sys.path.insert(0, os.getcwd())\n"
+        "import bigdatawork_spark as b\n"
+        "from bigdatawork_spark.operators.staged_r06 import "
+        "STAGED_QUERIES, STAGED_ORACLES\n"
+        "print(json.dumps({\n"
+        "  'registered': sorted(k for k in STAGED_QUERIES if k in b.QUERIES),\n"
+        "  'oracled': sorted(k for k in STAGED_ORACLES if k in b.ORACLES),\n"
+        "  'n_total': len(b.QUERIES),\n"
+        "}))\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_PROMOTE_R06="1")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["registered"] == sorted(STAGED_QUERIES)
+    assert got["oracled"] == sorted(STAGED_ORACLES)
+    assert got["n_total"] == len(QUERIES) + len(STAGED_QUERIES)
