@@ -599,3 +599,37 @@ def test_promotion_flag_registers_all_staged_keys():
     assert got["registered"] == sorted(STAGED_QUERIES)
     assert got["oracled"] == sorted(STAGED_ORACLES)
     assert got["n_total"] == len(QUERIES) + len(STAGED_QUERIES)
+
+
+def test_vacuum_does_not_tear_pinned_readers_of_kept_versions(spark, sf_dir):
+    """The retention contract: a DataFrame planned against the LATEST
+    manifest before vacuum still collects its full content after vacuum
+    (its files are the referenced set and must survive); a reader pinned
+    to an EXPIRED version fails only when it actually reads."""
+    import shutil
+
+    from bigdatawork_spark.sources.io_ops import _tmp
+    from bigdatawork_spark.sources.manifest_format import (
+        ManifestTable,
+        _events_cols,
+    )
+
+    path = _tmp("manifest_vacuum_pinned")
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    for r in range(2):
+        t.append(ev.filter(f"event_id % 2 = {r}"))
+    t.compact()
+    latest = t.versions()[-1]
+    expired_v = t.versions()[0]
+    pinned_kept = t.read(latest)      # plans against surviving files
+    pinned_expired = t.read(expired_v)  # plans against doomed files
+    expected = pinned_kept.count()
+
+    t.vacuum(keep_last=1)
+    assert pinned_kept.count() == expected  # kept reader unaffected
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pinned_expired.count()  # expired reader fails at read time
