@@ -33,15 +33,11 @@ from .operators import (  # noqa: F401
 from . import pipeline_api, sql_api  # noqa: F401
 from .registry import ORACLES, QUERIES  # noqa: F401
 
-# Round-6 promotion rehearsal: with SPARK_GRAFT_PROMOTE_R06=1 the staged
-# operators register into the live registry at import time, so the full
-# driver contract (rotation, oracle wiring, scalar sweeps) can be exercised
-# against the post-promotion world BEFORE the real flip.  The real round-6
-# promotion replaces this block by importing staged_r06 unconditionally and
-# calling promote() (or inlining @register decorators).
-import os as _os
+# Round-7 promotion (VERDICT r06 item 1): the 12 operators staged in round 5
+# register into the live registry unconditionally.  The env-flag rehearsal
+# path (SPARK_GRAFT_PROMOTE_R06=1) is retired — the 247-key rehearsal passed
+# in round 5 (COVERAGE.md) and these keys are now part of the driver
+# contract surface like any other.
+from .operators import staged_r06 as _staged_r06  # noqa: F401
 
-if _os.environ.get("SPARK_GRAFT_PROMOTE_R06") == "1":
-    from .operators import staged_r06 as _staged_r06  # noqa: F401
-
-    _staged_r06.promote()
+_staged_r06.promote()

@@ -89,7 +89,16 @@ def dedup_near_exactjacc(spark, sf_dir):
     dfs discriminate (~16k distinct at sf0.01; the 2-5 band holds ~6.8k),
     the operator now emits the corpus's 25 true near-dup pairs, and the
     SURVEY §5.2 minhash-recall contract test finally exercises a
-    non-empty exact set."""
+    non-empty exact set.
+
+    Replica-heavy corpora: the 2≤df≤5 band EMPTIES when documents repeat
+    many times (every shingle's df rides above the band — measured 0
+    candidate pairs at synthetic sf1.0, SCALE.md §9).  The production
+    answer is ``dedup_ladder`` (live since round 7): an exact-dup
+    pre-pass collapses replicas to unique representatives FIRST, then
+    MinHash-LSH runs on the deduped residue where shingle dfs
+    discriminate again.  Use this key on pre-deduped or organic corpora;
+    use the ladder when exact duplicates are expected."""
     d = load(spark, sf_dir, "documents")
     sh = (
         d.select(
@@ -453,11 +462,14 @@ ORDER BY e.vec_id
 )
 def knn_classify(spark, sf_dir):
     """k=5 leave-one-out cosine kNN majority vote (deterministic tiebreak:
-    votes DESC, label ASC).  Builds on the brute-force pair machinery; the
-    scale path is implemented as staged_r06.knn_classify_ivf (IVF lists,
-    not LSH — BRP-LSH degenerates to a cross join on this unit-norm
-    corpus; SCALE.md §9): identical vote semantics, 2.1 s at synthetic
-    sf1.0 where this exact twin exceeds the 45 s budget."""
+    votes DESC, label ASC) — the ORACLE-PARITY REFERENCE twin, all-pairs
+    by construction and therefore quadratic.  The PRODUCTION path is
+    ``knn_classify_ivf`` (live since round 7): identical vote semantics
+    over IVF candidate lists — n^1.5, 2.1 s at synthetic sf1.0 where this
+    twin exceeds the 45 s budget (SCALE.md §8).  Keep this key for exact
+    small-n verification and recall measurement; route real corpora to
+    the IVF key.  (IVF, not LSH — BRP-LSH degenerates to a cross join on
+    unit-norm corpora; SCALE.md §9.)"""
     n = _normed_vectors(spark, sf_dir)
     a = n.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")

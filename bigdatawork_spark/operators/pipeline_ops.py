@@ -265,9 +265,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     measurement: the sf0.01 corpus's max off-diagonal cosine is 0.513, so
     the original 0.55 threshold made the key VACUOUSLY hash-green at the
     driver's check SF, 0 = 0 rows; 0.45 yields 14 real pairs there and
-    144 at sf0.1).  All-pairs here; above ~10⁶ vectors the candidate
-    stage swaps for IVF buckets (sim_ann_ivf) or LSH (sim_ann_lsh) with
-    this exact scorer as the re-rank."""
+    144 at sf0.1).  ORACLE-PARITY REFERENCE twin: all-pairs by
+    construction, quadratic.  The PRODUCTION path is ``semdedup_prune``
+    (live since round 7): IVF-clustered per-list Gram matrices — n^1.5,
+    13.4 s at synthetic sf1.0 where this twin exceeds the budget
+    (SCALE.md §8).  Keep this key for exact small-n verification and
+    recall measurement of the clustered path."""
     n = _normed_vectors(spark, sf_dir)
     a = n.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")

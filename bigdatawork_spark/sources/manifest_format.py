@@ -46,8 +46,14 @@ class ManifestTable:
         return sorted(out)
 
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.path, f"manifest-v{version}.json")) as fh:
-            return json.load(fh)
+        try:
+            with open(os.path.join(self.path, f"manifest-v{version}.json")) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise KeyError(
+                f"version {version} does not exist (expired by vacuum, or "
+                f"never committed); live versions: {self.versions()}"
+            ) from None
 
     def _write_manifest(self, version: int, files: list[str], parent: int | None, action: str) -> None:
         # temp-write + rename: readers either see the complete manifest or
@@ -104,11 +110,20 @@ class ManifestTable:
         return self.spark.read.parquet(*files)
 
     def added_files(self, version: int) -> list[str]:
-        """Files a commit added relative to its parent (the change feed)."""
+        """Files a commit added relative to its parent (the change feed).
+
+        Truncates at the vacuum horizon: when the parent manifest has been
+        expired by :meth:`vacuum`, the earliest surviving version acts as
+        the base commit and its FULL file list is the delta — the standard
+        retention contract (a CDC reader resuming past the horizon must
+        re-bootstrap from the snapshot, never crash on the missing log)."""
         m = self._manifest(version)
         if m["parent"] is None:
             return m["files"]
-        prev = set(self._manifest(m["parent"])["files"])
+        try:
+            prev = set(self._manifest(m["parent"])["files"])
+        except KeyError:  # parent expired by vacuum — feed restarts here
+            return m["files"]
         return [f for f in m["files"] if f not in prev]
 
     def stream_manifests(self):
@@ -152,9 +167,17 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("vacuum must keep at least the latest version")
         keep = set(vs[-keep_last:])
+        # realpath both sides of the liveness comparison: manifests record
+        # the path string used at APPEND time, the walk below builds paths
+        # from self.path NOW — a trailing slash, a relative open, or a
+        # symlinked mount would otherwise make every live file compare
+        # unequal and be deleted.  Canonical paths make the comparison
+        # about the file, not the spelling.
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
+            referenced.update(
+                os.path.realpath(f) for f in self._manifest(v)["files"]
+            )
         expired = [v for v in vs if v not in keep]
         for v in expired:
             os.remove(os.path.join(self.path, f"manifest-v{v}.json"))
@@ -164,7 +187,7 @@ class ManifestTable:
             cdir = os.path.join(data_root, commit)
             for f in sorted(os.listdir(cdir)):
                 p = os.path.join(cdir, f)
-                if f.endswith(".parquet") and p not in referenced:
+                if f.endswith(".parquet") and os.path.realpath(p) not in referenced:
                     os.remove(p)
                     deleted += 1
             if not any(x.endswith(".parquet") for x in os.listdir(cdir)):

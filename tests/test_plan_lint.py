@@ -39,6 +39,7 @@ BNLJ_OK = {
     "skyline_pareto",           # bounded candidate set after pre-filter
     "q11_important_stock",      # TPC-H Q11 scalar-subquery threshold fold
     "q22_dormant_customers",    # TPC-H Q22 scalar avg-acctbal fold
+    "dsir_importance_resample",  # 1-row vocab/count scalars fold (staged r06)
 }
 
 # Keys whose builders run Spark jobs at construction time (table-format

@@ -22,14 +22,15 @@ from bigdatawork_spark.registry import ORACLES, QUERIES
 from .compare import assert_frames_match
 
 
-def test_staged_keys_do_not_collide_with_live_registry():
-    """promote() must be a pure addition: no staged key may shadow a live
-    key, and every oracled staged key carries non-empty SQL."""
-    clash = set(STAGED_QUERIES) & set(QUERIES)
-    assert not clash, f"staged keys already registered: {sorted(clash)}"
+def test_staged_keys_promoted_verbatim():
+    """Since the round-7 flip, promote() runs at import: every staged key
+    is live, registered to the SAME function object and the SAME oracle
+    SQL (promotion is verbatim, not a copy that could drift)."""
+    for key, fn in STAGED_QUERIES.items():
+        assert QUERIES[key] is fn, key
     assert set(STAGED_ORACLES) <= set(STAGED_QUERIES)
-    assert all(s.strip() for s in STAGED_ORACLES.values())
-    assert not (set(STAGED_ORACLES) & set(ORACLES))
+    for key, sql in STAGED_ORACLES.items():
+        assert sql.strip() and ORACLES[key] == sql.strip(), key
 
 
 @pytest.mark.parametrize("key", sorted(STAGED_ORACLES))
@@ -563,42 +564,18 @@ def test_dsir_matches_python_rederivation(spark, duck, sf_dir):
         assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
 
 
-def test_promotion_flag_registers_all_staged_keys():
-    """The rehearsal mechanism itself: importing the package with
-    SPARK_GRAFT_PROMOTE_R06=1 must land every staged key (with its
-    oracle) in the live registry.  Runs in a subprocess so the promoted
-    registry never leaks into this test session's import state."""
-    import json
-    import os
-    import subprocess
-    import sys
+def test_promotion_registered_all_staged_keys():
+    """Round-7 flip: promotion is unconditional at package import — every
+    staged key (with its oracle, where declared) must be in the LIVE
+    registry, visible to the driver."""
+    import bigdatawork_spark as b
 
-    code = (
-        "import os, sys, json\n"
-        "sys.path.insert(0, os.getcwd())\n"
-        "import bigdatawork_spark as b\n"
-        "from bigdatawork_spark.operators.staged_r06 import "
-        "STAGED_QUERIES, STAGED_ORACLES\n"
-        "print(json.dumps({\n"
-        "  'registered': sorted(k for k in STAGED_QUERIES if k in b.QUERIES),\n"
-        "  'oracled': sorted(k for k in STAGED_ORACLES if k in b.ORACLES),\n"
-        "  'n_total': len(b.QUERIES),\n"
-        "}))\n"
-    )
-    env = dict(os.environ, SPARK_GRAFT_PROMOTE_R06="1")
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=120,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got["registered"] == sorted(STAGED_QUERIES)
-    assert got["oracled"] == sorted(STAGED_ORACLES)
-    assert got["n_total"] == len(QUERIES) + len(STAGED_QUERIES)
+    for key in STAGED_QUERIES:
+        assert key in b.QUERIES, f"staged key not promoted: {key}"
+    from bigdatawork_spark.operators.staged_r06 import STAGED_ORACLES
+
+    for key in STAGED_ORACLES:
+        assert key in b.ORACLES, f"staged oracle not promoted: {key}"
 
 
 def test_vacuum_does_not_tear_pinned_readers_of_kept_versions(spark, sf_dir):

@@ -112,3 +112,66 @@ def test_manifest_random_histories(spark):
             for pv, cnt in version_counts.items():
                 assert t.read(pv).count() == cnt, (trial, pv)
         assert t.read().count() == expected_total
+
+
+def test_change_feed_truncates_at_vacuum_horizon(spark, sf_dir):
+    """ADVICE r05 item 1: added_files() on the earliest SURVIVING version
+    after a vacuum must not crash on the expired parent manifest — the
+    feed truncates at the horizon and that version's full file list is
+    the delta (a CDC reader re-bootstraps from the snapshot)."""
+    t, _ = _fresh(spark, "mt_feed_horizon")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    v2 = t.append(ev.filter(F.col("event_id") % 2 == 1))
+    t.vacuum(keep_last=1)  # expires v1, v2's parent manifest is gone
+    added = t.added_files(v2)  # must not raise
+    assert set(added) == set(t._manifest(v2)["files"])
+    # expired versions raise a CLEAR KeyError, not FileNotFoundError
+    import pytest
+
+    with pytest.raises(KeyError, match="expired by vacuum"):
+        t.read(1)
+
+
+def test_vacuum_liveness_survives_path_respelling(spark, sf_dir):
+    """ADVICE r05 item 2: manifests record the path string used at append
+    time; reopening the SAME table through a different spelling (here a
+    symlink; trailing slashes and relative opens are the same class) must
+    not make live files compare unequal and be deleted."""
+    t, path = _fresh(spark, "mt_vacuum_respell")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    n_total = t.read().count()
+    link = path.rstrip("/") + "-link"
+    shutil.rmtree(link, ignore_errors=True)
+    if os.path.islink(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    t2 = ManifestTable(spark, link)  # same table, different spelling
+    stats = t2.vacuum(keep_last=1)
+    assert stats["n_deleted_files"] == 0  # latest references everything
+    assert t.read().count() == n_total  # nothing live was deleted
+    os.unlink(link)
+
+
+def test_vacuum_counts_are_manifest_derived(spark, sf_dir):
+    """ADVICE r05 item 4: vacuum's reported counts must equal the
+    manifest-derived expectations for ANY writer file-count, not pinned
+    constants — exercised with non-default n_files."""
+    t, path = _fresh(spark, "mt_vacuum_derived")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    for r, nf in zip(range(3), (3, 5, 2)):
+        t.append(ev.filter(F.col("event_id") % 3 == r), n_files=nf)
+    t.compact(n_files=3)
+    expect_live = t.file_count()
+    physical = sum(
+        1
+        for _root, _dirs, files in os.walk(os.path.join(path, "data"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    stats = t.vacuum(keep_last=1)
+    assert stats["n_expired_versions"] == 3
+    assert stats["n_live_files"] == expect_live
+    assert stats["n_deleted_files"] == physical - expect_live
