@@ -27,7 +27,6 @@ BNLJ_OK = {
     "join_cross",               # §2-C contract: 5×25 bounded cross
     "bm25_rank",                # 1-row corpus stats × docs (search_ops)
     "text_unigram_logprob",     # 1-row corpus stats fold
-    "tfidf_keywords",           # 1-row n_docs fold
     "vocab_build",              # 1-row n_docs fold (df-bound threshold)
     "ks_test_drift",            # 1-row sample-size fold (ECDF denominators)
     "sample_negative_pairs",    # 1-row corpus-count fold (modulus base)

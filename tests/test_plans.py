@@ -87,13 +87,15 @@ def test_events_scan_prunes_columns(spark, sf_dir):
     assert "props" not in read_schema, read_schema
 
 
-def test_tfidf_broadcasts_df_table(spark, sf_dir):
-    # document-frequency table is joined UNHINTED (a pinned broadcast would
-    # OOM the driver at vocabulary scale); at test scale AQE must still
-    # convert it to a broadcast at runtime → assert on the FINAL plan
-    assert "BroadcastHashJoin" in final_plan_string(
-        _q(spark, sf_dir, "tfidf_keywords")
-    )
+def test_tfidf_has_no_token_level_shuffle(spark, sf_dir):
+    # round-7 shape: the vocab df dict is sc.broadcast (capped), tf and the
+    # per-doc top-3 compute inside one Arrow mapInPandas pass — the ONLY
+    # exchange left is the round-robin repartition of doc ROWS (restoring
+    # scan parallelism); no hash shuffle of (doc, word) pairs, no Window.
+    plan = plan_string(_q(spark, sf_dir, "tfidf_keywords"))
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_ivf_probe_side_broadcasts(spark, sf_dir):
