@@ -172,27 +172,73 @@ def driver_verified_keys() -> set[str]:
     return seen
 
 
-def driver_order(d: dict[str, Any]) -> dict[str, Any]:
+def source_hash(key: str) -> str:
+    """Stable fingerprint of a key's implementation: sha256 over the
+    builder's source text plus its oracle SQL.  Used to detect keys whose
+    code changed AFTER their last driver-green row (VERDICT r05 item 2 /
+    r06 item 5): a green row only certifies the source that produced it."""
+    import hashlib
+    import inspect
+
+    fn = QUERIES[key]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins / exec'd code — fall back
+        src = repr(fn)
+    return hashlib.sha256(
+        (src + "\x00" + ORACLES.get(key, "")).encode()
+    ).hexdigest()
+
+
+def _verified_hashes(path: str | None = None) -> dict[str, str]:
+    """key → source_hash recorded when the key was last verified
+    (VERIFIED_HASHES.json, maintained by tools/update_verified_hashes.py
+    at round START, before any code edits)."""
+    import json
+    import os
+
+    if path is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(root, "VERIFIED_HASHES.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def driver_order(
+    d: dict[str, Any], *, _hash_file: str | None = None
+) -> dict[str, Any]:
     """Reorder a registry dict for the driver's truncated per-round run.
 
-    Self-rotating across rounds: keys WITHOUT a driver-green row in any
-    CORRECTNESS_r*.json committed so far come first (SURVEY §2 contract
-    keys before extras), already-verified keys last — so each round's
-    50-key budget lands on fresh keys with no manual reshuffling.  Ties
-    keep DRIVER_PRIORITY order, then registration order (deterministic).
-    Keys absent from ``d`` (e.g. rows-only keys when ordering ORACLES)
-    are skipped."""
+    Self-rotating across rounds, four tiers:
+      0. never driver-verified SURVEY §2 contract keys
+      1. never driver-verified extras
+      2. verified but STALE — the builder/oracle source changed since the
+         hash recorded at verification time (a green row certifies only
+         the source that produced it; VERDICT r05 item 2)
+      3. verified and unchanged
+    so each round's ~50-key budget lands on fresh-or-changed keys with no
+    manual reshuffling.  Ties keep DRIVER_PRIORITY order, then
+    registration order (deterministic).  Keys absent from ``d`` (e.g.
+    rows-only keys when ordering ORACLES) are skipped."""
     verified = driver_verified_keys()
+    recorded = _verified_hashes(_hash_file)
     prio = {k: i for i, k in enumerate(DRIVER_PRIORITY)}
 
+    def stale(k: str) -> bool:
+        rec = recorded.get(k)
+        return rec is None or rec != source_hash(k)
+
     def rank(k: str):
-        tier = (
-            0
-            if k not in verified and k in CONTRACT_KEYS
-            else 1
-            if k not in verified
-            else 2
-        )
+        if k not in verified:
+            tier = 0 if k in CONTRACT_KEYS else 1
+        elif stale(k):
+            tier = 2
+        else:
+            tier = 3
         return (tier, prio.get(k, len(prio)))
 
     # dict preserves registration order; stable sort keeps it as the tiebreak

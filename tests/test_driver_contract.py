@@ -121,14 +121,47 @@ def test_driver_order_front_loads_unverified_then_extras_then_verified():
     ordered = list(driver_order(QUERIES))
     assert set(ordered) == set(QUERIES)
     verified = driver_verified_keys()
+    from bigdatawork_spark.registry import _verified_hashes, source_hash
+
+    recorded = _verified_hashes()
 
     def tier(k):
-        if k not in verified and k in CONTRACT_KEYS:
-            return 0
-        return 1 if k not in verified else 2
+        if k not in verified:
+            return 0 if k in CONTRACT_KEYS else 1
+        return 2 if recorded.get(k) != source_hash(k) else 3
 
     tiers = [tier(k) for k in ordered]
-    assert tiers == sorted(tiers), "driver_order must be tiered: unverified contract, unverified extras, verified"
+    assert tiers == sorted(tiers), (
+        "driver_order must be tiered: unverified contract, unverified "
+        "extras, verified-but-stale, verified"
+    )
+
+
+def test_driver_order_floats_stale_keys_ahead_of_fresh(tmp_path):
+    """VERDICT r06 item 5: a verified key whose builder source changed
+    since its recorded verification hash must outrank verified-unchanged
+    keys (a green row certifies only the source that produced it)."""
+    import json
+
+    from bigdatawork_spark.registry import _verified_hashes, source_hash
+
+    verified = sorted(driver_verified_keys() & set(QUERIES))
+    if len(verified) < 2:
+        pytest.skip("need at least two verified keys")
+    stale_key, fresh_key = verified[0], verified[1]
+    snap = {k: source_hash(k) for k in verified}
+    snap[stale_key] = "0" * 64  # pretend its source changed since the row
+    hf = tmp_path / "hashes.json"
+    hf.write_text(json.dumps(snap))
+    ordered = list(driver_order(QUERIES, _hash_file=str(hf)))
+    assert ordered.index(stale_key) < ordered.index(fresh_key)
+    # the stale key still ranks BEHIND every never-verified key
+    for k in QUERIES:
+        if k not in verified:
+            assert ordered.index(k) < ordered.index(stale_key)
+    # hygiene: the real snapshot parses and covers only registered keys
+    real = _verified_hashes()
+    assert set(real) <= set(QUERIES)
 
 
 def test_driver_order_rotates_on_round1_results():
