@@ -177,14 +177,16 @@ def test_entropy_filter_detects_degenerate_text(spark, sf_dir):
 
 
 def test_bpe_encode_matches_reference_token_counts(spark, sf_dir):
-    """Encode twin: re-apply the reference-learned merges with the
-    reference encoder and compare per-document BPE token counts."""
+    """Encode twin: apply the FROZEN rule table with the pure-Python
+    reference encoder and compare per-document BPE token counts.  (Since
+    round 7 the encode key pins its rules — train-once/apply-everywhere —
+    so the reference applies the same constant, not re-learned merges.)"""
+    from bigdatawork_spark.operators.corpus_ops import _FROZEN_BPE_MERGES
+
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pylist()
-    texts = [r["text"] for r in docs if r["text"] is not None]
-    merges = _reference_bpe(texts)
-    rules = [(m[1], m[2]) for m in merges]
+    rules = list(_FROZEN_BPE_MERGES)
 
     def encode_word(w):
         syms = list(w)
