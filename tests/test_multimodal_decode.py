@@ -213,3 +213,46 @@ def test_ppm_stream_frame_count_and_order(dims, seed):
     ]
     got = list(_iter_ppm_stream(b"".join(frames)))
     assert [(w, h) for w, h, _ in got] == dims
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (multimodal_png_decode, round 7): zlib inflate + filter reversal
+
+
+def test_png_roundtrip_all_filters():
+    from bigdatawork_spark.operators.pipeline_ops import _png_decode, _png_encode
+
+    w, h = 5, 7  # 7 rows → every filter type 0..4 appears at least once
+    raw = bytes((i * 11 + 3) % 256 for i in range(w * h * 3))
+    blob = _png_encode(w, h, raw)
+    w2, h2, pix, fsum = _png_decode(blob)
+    assert (w2, h2) == (w, h)
+    assert pix == raw  # inflate + filter reconstruction is byte-exact
+    assert fsum == sum(r % 5 for r in range(h))
+
+
+def test_png_decode_rejects_corruption():
+    from bigdatawork_spark.operators.pipeline_ops import _png_decode, _png_encode
+
+    blob = bytearray(_png_encode(4, 4, bytes(48)))
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode(b"JUNK" + bytes(blob[4:]))
+    # flip one IDAT byte: the chunk CRC must catch it
+    idat_pos = bytes(blob).index(b"IDAT") + 6
+    blob[idat_pos] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png_decode(bytes(blob))
+
+
+def test_png_roundtrip_properties():
+    from bigdatawork_spark.operators.pipeline_ops import _png_decode, _png_encode
+
+    rng = np.random.RandomState(7)
+    for _ in range(12):
+        w = int(rng.randint(1, 33))
+        h = int(rng.randint(1, 26))
+        raw = rng.randint(0, 256, size=w * h * 3, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+        w2, h2, pix, _ = _png_decode(_png_encode(w, h, raw))
+        assert (w2, h2) == (w, h) and pix == raw
