@@ -25,7 +25,7 @@ HEADLINE_NOTES = {
     "win_time_tumbling": "tumbling window = plain groupBy on the bucketed ts; partial agg applies",
     "wordcount": "explode→partial-agg; stopword skew handled by AQE at runtime",
     "sim_cosine_topk": "probe set broadcast; dot product folds JVM-side (no Python)",
-    "tfidf_keywords": "df derives from tf (no second explode); tf⋈df unhinted — AQE runtime-broadcasts here, degrades to skew-handled SMJ at vocabulary scale",
+    "tfidf_keywords": "zero token-level shuffles (r7): vocab df via distinct-per-doc explode (map-side combined to |vocab| rows), dict sc.broadcast (capped), tf+score+top-3 inside one Arrow mapInPandas pass — the only exchange is the doc-row round-robin that restores scan parallelism",
 }
 
 
