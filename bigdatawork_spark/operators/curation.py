@@ -678,3 +678,161 @@ def split_train_holdout(spark, sf_dir):
         )
         .orderBy("source", "split")
     )
+
+
+@register(
+    "quality_classifier_nb",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, word FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+tf AS (
+  SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, lang, word
+),
+cw AS (
+  SELECT lang AS c, word, CAST(COUNT(*) AS DOUBLE) AS cw
+  FROM tok GROUP BY lang, word
+),
+ct AS (
+  SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS ct FROM tok GROUP BY lang
+),
+vocab AS (SELECT DISTINCT word FROM tok),
+consts AS (
+  SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok
+),
+prior AS (
+  SELECT lang AS c,
+         ln(CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM documents WHERE lang IS NOT NULL))
+           AS logprior
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+grid AS (
+  SELECT vo.word, ct.c,
+         ln((COALESCE(cw.cw, 0.0) + 1.0) / (ct.ct + consts.v)) AS logp
+  FROM vocab vo
+  CROSS JOIN ct
+  CROSS JOIN consts
+  LEFT JOIN cw ON cw.word = vo.word AND cw.c = ct.c
+),
+scored AS (
+  SELECT t.doc_id, t.lang, g.c,
+         CAST(SUM(CAST(t.tf * g.logp AS DECIMAL(28,12))) AS DOUBLE)
+           AS loglik
+  FROM tf t JOIN grid g ON g.word = t.word
+  GROUP BY t.doc_id, t.lang, g.c
+),
+ranked AS (
+  SELECT doc_id, lang, scored.c AS pred_lang,
+         ROUND(loglik + p.logprior, 6) AS score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY ROUND(loglik + p.logprior, 6) DESC, scored.c
+         ) AS rk
+  FROM scored JOIN prior p ON p.c = scored.c
+)
+SELECT doc_id, lang, pred_lang, score,
+       CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
+""",
+)
+def quality_classifier_nb(spark, sf_dir):
+    """Supervised multinomial naive Bayes trained IN-ENGINE and applied in
+    the same plan — the learned-classifier filter pattern (fastText-style
+    quality/domain classifiers are the canonical pretraining gate; NB is
+    its closed-form cousin, trainable in one aggregation pass with no
+    iteration, hence fully SQL-expressible and hash-green).  Classes are
+    the corpus ``lang`` labels; add-1 smoothing over the joint vocabulary;
+    ln p(c|d) ∝ ln prior(c) + Σ_w tf(w,d)·ln((cw+1)/(ct+|V|)).
+
+    Determinism discipline: each tf·ln term is cast to DECIMAL(28,12)
+    BEFORE the per-(doc,class) sum (order-independent fold), the winner is
+    chosen on the ROUNDED score with class-name tiebreak, and every ln
+    consumes the same rational inputs in both engines.
+
+    Plan: two vocabulary-sized training aggregates (map-side combined),
+    the |vocab|×|classes| log-likelihood grid broadcast to the scoring
+    join, one (doc,class)-keyed aggregation, rn=1 window per doc.  At
+    100 TB: training is two shuffles of vocab cardinality; scoring
+    multiplies token rows by |classes| — the production form keeps the
+    per-word class vector as an ARRAY column (one row per token,
+    elementwise array aggregation) and the classifier itself (the grid)
+    is model-artifact-sized, exportable like any trained filter."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    tf = tok.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cw = tok.groupBy(F.col("lang").alias("c"), "word").agg(
+        F.count(F.lit(1)).cast("double").alias("cw")
+    )
+    ct = tok.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("double").alias("ct")
+    )
+    consts = tok.agg(F.countDistinct("word").cast("double").alias("v"))
+    n_lab = d.filter(F.col("lang").isNotNull())
+    prior = n_lab.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("nc")
+    ).crossJoin(
+        F.broadcast(n_lab.agg(F.count(F.lit(1)).alias("nt")))
+    ).select(
+        "c", F.log(F.col("nc").cast("double") / F.col("nt")).alias("logprior")
+    )
+    vocab = tok.select("word").distinct()
+    grid = (
+        vocab.crossJoin(ct)
+        .crossJoin(F.broadcast(consts))
+        .join(cw, ["word", "c"], "left")
+        .select(
+            "word",
+            "c",
+            F.log(
+                (F.coalesce(F.col("cw"), F.lit(0.0)) + 1.0)
+                / (F.col("ct") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(grid), "word")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            F.sum((F.col("tf") * F.col("logp")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("loglik")
+        )
+        .join(F.broadcast(prior), "c")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("c").alias("pred_lang"),
+            F.round(F.col("loglik") + F.col("logprior"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "pred_lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "score",
+            F.when(F.col("lang") == F.col("pred_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )

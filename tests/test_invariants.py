@@ -243,3 +243,23 @@ def test_ann_ivf_results_are_valid_cosines(spark, sf_dir):
         # ranks are exactly 1..k with no gaps or duplicates, k <= 5
         assert sorted(rns) == list(range(1, len(rns) + 1)), (probe, rns)
         assert len(rns) <= 5, (probe, rns)
+
+
+def test_nb_classifier_structure(spark, sf_dir):
+    """quality_classifier_nb: exactly one prediction per labeled document,
+    predicted class drawn from the training label set, finite scores, and
+    is_correct consistent with the lang/pred pair."""
+    out = QUERIES["quality_classifier_nb"](spark, sf_dir).collect()
+    from bigdatawork_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    n_docs = d.filter("lang is not null and text is not null").count()
+    assert len(out) == len({r["doc_id"] for r in out})
+    assert len(out) >= n_docs * 0.99  # every labeled non-empty doc scored
+    import math
+
+    for r in out:
+        assert r["pred_lang"] in langs
+        assert math.isfinite(r["score"]) and r["score"] < 0  # log-probs
+        assert r["is_correct"] == int(r["lang"] == r["pred_lang"])

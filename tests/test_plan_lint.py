@@ -39,6 +39,7 @@ BNLJ_OK = {
     "q11_important_stock",      # TPC-H Q11 scalar-subquery threshold fold
     "q22_dormant_customers",    # TPC-H Q22 scalar avg-acctbal fold
     "dsir_importance_resample",  # 1-row vocab/count scalars fold (staged r06)
+    "quality_classifier_nb",    # vocab×|classes| model grid + 1-row folds (r7)
 }
 
 # Keys whose builders run Spark jobs at construction time (table-format
