@@ -896,3 +896,161 @@ def text_unigram_logprob(spark, sf_dir):
         .orderBy(F.col("avg_neg_logprob").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_hyperplane — cosine LSH (sign random projection), hash-verifiable
+
+
+def _hyperplane_matrix():
+    """The FROZEN ±1 projection matrix (16 hyperplanes × 64 dims),
+    generated from a pinned seed at import — both the Spark builder and
+    the DuckDB oracle embed the SAME literals, so the signatures are a
+    shared constant, not an engine artifact (the reason this ANN key can
+    be hash-green while sim_ann_lsh — Spark ML's internal seeds — stays
+    rows-only)."""
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    return rs.choice(np.array([-1, 1], dtype=np.int64), size=(16, 64))
+
+
+_HYPERPLANES = _hyperplane_matrix()
+_ANN_HP_BANDS = 4  # 4 bands × 4 bits over the 16-bit signature
+
+
+def _ann_hp_oracle() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(str(int(v)) for v in r) + "]" for r in _HYPERPLANES
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+planes AS (SELECT [{rows}] AS r),
+sig AS (
+  SELECT vec_id, e, nrm,
+         list_aggregate(list_transform(range(1, 17), j ->
+           CASE WHEN list_aggregate(list_transform(range(1, 65),
+                  k -> e[CAST(k AS INTEGER)]
+                       * r[CAST(j AS INTEGER)][CAST(k AS INTEGER)]), 'sum')
+                  >= 0
+                THEN CAST(power(2, 16 - j) AS BIGINT) ELSE 0 END), 'sum')
+           AS sigbits
+  FROM v CROSS JOIN planes
+),
+buckets AS (
+  SELECT vec_id, e, nrm, b.band,
+         (sigbits // CAST(power(2, 4 * b.band) AS BIGINT)) % 16 AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {_ANN_HP_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+         p.e AS pe, p.nrm AS pn, n.e AS ne, n.nrm AS nn
+  FROM buckets p JOIN buckets n
+    ON p.band = n.band AND p.bucket = n.bucket AND p.vec_id <> n.vec_id
+  WHERE p.vec_id <= 5
+),
+scored AS (
+  SELECT probe_id, neighbor_id,
+         list_aggregate(list_transform(list_zip(pe, ne),
+                        z -> z[1] * z[2]), 'sum') / (pn * nn) AS cos_raw
+  FROM cand
+)
+SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+ORDER BY probe_id, rn
+"""
+
+
+@register("sim_ann_hyperplane", oracle=_ann_hp_oracle())
+def sim_ann_hyperplane(spark, sf_dir):
+    """Approximate NN via SIGN-RANDOM-PROJECTION (hyperplane) LSH — the
+    cosine-native LSH family (Charikar 2002): bit j of a vector's
+    signature is the sign of its dot product with frozen hyperplane j,
+    P[bits agree] = 1 − θ/π, banded 4×4 over 16 bits for candidate
+    generation, exact cosine re-rank top-5 per probe.
+
+    Why this exists next to sim_ann_lsh: euclidean BRP-LSH measurably
+    degenerates on unit-norm corpora (SCALE.md §9 — every distance ≈ √2,
+    radius either empty or all-pairs); hyperplane LSH hashes the ANGLE,
+    which is the quantity cosine search actually ranks.  And because the
+    projection matrix is a pinned constant embedded in BOTH engines
+    (``_hyperplane_matrix``), the whole pipeline — signatures, banding,
+    candidate set, re-rank — is deterministic and HASH-GREEN, where the
+    Spark ML key (engine-internal seeds) can only ever be rows-only.
+
+    Signature dots fold left-to-right in doubles (the module's standard
+    cross-engine-exact discipline), so sign boundaries agree bitwise.
+
+    100 TB: signatures are map-only (one pass, no shuffle; production
+    swaps the fold for a BLAS pandas UDF emitting the same bits); the
+    band/bucket self-join shuffles signature-sized rows only; the exact
+    re-rank touches candidates, never all pairs.  More bands → higher
+    recall, bigger candidate sets — the standard LSH dial."""
+    n = _normed_vectors(spark, sf_dir)
+    planes = ", ".join(
+        "array(" + ", ".join(str(int(v)) for v in r) + ")"
+        for r in _HYPERPLANES
+    )
+    sig = n.selectExpr(
+        "vec_id",
+        "e",
+        "nrm",
+        f"""aggregate(
+              zip_with(array({planes}), sequence(1, 16), (r, j) ->
+                case when aggregate(zip_with(e, r, (x, c) -> x * c),
+                                    cast(0.0 as double), (a, x) -> a + x)
+                          >= 0
+                     then cast(pow(2, 16 - j) as bigint) else 0L end),
+              0L, (a, x) -> a + x) as sigbits""",
+    )
+    buckets = sig.selectExpr(
+        "vec_id",
+        "e",
+        "nrm",
+        f"explode(sequence(0, {_ANN_HP_BANDS - 1})) as band",
+        "sigbits",
+    ).selectExpr(
+        "vec_id",
+        "e",
+        "nrm",
+        "band",
+        "cast(sigbits / cast(pow(2, 4 * band) as bigint) as bigint) % 16 as bucket",
+    )
+    probes = buckets.filter("vec_id <= 5").selectExpr(
+        "vec_id as probe_id", "e as pe", "nrm as pn", "band", "bucket"
+    )
+    cand = (
+        probes.join(buckets, ["band", "bucket"])
+        .filter("probe_id != vec_id")
+        .selectExpr("probe_id", "vec_id as neighbor_id", "pe", "pn", "e as ne", "nrm as nn")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.selectExpr(
+        "probe_id",
+        "neighbor_id",
+        "aggregate(zip_with(pe, ne, (x, y) -> x * y),"
+        " cast(0.0 as double), (a, x) -> a + x) / (pn * nn) as cos_raw",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_raw"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("probe_id", "rn")
+    )
