@@ -175,3 +175,63 @@ def test_vacuum_counts_are_manifest_derived(spark, sf_dir):
     assert stats["n_expired_versions"] == 3
     assert stats["n_live_files"] == expect_live
     assert stats["n_deleted_files"] == physical - expect_live
+
+
+def test_manifest_random_histories_with_vacuum(spark):
+    """Round-7 extension of the property battery: interleave VACUUM with
+    appends and compactions.  Invariants after any program: (a) latest
+    content equals the union of all appended batches (vacuum never touches
+    live data), (b) surviving versions still read at their frozen counts,
+    (c) expired versions raise the clear KeyError, (d) a second vacuum is
+    a no-op, (e) the physical file set equals exactly the union of kept
+    manifests."""
+    import random
+
+    rng = random.Random(11)
+    base = spark.range(0, 300).selectExpr("id", "id % 5 AS k")
+    for trial in range(3):
+        t, path = _fresh(spark, f"mt_vprop_{trial}")
+        expected_total = 0
+        for _ in range(rng.randint(3, 6)):
+            op = rng.random()
+            if t.versions() and op < 0.25:
+                t.compact(n_files=rng.randint(1, 3))
+            elif t.versions() and op < 0.5:
+                keep = rng.randint(1, len(t.versions()))
+                t.vacuum(keep_last=keep)
+                again = t.vacuum(keep_last=keep)
+                assert again["n_deleted_files"] == 0  # idempotent
+                assert again["n_expired_versions"] == 0
+            else:
+                lo = rng.randint(0, 200)
+                hi = rng.randint(lo + 1, 300)
+                t.append(
+                    base.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+                    n_files=rng.randint(1, 3),
+                )
+                expected_total += hi - lo
+            # (a) latest content is never damaged
+            assert t.read().count() == expected_total, trial
+        # (b)/(c) surviving versions read; expired versions raise clearly
+        live = set(t.versions())
+        for v in range(1, max(live) + 1):
+            if v in live:
+                t.read(v).count()
+            else:
+                import pytest
+
+                with pytest.raises(KeyError):
+                    t._manifest(v)
+        # (e) physical files == union of kept manifests, exactly
+        referenced = set()
+        for v in live:
+            referenced.update(
+                os.path.realpath(f) for f in t._manifest(v)["files"]
+            )
+        physical = {
+            os.path.realpath(os.path.join(r, f))
+            for r, _d, fs in os.walk(os.path.join(path, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert physical == referenced, trial
