@@ -580,3 +580,97 @@ def stream_complete_topk(spark, sf_dir):
     name = f"t_{uuid.uuid4().hex[:8]}"
     _drain_to_memory(sdf, name, output_mode="complete")
     return spark.table(name).orderBy(F.col("total_value").desc(), "user_id")
+
+
+@register(
+    "stream_curate_to_table",
+    oracle="""
+WITH kept AS (
+  SELECT source, n_chars FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY text
+                              ORDER BY doc_id % 2, doc_id) AS rn
+    FROM documents
+    WHERE n_chars >= 100
+  ) WHERE rn = 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def stream_curate_to_table(spark, sf_dir):
+    """End-to-end STREAMING CURATION LANDING — the shape a production
+    ingest pipeline actually runs: documents arrive as micro-batches
+    (batch 1 = even doc_ids; batch 2 = odd doc_ids PLUS a replay of the
+    doc_id%10==0 slice of batch 1 — an at-least-once source re-delivering
+    data, which is the normal failure mode, not an edge case), and each
+    batch passes a quality gate (n_chars ≥ 100), a WITHIN-batch exact
+    dedup (min doc_id per text), a CROSS-batch dedup (anti-join on text
+    against the already-landed table — re-delivered and replicated
+    documents drop), and lands as an idempotent named commit in the
+    manifest table format (batch id → commit name, the exactly-once
+    handshake table_format_stream_sink locks down).  The final landed
+    table must equal the batch-world curation of the full corpus — the
+    oracle expresses keep-first-arrival as row_number ordered by
+    (doc_id % 2, doc_id), i.e. batch order then in-batch order — so the
+    whole streaming pipeline is hash-verified, not just smoke-tested.
+    NON-VACUOUS by construction: the injected replay means a missing
+    cross-batch anti-join double-counts ~10% of batch 1 and fails the
+    hash at every SF (and the sf0.1 corpus's replicated texts exercise
+    the within-batch and cross-parity paths on organic data too).
+
+    100 TB: the gate is map-only; within-batch dedup shuffles one
+    micro-batch; the cross-batch anti-join is the landing table's content
+    hash set (at scale: a bloom/content-hash index partition-pruned by
+    the manifest, not a full re-read); commits are manifest appends —
+    metadata-sized."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+
+    from ..sources.io_ops import _tmp
+    from ..sources.manifest_format import ManifestTable
+
+    d = load(spark, sf_dir, "documents")
+    src = _fresh_dir("curate-src")
+    replayed = (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    for pred in (F.col("doc_id") % 2 == 0, replayed):
+        d.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+
+    path = _tmp(f"stream_curate_{_uuid.uuid4().hex[:8]}")
+    t = ManifestTable(spark, path)
+
+    def land(batch_df, batch_id):
+        gated = batch_df.filter(F.col("n_chars") >= 100)
+        w = _W.partitionBy("text").orderBy("doc_id")
+        fresh = (
+            gated.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        if t.versions():  # cross-batch: drop texts already landed
+            seen = t.read().select("text")
+            fresh = fresh.join(seen, "text", "left_anti")
+        if not fresh.isEmpty():
+            t.append(fresh, n_files=2, name=f"curate-{batch_id}")
+
+    q = (
+        _read_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", _fresh_dir("chk-curate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

@@ -115,3 +115,23 @@ def test_sim_cosine_vectorized_equals_expr_twin(spark, sf_dir):
     fast = QUERIES["sim_cosine_topk"](spark, sf_dir).toPandas()
     twin = _sim_cosine_topk_expr(spark, sf_dir).toPandas()
     assert_frames_match(fast, twin, "sim_cosine_topk≡expr-twin")
+
+
+def test_stream_curate_cross_batch_dedup_is_nonvacuous(spark, sf_dir):
+    """The replay injection makes the cross-batch anti-join load-bearing:
+    arrivals (gated) strictly exceed the landed count at EVERY SF, and
+    the landed table equals the batch-world curation (keep first
+    arrival), so removing the anti-join could not stay hash-green."""
+    from pyspark.sql import functions as F
+
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.registry import QUERIES
+
+    landed = QUERIES["stream_curate_to_table"](spark, sf_dir)
+    n_landed = landed.agg(F.sum("n_docs")).first()[0]
+    d = load(spark, sf_dir, "documents").filter("n_chars >= 100")
+    n_batch1 = d.filter("doc_id % 2 = 0").count()
+    n_batch2 = d.filter("doc_id % 2 = 1 or doc_id % 10 = 0").count()
+    n_kept_batch_world = d.select("text").distinct().count()
+    assert n_batch1 + n_batch2 > n_landed  # replay arrived and was dropped
+    assert n_landed == n_kept_batch_world
