@@ -393,3 +393,75 @@ def ks_test_drift(spark, sf_dir):
             " then 1 else 0 end as int) as drifted",
         )
     )
+
+
+@register(
+    "ts_outlier_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(d.med, 6) AS med,
+       ROUND(m.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, d.med, m.mad
+ORDER BY d.event_type
+""",
+)
+def ts_outlier_mad(spark, sf_dir):
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    breakdown-resistant sibling of anomaly_zscore: mean/stddev move with
+    the outliers they are supposed to find (a single extreme value drags
+    the z-score threshold toward itself), while the median and the MAD
+    have a 50% breakdown point.  Per event_type: med = median(value),
+    MAD = median(|value − med|), outlier when |value − med| >
+    3·1.4826·MAD (1.4826 scales MAD to σ under normality — the standard
+    consistency constant).
+
+    Plan: two exact-median aggregates (each a sort-based percentile per
+    group — Spark's percentile; at 100 TB swap for approx_percentile and
+    accept the documented error band) with the tiny per-type med/MAD
+    tables broadcast back; the flag pass is map-only.  Three scans total,
+    all narrow (event_type, value)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -550,3 +550,70 @@ def win_time_range_frame(spark, sf_dir):
         .cast("double")
         .alias("sum_last_hour"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_moving_zscore",
+    oracle="""
+WITH f AS (
+  SELECT event_id, user_id, ROUND(value, 6) AS value,
+         COUNT(*) OVER w AS n_prior,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd
+  FROM events
+  WHERE user_id <= 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       ROUND((value - mu) / sd, 6) AS zscore,
+       CAST(CASE WHEN abs((value - mu) / sd) > 2.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_anomaly
+FROM f
+WHERE n_prior >= 3 AND sd > 0
+ORDER BY user_id, event_id
+""",
+)
+def win_moving_zscore(spark, sf_dir):
+    """Rolling anomaly score per user: each event's value standardized
+    against the TRAILING window of its own 10 predecessors (frame
+    excludes the current row — scoring a point against statistics it
+    contributed to dilutes real anomalies).  Rows with fewer than 3
+    predecessors or a degenerate (zero-variance) history are skipped
+    rather than scored against noise — the warm-up discipline every
+    online anomaly detector needs.  anomaly_zscore is the global-stats
+    cousin; ts_seasonal_decompose removes the diurnal cycle first; this
+    one is the per-entity streaming-shaped detector (the identical frame
+    runs under Structured Streaming as an applyInPandasWithState
+    history buffer).
+
+    Plan: one shuffle on user_id, then a single sorted pass per
+    partition with an O(1) sliding frame — avg and stddev maintain
+    running moments; no per-row rescans.  At 100 TB: entity-partitioned,
+    the same shape as win_moving_avg."""
+    ev = load(spark, sf_dir, "events").filter("user_id <= 100")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_prior") >= 3) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("user_id", "event_id")
+    )
