@@ -331,3 +331,144 @@ def decontaminate_exact(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pack_bins_greedy",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS tokens_before
+  FROM t
+),
+b AS (
+  SELECT source, tokens_before // 2048 AS bin, n_tokens FROM c
+)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 6) AS fill_ratio
+FROM b GROUP BY source, bin ORDER BY source, bin
+""",
+)
+def pack_bins_greedy(spark, sf_dir):
+    """Sequential greedy BIN PACKING of documents into fixed token
+    budgets (2048) per source shard — the document-level packing plan a
+    training dataloader consumes (pack_sequences is the window-chunking
+    sibling that splits INSIDE documents; this one assigns WHOLE
+    documents to training bins in arrival order, the sample-packing
+    layout).  A document's bin is determined by the tokens accumulated
+    BEFORE it (running sum frame minus self), so assignment is a pure
+    function of (source, doc_id order) — append-stable and deterministic
+    in both engines.  fill_ratio > 1 marks straddling bins (a document
+    crossing the boundary belongs to the bin it started in — the
+    padding-vs-splitting decision is the dataloader's, this op gives it
+    the ledger).
+
+    Plan: one shuffle on source, a single sorted pass per partition for
+    the running sum, then a map-side-combinable (source, bin) aggregate.
+    At 100 TB the partition key is (source, shard) so no single source
+    serializes into one task — same discipline as sort_range_partitioned."""
+    d = load(spark, sf_dir, "documents")
+    t = d.selectExpr(
+        "doc_id",
+        "source",
+        "cast(size(filter(split(text, ' '), w -> w != '')) as bigint)"
+        " as n_tokens",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.withColumn("bin", F.floor(F.col("tokens_before") / 2048))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / 2048, 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle="""
+WITH counts AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wsum AS (
+  SELECT CAST(SUM(CAST(pow(n_tokens, 0.5) AS DECIMAL(28,12))) AS DOUBLE)
+           AS z
+  FROM counts
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(pow(n_tokens, 0.5) / z, 6) AS mix_weight,
+       CAST(floor(pow(n_tokens, 0.5) / z * 1000000) AS BIGINT)
+         AS alloc_tokens,
+       ROUND(pow(n_tokens, 0.5) / z * 1000000 / n_tokens, 6) AS epochs
+FROM counts CROSS JOIN wsum
+ORDER BY source
+""",
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Temperature-weighted training MIXTURE PLAN (α = 0.5): per source,
+    the sampling weight n_tokens^α / Σ n_tokens^α, the token allocation
+    out of a 1M-token budget, and the implied epoch count (allocation /
+    source size — epochs > 1 means the source repeats, the standard
+    up-sampling of small high-quality sources; mixture_resample is the
+    row-level DOWN-sampling twin that enforces such a plan by content
+    hash).  Deterministic: the weight denominator sums per-source
+    pow(n,0.5) terms cast to DECIMAL(28,12) first, so the fold is
+    order-independent and both engines agree bitwise.
+
+    Plan: one map-side-combined per-source aggregate (sources-sized
+    output), a 1-row broadcast denominator fold, map-only scoring — this
+    is a planning op: its output is the config a dataloader or
+    mixture_resample consumes, at any corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    z = counts.agg(
+        F.sum(F.pow("n_tokens", 0.5).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("z")
+    )
+    wgt = F.pow("n_tokens", 0.5) / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(wgt, 6).alias("mix_weight"),
+            F.floor(wgt * 1000000).cast("bigint").alias("alloc_tokens"),
+            F.round(wgt * 1000000 / F.col("n_tokens"), 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )

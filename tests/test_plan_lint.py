@@ -40,6 +40,7 @@ BNLJ_OK = {
     "q22_dormant_customers",    # TPC-H Q22 scalar avg-acctbal fold
     "dsir_importance_resample",  # 1-row vocab/count scalars fold (staged r06)
     "quality_classifier_nb",    # vocab×|classes| model grid + 1-row folds (r7)
+    "mixture_epoch_plan",       # 1-row weight-denominator fold (r7)
 }
 
 # Keys whose builders run Spark jobs at construction time (table-format
