@@ -1,0 +1,84 @@
+"""Full-registry scale audit: run EVERY registry key against a (synthetic)
+scale-factor directory under a per-key wall-clock budget, cancelling
+runaways with Spark job groups — the SCALE.md §8 discipline as a reusable
+tool (it was an ad-hoc script in round 5; committed in round 7).
+
+Usage:
+  python tools/scale_audit.py [sf_dir] [budget_seconds]
+    sf_dir  default /tmp/sfsynth/sf1.0 (build with tools/synth_scale.py)
+    budget  default 45
+
+Prints one line per key (status, rows, seconds) and a summary; exits 1 if
+any key ERRORS (a timeout is reported but is a scale finding, not a tool
+failure).
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth/sf1.0"
+BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
+
+import bigdatawork_spark  # noqa: F401,E402
+from bigdatawork_spark.registry import QUERIES  # noqa: E402
+from bigdatawork_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    spark = get_spark()
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    sc = spark.sparkContext
+    slow, timed_out, errors = [], [], []
+    keys = sorted(QUERIES)
+    for i, key in enumerate(keys, 1):
+        group = f"audit-{key}"
+        sc.setJobGroup(group, key, interruptOnCancel=True)
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(BUDGET):
+                sc.cancelJobGroup(group)
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.time()
+        try:
+            n = QUERIES[key](spark, SF_DIR).count()
+            dt = time.time() - t0
+            status = "ok"
+            if dt > BUDGET:
+                status = "TIMEOUT"  # cancelled mid-count but count returned
+            elif dt > BUDGET / 3:
+                slow.append((key, dt))
+            print(f"[{i}/{len(keys)}] {key}: {status} {n} rows {dt:.1f}s", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            dt = time.time() - t0
+            if dt >= BUDGET - 1 or "cancelled" in str(ex).lower():
+                timed_out.append((key, dt))
+                print(f"[{i}/{len(keys)}] {key}: TIMEOUT {dt:.1f}s", flush=True)
+            else:
+                errors.append((key, f"{type(ex).__name__}: {str(ex)[:120]}"))
+                print(f"[{i}/{len(keys)}] {key}: ERROR {errors[-1][1]}", flush=True)
+        finally:
+            done.set()
+            sc.setJobGroup(None, None)
+
+    print(
+        f"\n{len(keys)} keys: {len(keys) - len(timed_out) - len(errors)} ok, "
+        f"{len(timed_out)} timeout, {len(errors)} error"
+    )
+    for key, dt in sorted(slow, key=lambda x: -x[1]):
+        print(f"  slow (> budget/3): {key} {dt:.1f}s")
+    for key, dt in timed_out:
+        print(f"  TIMEOUT: {key} {dt:.1f}s")
+    for key, msg in errors:
+        print(f"  ERROR: {key} {msg}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
