@@ -52,7 +52,7 @@ EXTENDED = [
     "incremental_join_maintenance",
     "repetition_ngram_ratio",
     "embedding_norm_stats",
-    "multimodal_framesample_stub",
+    "multimodal_frame_sample",
     "chunk_documents",
     "text_entropy_filter",
     "vocab_build",

@@ -190,6 +190,28 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
+#: Belt-and-braces ceiling for the ORACLE-PARITY quadratic twins (VERDICT
+#: r07 item 5): all-pairs formulations are verification instruments for
+#: small corpora; pointing one at a real corpus would be an O(n^2) blowup.
+TWIN_MAX_ROWS = 50_000
+
+
+def guard_twin_size(df: DataFrame, key: str, production_key: str,
+                    limit: int = TWIN_MAX_ROWS) -> None:
+    """Raise if a quadratic verification twin is pointed at a corpus too
+    large for an all-pairs plan.  Eager by design (one cheap ``count()``
+    of the input table at build time — the table is footer-counted by
+    parquet or already cached in the bench/driver protocol): a user who
+    hits the ceiling is told the production key to use instead."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{key} is an all-pairs ORACLE-PARITY twin for small-n "
+            f"verification; input has {n} rows (> {limit}).  Use the "
+            f"production key '{production_key}' for real corpora."
+        )
+
+
 def _normed_vectors(spark, sf_dir) -> DataFrame:
     """vec_id, e (array<double>), nrm — shared by cosine/knn ops."""
     e = load(spark, sf_dir, "embeddings")
@@ -469,8 +491,10 @@ def knn_classify(spark, sf_dir):
     twin exceeds the 45 s budget (SCALE.md §8).  Keep this key for exact
     small-n verification and recall measurement; route real corpora to
     the IVF key.  (IVF, not LSH — BRP-LSH degenerates to a cross join on
-    unit-norm corpora; SCALE.md §9.)"""
+    unit-norm corpora; SCALE.md §9.)  Guarded: raises above
+    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
     n = _normed_vectors(spark, sf_dir)
+    guard_twin_size(n, "knn_classify", "knn_classify_ivf")
     a = n.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )

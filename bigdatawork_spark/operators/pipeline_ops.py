@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
-from .llm_ops import _normed_vectors
+from .llm_ops import _normed_vectors, guard_twin_size
 
 
 @register(
@@ -270,8 +270,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     (live since round 7): IVF-clustered per-list Gram matrices — n^1.5,
     13.4 s at synthetic sf1.0 where this twin exceeds the budget
     (SCALE.md §8).  Keep this key for exact small-n verification and
-    recall measurement of the clustered path."""
+    recall measurement of the clustered path.  Guarded: raises above
+    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
     n = _normed_vectors(spark, sf_dir)
+    guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
     a = n.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )
@@ -406,7 +408,7 @@ def _decode_wav(payload: bytes):
 
 
 @register(
-    "multimodal_extract_stub",
+    "multimodal_wav_decode",
     oracle="""
 WITH audio AS (
   SELECT doc_id,
@@ -429,7 +431,7 @@ FROM audio
 ORDER BY doc_id
 """,
 )
-def multimodal_extract_stub(spark, sf_dir):
+def multimodal_wav_decode(spark, sf_dir):
     """Audio feature extraction over an opaque ``binary`` column — with a
     REAL codec decode: stage 1 encodes each document as a genuine RIFF/WAV
     container (mono 16-bit PCM at 8 kHz, deterministic samples, written by
@@ -440,9 +442,9 @@ def multimodal_extract_stub(spark, sf_dir):
     features: peak amplitude, integer mean absolute amplitude, duration.
     The hash-green oracle recomputes every feature from the analytic
     sample formula, proving the container round-trip decoded each PCM
-    frame exactly.  The ``_stub`` name survives for registry continuity —
-    compressed codecs (MP3/AAC/Opus) remain out of scope in this
-    container.  Scale: embarrassingly parallel; payloads never reach the
+    frame exactly.  (Renamed from ``multimodal_extract_stub`` in round 8,
+    VERDICT r07 item 7: the decode is real.)  Compressed codecs
+    (MP3/AAC/Opus) remain out of scope in this container.  Scale: embarrassingly parallel; payloads never reach the
     driver."""
     import io
     import wave
@@ -651,7 +653,7 @@ def _resize_nn(img, max_side: int):
 
 
 @register(
-    "multimodal_resize_stub",
+    "multimodal_image_resize",
     oracle="""
 WITH geo AS (
   SELECT doc_id,
@@ -676,7 +678,7 @@ SELECT doc_id, w AS width, h AS height, tw AS target_w, th AS target_h,
 FROM t ORDER BY doc_id
 """,
 )
-def multimodal_resize_stub(spark, sf_dir):
+def multimodal_image_resize(spark, sf_dir):
     """Image decode + resize over an opaque binary column with TYPED
     metadata — and the decode is REAL: stage 1 (mapInPandas) encodes a
     genuine binary PPM/P6 image per document (deterministic pixels, so
@@ -690,9 +692,10 @@ def multimodal_resize_stub(spark, sf_dir):
     The oracle reproduces the checksum analytically, so a hash-green row
     proves the decode+resample executed correctly byte-for-byte.
 
-    The ``_stub`` name survives for registry/driver continuity only —
-    PIL-class formats (JPEG/PNG entropy coding) remain out of scope in
-    this container, which is the one remaining stubbed aspect.  At
+    (Renamed from ``multimodal_resize_stub`` in round 8, VERDICT r07
+    item 7: the decode is real.)  PIL-class formats (JPEG entropy coding)
+    remain out of scope in this container; PNG has its own real-decode
+    key (``multimodal_png_decode``).  At
     100 TB this stage is embarrassingly parallel; partition sizing
     follows bytes (maxPartitionBytes), not row counts."""
     import numpy as np
@@ -892,7 +895,7 @@ def embedding_norm_stats(spark, sf_dir):
 
 
 @register(
-    "multimodal_framesample_stub",
+    "multimodal_frame_sample",
     oracle="""
 WITH media AS (
   SELECT doc_id,
@@ -919,7 +922,7 @@ WHERE frame_idx % 2 = 0
 ORDER BY doc_id, frame_idx
 """,
 )
-def multimodal_framesample_stub(spark, sf_dir):
+def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over an opaque ``binary`` video column — with a REAL
     container decode: stage 1 encodes each document as a multi-frame
     netpbm P6 stream (3–7 concatenated frames — the netpbm spec's 'a file
@@ -932,8 +935,9 @@ def multimodal_framesample_stub(spark, sf_dir):
     column is dropped inside the UDF, not carried through the expansion.
     The hash-green oracle recomputes each sampled frame's checksum
     analytically, proving the stream walk decoded every frame correctly.
-    The ``_stub`` name survives for registry continuity — entropy-coded
-    containers (MP4/H.264) remain out of scope in this container."""
+    (Renamed from ``multimodal_framesample_stub`` in round 8, VERDICT r07
+    item 7: the decode is real.)  Entropy-coded containers (MP4/H.264)
+    remain out of scope in this container."""
     import numpy as np
     import pandas as pd
 
@@ -1153,7 +1157,7 @@ FROM geo ORDER BY doc_id
 )
 def multimodal_png_decode(spark, sf_dir):
     """ENTROPY-CODED image decode over an opaque binary column — the gap
-    the netpbm keys (multimodal_resize_stub etc.) documented as open:
+    the netpbm keys (multimodal_image_resize etc.) documented as open:
     stage 1 (mapInPandas) writes a genuine PNG per document with stdlib
     zlib — deterministic RGB8 pixels ((doc_id·31 + 7i) mod 256), scanline
     r filtered with type r mod 5 so all five PNG filters appear; the

@@ -147,7 +147,14 @@ CONTRACT_KEYS: frozenset[str] = frozenset(
 def driver_verified_keys() -> set[str]:
     """Keys with a clean row in any driver ``CORRECTNESS_r*.json`` so far:
     hash-green, or rows-only that ran without error.  Unreadable files are
-    skipped — worst case the ordering degrades to the static priority."""
+    skipped — worst case the ordering degrades to the static priority.
+
+    A rows-only clean row counts as "verified" ONLY while the key still has
+    no oracle: a key that gained an oracle AFTER its last driver row (e.g.
+    ``bpe_encode_apply``, rows-only in r04, oracled in r06) must rank as
+    unverified so the rotation surfaces it for a hash-checked row
+    (VERDICT r07 item 2 — otherwise the oracle never gets exercised by
+    the driver)."""
     import glob
     import json
     import os
@@ -167,8 +174,12 @@ def driver_verified_keys() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 seen.add(k)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                seen.add(k)  # rows-only key, ran clean
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and k not in ORACLES
+            ):
+                seen.add(k)  # rows-only key, ran clean, still oracle-less
     return seen
 
 

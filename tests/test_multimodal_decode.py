@@ -1,4 +1,4 @@
-"""Real-decode path of multimodal_resize_stub (VERDICT r03 item 7).
+"""Real-decode path of multimodal_image_resize (VERDICT r03 item 7).
 
 The operator's decode is no longer a fake: a from-scratch binary PPM (P6)
 parser reads width/height from the payload BYTES and the resampler moves
@@ -73,7 +73,7 @@ def test_operator_checksum_matches_decode(spark, sf_dir):
     same deterministic raster and compare with the operator's output row."""
     from bigdatawork_spark.registry import QUERIES
 
-    row = QUERIES["multimodal_resize_stub"](spark, sf_dir).limit(1).collect()[0]
+    row = QUERIES["multimodal_image_resize"](spark, sf_dir).limit(1).collect()[0]
     did, w, h = row["doc_id"], row["width"], row["height"]
     px = ((did * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
         np.uint8

@@ -1,0 +1,109 @@
+"""Guards on the quadratic ORACLE-PARITY twins (VERDICT r07 items 5+8).
+
+The all-pairs twins exist to verify their bucketed/IVF production keys at
+small n; pointing one at a real corpus must fail fast with a pointer to
+the production key, not launch an O(n^2) plan.  ``dedup_ngram_jaccard``
+is budget-safe by construction instead (df-capped blocks) — its tests pin
+the cap's semantics and the Spark/SQL cap constants staying in sync.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bigdatawork_spark.operators import curation, llm_ops
+from bigdatawork_spark.operators.llm_ops import TWIN_MAX_ROWS, guard_twin_size
+from bigdatawork_spark.registry import ORACLES, QUERIES
+
+
+def test_guard_raises_and_names_production_key(spark, sf_dir):
+    from bigdatawork_spark.io import load
+
+    big = load(spark, sf_dir, "lineitem")  # > limit at any test SF? use limit=10
+    with pytest.raises(ValueError, match="production key 'knn_classify_ivf'"):
+        guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
+
+
+def test_guard_passes_small_input(spark, sf_dir):
+    from bigdatawork_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    guard_twin_size(emb, "knn_classify", "knn_classify_ivf")  # must not raise
+
+
+@pytest.mark.parametrize(
+    "key", ["knn_classify", "dedup_embedding_cosine"]
+)
+def test_twins_are_guarded_in_source(key):
+    """Each quadratic twin's builder calls guard_twin_size before the
+    cross join — checked on source text so a refactor can't silently
+    drop the guard."""
+    import inspect
+
+    src = inspect.getsource(QUERIES[key])
+    assert "guard_twin_size(" in src, f"{key} lost its size guard"
+
+
+def test_twin_limit_is_sane():
+    assert 10_000 <= TWIN_MAX_ROWS <= 1_000_000
+
+
+def test_ngram_block_cap_spark_sql_in_sync():
+    """The DuckDB oracle embeds the block cap as literals (rk <= N and the
+    HAVING df > N audit); they must equal the Spark-side NGRAM_BLOCK_CAP
+    or the key silently diverges at scale."""
+    sql = ORACLES["dedup_ngram_jaccard"]
+    literals = {int(m) for m in re.findall(r"df (?:<=|>) (\d+)", sql)}
+    literals |= {int(m) for m in re.findall(r"< (\d+) \* 4294967296", sql)}
+    assert literals == {curation.NGRAM_BLOCK_CAP}
+
+
+def test_ngram_cap_does_not_bind_at_test_sf(spark, duck, sf_dir):
+    """At the driver's check scale no gram block can exceed the cap
+    (corpus is 500 docs < cap) — the audit column must be all-zero, i.e.
+    the plan was exhaustive and results equal the uncapped formulation."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no near-dup pairs at test SF — vacuous"
+    assert all(r.n_trunc_blocks == 0 for r in rows)
+
+
+def test_ngram_cap_binds_verifies_exact_and_audits(spark, tmp_path):
+    """On a corpus engineered so one gram block exceeds a tiny cap:
+    candidates found through untruncated blocks are still EXACT-verified
+    against the FULL gram sets (the capped gram counts toward their
+    intersection and sizes), and the audit column reports the overflow."""
+    docs = spark.createDataFrame(
+        # docs 0/1 are identical → a pair via the rare 'abc'-family
+        # blocks; 'zzz' appears in all four docs → block df=4 > cap=3.
+        # docs 5/6 share ONLY 'zzz' → jacc 1/|union| << 0.5, never a pair.
+        [
+            (0, "zzzabcabcabc", "en"),
+            (1, "zzzabcabcabc", "en"),
+            (5, "zzzqqqqrrrr", "en"),
+            (6, "zzzwwwwpppp", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    tdir = str(tmp_path / "minicorpus")
+    docs.write.mode("overwrite").parquet(f"{tdir}/documents.parquet")
+    old = curation.NGRAM_BLOCK_CAP
+    curation.NGRAM_BLOCK_CAP = 3
+    try:
+        out = QUERIES["dedup_ngram_jaccard"](spark, tdir).collect()
+    finally:
+        curation.NGRAM_BLOCK_CAP = old
+    assert out and all(r.n_trunc_blocks == 1 for r in out)
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (0, 1) in pairs
+    assert (5, 6) not in pairs
+    # exact verify: identical docs → jacc exactly 1.0 even though one of
+    # their shared grams lives in a truncated block
+    jacc01 = next(r.jacc for r in out if (r.id_a, r.id_b) == (0, 1))
+    assert jacc01 == 1.0
+
+
+def test_llm_ops_exports_guard():
+    assert callable(llm_ops.guard_twin_size)
