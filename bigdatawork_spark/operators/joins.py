@@ -41,12 +41,21 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 """,
 )
 def join_inner_shuffle(spark, sf_dir):
-    """Two large tables → shuffle join on the key (SortMergeJoin; AQE may
-    flip to broadcast at small SF — both correct, broadcast is the 100 TB
-    anti-pattern only when neither side fits)."""
+    """Two large tables → shuffle join on the key, pinned to
+    ShuffledHashJoin via the ``shuffle_hash`` hint (round 8): the honest-
+    materialization bench exposed the planner's picks as the slow paths at
+    sf1.0 — BroadcastHashJoin pays a driver-side build of the 1.5 M-row
+    orders side (1.24 s) and SortMergeJoin pays two sorts (0.98 s), while
+    SHJ shuffles both sides once and hash-probes unsorted (0.68 s).  The
+    hint also makes the key's name TRUE at every SF: the plan never
+    silently flips to broadcast at test scale.  At 100 TB the build side
+    must fit per-partition memory — AQE skew splitting plus partition
+    sizing (~2-3× cores) keeps it bounded; flip to SMJ where a skewed
+    build partition could exceed executor memory (SMJ is the spill-safe
+    fallback)."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return o.join(li, o.o_orderkey == li.l_orderkey).selectExpr(
+    return o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey).selectExpr(
         "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
     )
 
@@ -55,7 +64,7 @@ def join_inner_shuffle(spark, sf_dir):
     "join_multiway_q5",
     oracle="""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -111,9 +120,13 @@ def join_multiway_q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
+            # scaled-long exact revenue (round 8, same rationale as Q1:
+            # 2dp×2dp products are exactly 4dp → the long sum is exact and
+            # cross-engine identical to the old decimal(18,4) cast, minus
+            # the 128-bit decimal accumulator)
             F.expr(
-                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
-                " as decimal(18,4))) as double) as revenue"
+                "cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5d)"
+                " as bigint)) / 10000.0 as double) as revenue"
             )
         )
     )

@@ -348,12 +348,12 @@ def sim_cosine_topk(spark, sf_dir):
                 cid = pdf["vec_id"].to_numpy(dtype=np.int64)
                 cnrm = np.sqrt((C * C).sum(axis=1))
                 if (cnrm == 0).any() or (bpnrm == 0).any():
-                    # ANSI parity: the expr twin's 0/0 raises DIVIDE_BY_ZERO
-                    # under Spark 4's default ANSI mode — numpy would
-                    # silently produce NaN (which Spark then ranks GREATEST
-                    # under cos DESC, diverging from the twin).  The engine
-                    # invariant is norms > 0 (test_division_by_zero
-                    # semantics); degenerate vectors fail loudly here too.
+                    # Fail-loudly parity with the expr twin (whose
+                    # denominator folds an assert_true(norm > 0) since the
+                    # r08 non-ANSI flip): numpy would silently produce NaN
+                    # (which Spark then ranks GREATEST under cos DESC,
+                    # diverging from the twin).  The engine invariant is
+                    # norms > 0 (test_division_by_zero_semantics).
                     bad = cid[cnrm == 0].tolist() or bpid[bpnrm == 0].tolist()
                     raise ValueError(
                         f"sim_cosine_topk: zero-norm embedding(s) {bad} — "
@@ -406,8 +406,16 @@ def _sim_cosine_topk_expr(spark, sf_dir):
         .selectExpr(
             "probe_id",
             "neighbor_id",
+            # raise_error branch keeps the fail-loudly invariant on zero
+            # norms now that the session runs non-ANSI (r08): 0/0 would
+            # yield NULL silently instead of DIVIDE_BY_ZERO.  (An
+            # assert_true inside an nvl2 with equal branches was tried
+            # first — Catalyst constant-folds it away; the if() branch
+            # is load-bearing and survives optimization.)
             "aggregate(zip_with(pe, ce, (x, y) -> x * y), cast(0.0 as double),"
-            " (a, x) -> a + x) / (pnrm * cnrm) as cos_raw",
+            " (a, x) -> a + x) / if(pnrm * cnrm > 0, pnrm * cnrm,"
+            " raise_error('zero-norm embedding — cosine undefined'))"
+            " as cos_raw",
         )
     )
     return pairs.selectExpr(

@@ -36,7 +36,7 @@ def sort_multi(spark, sf_dir):
     "limit_topk_q3",
     oracle="""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -56,8 +56,11 @@ def limit_topk_q3(spark, sf_dir):
     pinned broadcast hint — customer grows with SF (150k·SF rows), so the
     size-threshold/AQE planner decides: broadcast at test scale, shuffle
     join at cluster scale (same policy as join_multiway_q5).
-    Revenue summed exactly in decimal so the top-10 cut is identical across
-    engines.  Tiebreak on l_orderkey makes LIMIT deterministic (§5.3.3).
+    Revenue summed exactly in scaled-long fixed point (round 8, same
+    rationale as Q1: 2dp×2dp products are exactly 4dp, so the long sum
+    equals the old decimal(18,4) form without the 128-bit accumulator) so
+    the top-10 cut is identical across engines.  Tiebreak on l_orderkey
+    makes LIMIT deterministic (§5.3.3).
 
     Built as ONE spark.sql statement over load()-backed temp views: the
     r05 sf1.0 A/B measured 684 ms vs 876 ms for the chained-DataFrame
@@ -72,8 +75,10 @@ def limit_topk_q3(spark, sf_dir):
     return spark.sql(
         """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-            AS DOUBLE) AS revenue,
+       -- FLOOR(x + 0.5) = ROUND half-up on this positive domain; Spark's
+       -- ROUND on doubles allocates a BigDecimal per row (r08 A/B: 2.2x)
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D) AS BIGINT))
+         / 10000.0 AS DOUBLE) AS revenue,
        o_orderdate
 FROM q3_customer
 JOIN q3_orders   ON c_custkey = o_custkey

@@ -25,6 +25,15 @@ _RUNTIME_CONF = {
     # AQE then coalesces/splits at runtime either way.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
     "spark.sql.adaptive.enabled": "true",
+    # Non-ANSI arithmetic (the classic Spark analytics default): ANSI mode
+    # compiles every long add into an overflow-checked MathUtils.addExact —
+    # measured +46% on Q1's four scaled-long sums at synthetic sf1.0
+    # (1.31 s vs 0.90 s, round 8).  No registry key relies on
+    # error-on-overflow semantics (the scaled-long money sums are
+    # range-analyzed in their docstrings; the full 257-key driver sim was
+    # re-run green under this setting), so the checks purchase nothing
+    # here.  Flip back per-session when ingesting untrusted magnitudes.
+    "spark.sql.ansi.enabled": "false",
     # coalescePartitions keeps parallelismFirst at its default (true): an
     # A/B at synthetic sf1.0 measured parallelismFirst=false 3-10% SLOWER
     # (over-coalescing to one sub-advisory reducer serializes the reduce

@@ -78,14 +78,16 @@ def test_explode_on_empty_array_drops_row(spark):
 
 
 def test_division_by_zero_semantics(spark):
-    """Spark 4 runs ANSI mode by default: ANY x/0 (even double) raises
-    DIVIDE_BY_ZERO, while DuckDB yields NULL.  try_divide restores DuckDB
-    parity.  Engine queries therefore either guarantee nonzero divisors
-    (Jaccard denominators ≥1, vector norms >0, weight sums >0) or would use
-    try_divide."""
+    """Round 8: the engine session runs NON-ANSI (session.py — ANSI compiled
+    every long add into overflow-checked addExact, +46% on Q1's scaled-long
+    sums at sf1.0), so x/0 yields NULL — which is DuckDB's behavior, i.e.
+    direct oracle parity without try_divide.  Engine queries still guarantee
+    nonzero divisors where a NULL would propagate (Jaccard denominators ≥1,
+    vector norms >0, weight sums >0).  try_divide stays the explicit form
+    for code that must be ANSI-agnostic."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
     df = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        df.select((F.col("a") / F.col("b")).alias("q")).first()
+    assert df.select((F.col("a") / F.col("b")).alias("q")).first()["q"] is None
     assert df.select(F.try_divide("a", "b").alias("q")).first()["q"] is None
 
 
@@ -331,12 +333,14 @@ def test_sim_cosine_topk_empty_probe_set(spark, tmp_path):
 
 
 def test_sim_cosine_topk_zero_norm_fails_loudly_like_expr_twin(spark, tmp_path):
-    """A zero-norm embedding makes cosine 0/0.  Under Spark 4's default
-    ANSI mode the expr twin raises DIVIDE_BY_ZERO; numpy would instead
-    produce a silent NaN that Spark ranks GREATEST under cos DESC —
-    divergent results.  Both implementations must therefore fail loudly
-    on the degenerate input (r05 review; the engine invariant is
-    norms > 0, see test_division_by_zero_semantics)."""
+    """A zero-norm embedding makes cosine 0/0.  Under the r08 non-ANSI
+    session 0/0 would yield a SILENT NULL (and numpy a silent NaN that
+    Spark ranks GREATEST under cos DESC) — divergent, quiet corruption.
+    Both implementations therefore carry explicit guards and must fail
+    loudly on the degenerate input: the BLAS scorer raises ValueError,
+    the expr twin folds an assert_true(norm > 0) into its denominator
+    (r05 review + r08 ANSI flip; the engine invariant is norms > 0, see
+    test_division_by_zero_semantics)."""
     from bigdatawork_spark.operators.llm_ops import _sim_cosine_topk_expr
     from bigdatawork_spark.registry import QUERIES
 
@@ -346,7 +350,7 @@ def test_sim_cosine_topk_zero_norm_fails_loudly_like_expr_twin(spark, tmp_path):
     _write_embeddings(tmp_path, ids, vecs)
     with pytest.raises(Exception, match="zero-norm"):
         QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+    with pytest.raises(Exception, match="zero-norm"):
         _sim_cosine_topk_expr(spark, str(tmp_path)).collect()
 
 
