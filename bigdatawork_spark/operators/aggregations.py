@@ -32,9 +32,9 @@ SELECT
   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS DOUBLE) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -75,20 +75,46 @@ def agg_groupby_q1(spark, sf_dir):
     construction included (BASELINE.md round-3 profiling), and the string
     form halves build latency at identical plans.
     """
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.where("l_shipdate <= timestamp'1998-09-02'")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr("cast(sum(cast(floor(l_quantity * 100 + 0.5d) as bigint)) / 100.0 as double) as sum_qty"),
-            F.expr("cast(sum(cast(floor(l_extendedprice * 100 + 0.5d) as bigint)) / 100.0 as double) as sum_base_price"),
-            F.expr("cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5d) as bigint)) / 10000.0 as double) as sum_disc_price"),
-            F.expr("cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5d) as bigint)) / 1000000.0 as double) as sum_charge"),
-            F.expr("round(avg(l_quantity), 6) as avg_qty"),
-            F.expr("round(avg(l_extendedprice), 6) as avg_price"),
-            F.expr("round(avg(l_discount), 6) as avg_disc"),
-            F.expr("count(1) as count_order"),
-        )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q1_lineitem")
+    # ONE spark.sql statement (r08 A/B, same finding as Q3's r05 note): the
+    # chained .groupBy().agg().selectExpr() build spent ~0.2 s/run in py4j
+    # construction round trips at sf1.0 — a third of the query's wall time
+    # under the honest protocol (which times construction, as DuckDB's
+    # parse is timed too).  Six primitive-long accumulators total; the four
+    # averages are DERIVED from the exact scaled sums below the aggregate:
+    # round(exact_sum/10^s/n, 6) is also STRONGER cross-engine than
+    # round(avg(double), 6) — both engines divide identical integers
+    # (bit-identical IEEE ops), where double-summed avgs could in principle
+    # straddle a 1e-6 rounding boundary in unlucky orders.  The oracle
+    # mirrors the same derivation (DuckDB CSEs the repeated SUMs).
+    # FLOOR(x·10^s + 0.5) = ROUND half-up on this positive domain; Spark's
+    # ROUND on doubles allocates a BigDecimal per row (r08 A/B: 2.2×).
+    # 100.0D double literals: a bare 100.0 is DECIMAL in both engines'
+    # parsers, which would drag the derivation into decimal arithmetic.
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(__sq / 100.0 AS DOUBLE)      AS sum_qty,
+       CAST(__sbp / 100.0 AS DOUBLE)     AS sum_base_price,
+       CAST(__sdp / 10000.0 AS DOUBLE)   AS sum_disc_price,
+       CAST(__sch / 1000000.0 AS DOUBLE) AS sum_charge,
+       ROUND(CAST(__sq AS DOUBLE) / 100.0D / __n, 6)  AS avg_qty,
+       ROUND(CAST(__sbp AS DOUBLE) / 100.0D / __n, 6) AS avg_price,
+       ROUND(CAST(__sd AS DOUBLE) / 100.0D / __n, 6)  AS avg_disc,
+       __n AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5D) AS BIGINT)) AS __sq,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)) AS __sbp,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D) AS BIGINT)) AS __sdp,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5D) AS BIGINT)) AS __sch,
+         SUM(CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT)) AS __sd,
+         COUNT(1) AS __n
+  FROM q1_lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+"""
     )
 
 

@@ -97,38 +97,29 @@ def join_multiway_q5(spark, sf_dir):
     are left to the size-threshold/AQE planner: broadcast at test scale,
     shuffle join with AQE skew handling at cluster scale (VERDICT r01
     item 4)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").where(
-        "o_orderdate >= timestamp'1996-01-01' and o_orderdate < timestamp'1997-01-01'"
-    )
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").where("r_name = 'ASIA'")
-    sdim = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            sdim,
-            (li.l_suppkey == sdim.s_suppkey)
-            & (c.c_nationkey == sdim.s_nationkey),
-        )
-        .groupBy("n_name")
-        .agg(
-            # scaled-long exact revenue (round 8, same rationale as Q1:
-            # 2dp×2dp products are exactly 4dp → the long sum is exact and
-            # cross-engine identical to the old decimal(18,4) cast, minus
-            # the 128-bit decimal accumulator)
-            F.expr(
-                "cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5d)"
-                " as bigint)) / 10000.0 as double) as revenue"
-            )
-        )
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView("q5_" + t)
+    # ONE spark.sql build (r08, same construction-cost finding as Q1/Q3:
+    # the 10-step chained build paid ~0.1-0.2 s of py4j round trips per
+    # timed run; interleaved sf1.0 A/B: single-SQL median 1.38 s vs
+    # chained 1.48 s, identical rows).  Scaled-long exact revenue (same
+    # rationale as Q1: 2dp×2dp products are exactly 4dp → the long sum is
+    # exact and cross-engine identical to the old decimal(18,4) cast,
+    # minus the 128-bit decimal accumulator).
+    return spark.sql(
+        """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D) AS BIGINT))
+         / 10000.0 AS DOUBLE) AS revenue
+FROM (SELECT /*+ BROADCAST(n, r) */ s_suppkey, s_nationkey, n_name
+        FROM q5_supplier s JOIN q5_nation n ON s_nationkey = n_nationkey
+        JOIN q5_region r ON n_regionkey = r_regionkey AND r_name = 'ASIA') sdim,
+     q5_orders o, q5_lineitem l, q5_customer c
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_orderkey = l_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
     )
 
 

@@ -52,8 +52,10 @@ def test_q5_pins_broadcast_only_on_constant_dims():
     from bigdatawork_spark.operators import joins
 
     src = inspect.getsource(joins.join_multiway_q5)
-    assert "F.broadcast(n)" in src and "F.broadcast(r)" in src
-    assert "F.broadcast(c)" not in src and "F.broadcast(s)" not in src
+    # r08 single-SQL build: the pinned broadcasts ride the SQL hint
+    assert "/*+ BROADCAST(n, r) */" in src
+    # customer/supplier grow with SF — no pinned broadcast on them
+    assert "BROADCAST(c" not in src and "BROADCAST(s" not in src
 
 
 def test_semi_anti_join_operators(spark, sf_dir):
