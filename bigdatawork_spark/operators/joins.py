@@ -101,23 +101,45 @@ def join_multiway_q5(spark, sf_dir):
         load(spark, sf_dir, t).createOrReplaceTempView("q5_" + t)
     # ONE spark.sql build (r08, same construction-cost finding as Q1/Q3:
     # the 10-step chained build paid ~0.1-0.2 s of py4j round trips per
-    # timed run; interleaved sf1.0 A/B: single-SQL median 1.38 s vs
-    # chained 1.48 s, identical rows).  Scaled-long exact revenue (same
-    # rationale as Q1: 2dp×2dp products are exactly 4dp → the long sum is
-    # exact and cross-engine identical to the old decimal(18,4) cast,
-    # minus the 128-bit decimal accumulator).
+    # timed run).  Scaled-long exact revenue (same rationale as Q1:
+    # 2dp×2dp products are exactly 4dp → the long sum is exact and
+    # cross-engine identical to the old decimal(18,4) cast, minus the
+    # 128-bit decimal accumulator).
+    #
+    # EXPLICIT JOIN-ON chain, facts first (r08 plan audit): with comma
+    # joins Catalyst's ReorderJoin chose sdim ⋈ lineitem as the FIRST
+    # join, statically planned SMJ (sdim's size estimate is a multiplied
+    # join product, far over the broadcast threshold) — so ALL of
+    # lineitem was shuffle-WRITTEN (229 MiB at sf1.0) before AQE
+    # converted the join to broadcast and read the shuffle locally.
+    # Explicit JOIN-ON syntax is not reordered without CBO stats, so the
+    # written order holds: lineitem ⋈ orders runs first as a
+    # co-partitioned ShuffledHashJoin straight off the orderkey-clustered
+    # cache (zero exchange on either 6M/1.5M-row side; SHUFFLE_HASH(o)
+    # builds on the date-filtered 228k-row side), and the only exchange
+    # left in the whole plan is the date-filtered join output meeting
+    # sdim (914k rows / 35 MiB vs the old 6M / 229 MiB).  At 100 TB this
+    # is exactly the bucketed-fact-table plan §7.5 prescribes; the sdim
+    # and customer joins stay AQE-converted broadcasts at test scale and
+    # degrade to shuffle joins with skew handling at cluster scale.
+    # Interleaved sf1.0 A/B (7 runs, identical result hash): comma form
+    # med 1.06 s / explicit+hint med 0.98 s, and the worst-case spread
+    # tightened (max 1.31 → 1.06 s — no more 229 MiB shuffle stage to
+    # hit host weather).
     return spark.sql(
         """
-SELECT n_name,
+SELECT /*+ SHUFFLE_HASH(o) */ n_name,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D) AS BIGINT))
          / 10000.0 AS DOUBLE) AS revenue
-FROM (SELECT /*+ BROADCAST(n, r) */ s_suppkey, s_nationkey, n_name
+FROM q5_lineitem l
+JOIN q5_orders o ON o_orderkey = l_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+JOIN (SELECT /*+ BROADCAST(n, r) */ s_suppkey, s_nationkey, n_name
         FROM q5_supplier s JOIN q5_nation n ON s_nationkey = n_nationkey
-        JOIN q5_region r ON n_regionkey = r_regionkey AND r_name = 'ASIA') sdim,
-     q5_orders o, q5_lineitem l, q5_customer c
-WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-  AND o_orderkey = l_orderkey AND o_custkey = c_custkey
-  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN q5_region r ON n_regionkey = r_regionkey AND r_name = 'ASIA') sdim
+  ON l_suppkey = s_suppkey
+JOIN q5_customer c ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 GROUP BY n_name
 """
     )
