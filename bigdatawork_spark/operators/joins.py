@@ -126,6 +126,16 @@ def join_multiway_q5(spark, sf_dir):
     # med 1.06 s / explicit+hint med 0.98 s, and the worst-case spread
     # tightened (max 1.31 → 1.06 s — no more 229 MiB shuffle stage to
     # hit host weather).
+    #
+    # Two further reorders were A/B'd and REJECTED on numbers (r08 cont.,
+    # BASELINE.md): (a) dims-first (ASIA-customer pre-cut, orders⋈cdim
+    # SHJ, then lineitem last) reaches the textbook-ideal plan — lineitem
+    # never exchanged, probe side broadcast — but its four sequential
+    # stage waves before the 6M-row probe cost more than the sorts it
+    # removes (1.13 s vs 0.96 s); (b) SHUFFLE_HASH(c) on the customer
+    # join (1.09 s vs 0.94 s).  At cluster scale, where the per-stage
+    # floor amortizes, (a) becomes the right plan — SCALE.md notes the
+    # flip — but local-mode numbers adjudicate the committed shape.
     return spark.sql(
         """
 SELECT /*+ SHUFFLE_HASH(o) */ n_name,

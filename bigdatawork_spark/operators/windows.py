@@ -280,7 +280,14 @@ def win_time_tumbling(spark, sf_dir):
     and the scalar timestamp key measured 27% faster at sf1.0 than the
     struct build+extract (r05 A/B: 1264 ms vs 1728 ms, identical rows).
     The streaming twin keeps ``window()`` — watermark eviction needs the
-    struct — but the batch path has no reason to pay for it."""
+    struct — but the batch path has no reason to pay for it.
+
+    r08 A/B (rejected): an integer epoch-hour grouping key
+    (``unix_timestamp - mod 3600``, converted back post-agg) measured
+    0.376 s vs 0.346 s at sf1.0 — the residual vs DuckDB is partial-agg
+    hashing over ~40k (hour×type) groups, not key computation; the plan
+    (scan → partial agg → one tiny exchange → final) has no shuffle or
+    stage to remove."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
