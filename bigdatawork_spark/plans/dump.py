@@ -18,7 +18,8 @@ import re
 HEADLINE_NOTES = {
     "agg_groupby_q1": "partial+final HashAggregate; date filter pushed to scan; 7-column ReadSchema from a 11-column table",
     "limit_topk_q3": "TakeOrderedAndProject (per-partition heaps, no global sort); dim side broadcast",
-    "join_multiway_q5": "6-table chain: dims broadcast, fact⋈fact SortMergeJoin",
+    "join_multiway_q5": "6-table chain: facts-first (lineitem⋈orders co-partitioned "
+    "SHJ off the clustered cache), constant dims broadcast, SF-growing sides to AQE",
     "win_row_number": "single shuffle on user_id; window runs in one pass per partition",
     "dedup_exact": "sha2 group keys — shuffle carries 64-byte hashes, not documents",
     "join_inner_shuffle": "SortMergeJoin above broadcast threshold (the honest fact⋈fact shuffle)",

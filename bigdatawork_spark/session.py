@@ -34,6 +34,11 @@ _RUNTIME_CONF = {
     # re-run green under this setting), so the checks purchase nothing
     # here.  Flip back per-session when ingesting untrusted magnitudes.
     "spark.sql.ansi.enabled": "false",
+    # ...but ANSI-off re-activates legacy sizeOfNull (size(NULL array) = -1
+    # instead of NULL), which silently diverges from DuckDB's len(NULL) =
+    # NULL — caught by the array fuzz test the round the ANSI flip landed.
+    # Pin the modern semantics explicitly: NULL in, NULL out.
+    "spark.sql.legacy.sizeOfNull": "false",
     # coalescePartitions keeps parallelismFirst at its default (true): an
     # A/B at synthetic sf1.0 measured parallelismFirst=false 3-10% SLOWER
     # (over-coalescing to one sub-advisory reducer serializes the reduce
