@@ -86,6 +86,13 @@ def test_division_by_zero_semantics(spark):
     vector norms >0, weight sums >0).  try_divide stays the explicit form
     for code that must be ANSI-agnostic."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    # ANSI-off re-enables legacy sizeOfNull (size(NULL)=-1, diverging from
+    # DuckDB len(NULL)=NULL) unless pinned — session.py pins it false.
+    assert spark.conf.get("spark.sql.legacy.sizeOfNull") == "false"
+    assert (
+        spark.sql("select size(cast(null as array<int>)) as n").first()["n"]
+        is None
+    )
     df = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
     assert df.select((F.col("a") / F.col("b")).alias("q")).first()["q"] is None
     assert df.select(F.try_divide("a", "b").alias("q")).first()["q"] is None
