@@ -20,6 +20,7 @@ from .operators import (  # noqa: F401
     platform_ops,
     projections,
     reshape,
+    round8_ops,
     search_ops,
     sorts_sets,
     stats_ops,

@@ -1,0 +1,203 @@
+"""Engine-side references for the round-8 curation ops — each key's oracle
+parity is driver-checked; these tests re-derive the SEMANTICS in plain
+Python from the parquet, so a bug that slipped into both the Spark builder
+and the DuckDB oracle identically would still be caught."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from bigdatawork_spark.operators.round8_ops import (
+    dedup_segments_crossdoc,
+    lm_perplexity_score,
+    winnow_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(text):
+    return [w for w in text.lower().split(" ") if w != ""]
+
+
+# --------------------------------------------------------------------------
+# lm_perplexity_score — pure-Python bigram LM re-derivation
+# --------------------------------------------------------------------------
+
+
+def test_lm_perplexity_matches_python_reference(spark, sf_dir, docs):
+    got = lm_perplexity_score(spark, sf_dir).toPandas().set_index("doc_id")
+
+    from collections import Counter
+
+    bi, ctx, vocab = Counter(), Counter(), set()
+    per_doc = {}
+    for _, r in docs[docs.text.notna()].iterrows():
+        ws = _words(r.text)
+        vocab.update(ws)
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            per_doc[r.doc_id] = pairs
+            bi.update(pairs)
+            for w1, _ in pairs:
+                ctx[w1] += 1
+    v = len(vocab)
+    for doc_id, pairs in per_doc.items():
+        nll = -sum(
+            math.log((bi[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in pairs
+        ) / len(pairs)
+        row = got.loc[doc_id]
+        assert row["n_bigrams"] == len(pairs)
+        assert abs(row["avg_nll"] - nll) < 1e-5, (doc_id, row["avg_nll"], nll)
+        assert abs(row["ppl"] - math.exp(round(nll, 6))) < 1e-3
+    assert set(per_doc) == set(got.index)
+
+
+def test_lm_perplexity_bounds(spark, sf_dir):
+    got = lm_perplexity_score(spark, sf_dir).toPandas()
+    # Perplexity of any smoothed distribution over V outcomes is >= 1 and
+    # (for add-k) bounded by the worst single-event probability bound.
+    assert (got.ppl >= 1.0).all()
+    assert got.avg_nll.between(0, 50).all()
+
+
+# --------------------------------------------------------------------------
+# dedup_segments_crossdoc — pure-Python segment/boilerplate re-derivation
+# --------------------------------------------------------------------------
+
+
+def _segments(ws, k=3):
+    return [
+        " ".join(ws[i : i + k]) for i in range(0, len(ws), k)
+    ]  # final partial chunk included, matching ceil(len/3) segments
+
+
+def test_dedup_segments_matches_python_reference(spark, sf_dir, docs):
+    got = dedup_segments_crossdoc(spark, sf_dir).toPandas().set_index("doc_id")
+
+    seg_docs: dict[str, set] = {}
+    doc_segs = {}
+    for _, r in docs[docs.text.notna()].iterrows():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        segs = _segments(ws)
+        doc_segs[r.doc_id] = segs
+        for s in segs:
+            seg_docs.setdefault(s, set()).add(r.doc_id)
+    boiler = {s for s, d in seg_docs.items() if len(d) >= 3}
+    assert boiler, "corpus must produce boilerplate for a non-vacuous test"
+
+    removed_any = 0
+    for doc_id, segs in doc_segs.items():
+        kept = [s for s in segs if s not in boiler]
+        row = got.loc[doc_id]
+        assert row["n_seg"] == len(segs)
+        assert row["n_kept"] == len(kept)
+        assert row["cleaned_text"] == " ".join(kept)
+        # SQL ROUND is half-away-from-zero; Python round() is half-even
+        assert row["keep_ratio"] == math.floor(
+            len(kept) / len(segs) * 10000 + 0.5
+        ) / 10000
+        removed_any += len(segs) - len(kept)
+    assert removed_any > 0
+    assert set(doc_segs) == set(got.index)
+
+
+def test_dedup_segments_cleaned_text_is_subsequence(spark, sf_dir):
+    got = dedup_segments_crossdoc(spark, sf_dir).toPandas()
+    full = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    sample = got.head(50)
+    for _, r in sample.iterrows():
+        orig = " ".join(_words(full.loc[r.doc_id, "text"]))
+        # every kept segment appears verbatim in the original
+        for chunk in r.cleaned_text.split(" ") if r.cleaned_text else []:
+            assert chunk in orig.split(" ")
+
+
+# --------------------------------------------------------------------------
+# winnow_fingerprint — brute-force per-window winnowing reference
+# --------------------------------------------------------------------------
+
+
+def _brute_winnow(text, k=5, w=4):
+    """Literal robust-winnowing: enumerate every window, select the
+    rightmost minimum (Schleimer et al. §3).  The operator computes the
+    same set via reach arithmetic in ONE window pass — this is the
+    ground-truth cross-check."""
+    t = text.lower()
+    n = len(t) - k + 1
+    if n < 1:
+        return set()
+    h = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    if n < w:
+        m = min(h)
+        return {max(i for i in range(n) if h[i] == m) + 1}
+    sel = set()
+    for s in range(n - w + 1):
+        win = h[s : s + w]
+        m = min(win)
+        j = max(i for i in range(w) if win[i] == m)
+        sel.add(s + j + 1)  # 1-based positions
+    return sel
+
+
+def test_winnow_matches_bruteforce(spark, sf_dir, docs):
+    got = winnow_fingerprint(spark, sf_dir).toPandas()
+    by_doc = {k: set(v["fp_pos"]) for k, v in got.groupby("doc_id")}
+    sample = docs[docs.text.notna()].head(100)
+    for _, r in sample.iterrows():
+        expect = _brute_winnow(r.text)
+        assert by_doc.get(r.doc_id, set()) == expect, r.doc_id
+
+
+def test_winnow_guarantee_every_window_covered(spark, sf_dir, docs):
+    """The winnowing guarantee: every window of w consecutive grams
+    contains at least one selected fingerprint."""
+    got = winnow_fingerprint(spark, sf_dir).toPandas()
+    by_doc = {k: sorted(v["fp_pos"]) for k, v in got.groupby("doc_id")}
+    w = 4
+    for _, r in docs[docs.text.notna()].head(100).iterrows():
+        n = len(r.text) - 5 + 1
+        pos = by_doc.get(r.doc_id, [])
+        assert pos, r.doc_id
+        if n >= w:
+            # gap between consecutive fingerprints (and the edges) < w
+            assert pos[0] <= w
+            assert pos[-1] > n - w
+            assert max(
+                (b - a) for a, b in zip(pos, pos[1:])
+            ) <= w if len(pos) > 1 else True
+
+
+def test_winnow_density_near_theoretical(spark, sf_dir, docs):
+    got = winnow_fingerprint(spark, sf_dir).toPandas()
+    total_grams = (
+        docs[docs.text.notna()].text.str.len().clip(lower=4) - 4
+    ).sum()
+    density = len(got) / total_grams
+    assert 0.33 < density < 0.47  # theoretical 2/(w+1) = 0.4
+
+
+def test_winnow_local_edit_perturbs_o1_fingerprints(spark, sf_dir):
+    """The property winnowing exists for: a single-char edit in the middle
+    of a document changes only fingerprints within k+w-1 positions of the
+    edit — verified in pure Python with the same hash/rule."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    edited = base.replace("jumps", "jumpy", 1)  # same length: positions align
+    a, b = _brute_winnow(base), _brute_winnow(edited)
+    edit_at = base.index("jumps")
+    assert a != b  # the edit is visible...
+    for p in a.symmetric_difference(b):
+        # ...but only within a k+w-1 neighborhood of the edited span
+        assert edit_at - (5 + 4 - 1) <= (p - 1) <= edit_at + len("jumpy") + 4
