@@ -270,8 +270,28 @@ def winnow_fingerprint(spark, sf_dir):
     No self-joins, no per-window expansion; fingerprint output is ~0.4×
     the gram count and downstream near-dup joins group by fp_hash exactly
     like ``dedup_exact``."""
-    d = load(spark, sf_dir, "documents").filter(
-        "text is not null and length(text) >= 5"
+    return _winnow_selected(spark, sf_dir).selectExpr(
+        "doc_id", "pos as fp_pos", "h as fp_hash"
+    ).orderBy("doc_id", "fp_pos")
+
+
+def _winnow_selected(spark, sf_dir):
+    """Unordered winnowing selection (doc_id, pos, h) — shared by
+    ``winnow_fingerprint`` (which adds the driver-facing global order) and
+    ``dedup_winnow_pairs`` (which must NOT inherit that 0.4×-gram-count
+    global sort: composing the ordered op measured 54.6 s at sf1.0 vs
+    ~30 s without it)."""
+    # The documents table is a single ~30 MB parquet file even at sf1.0
+    # (under maxPartitionBytes -> ONE scan task), but this op fans each doc
+    # into ~550 md5-hashed gram rows.  Repartitioning the 50k compact doc
+    # rows by doc_id BEFORE the explode spreads the 27M-hash work across
+    # all cores AND pre-satisfies the Window's hashpartitioning(doc_id)
+    # requirement, so no second exchange of the exploded rows follows
+    # (sf1.0: 51 s -> ~17 s for the pairs consumer).
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null and length(text) >= 5")
+        .repartition("doc_id")
     )
     g = d.selectExpr(
         "doc_id",
@@ -312,13 +332,125 @@ def winnow_fingerprint(spark, sf_dir):
         " case when r3 is not null and r3 > h then 3 else 2 end"
         " else 1 end else 0 end as rr",
     )
-    return (
-        r.where(
-            "(n_grams >= 4 and"
-            " greatest(pos - rl, pos - 3, 1)"
-            " <= least(pos, n_grams - 3, pos + rr - 3))"
-            " or (n_grams < 4 and pos - rl <= 1 and pos + rr >= n_grams)"
+    return r.where(
+        "(n_grams >= 4 and"
+        " greatest(pos - rl, pos - 3, 1)"
+        " <= least(pos, n_grams - 3, pos + rr - 3))"
+        " or (n_grams < 4 and pos - rl <= 1 and pos + rr >= n_grams)"
+    ).select("doc_id", "pos", "h")
+
+
+_WINNOW_FP_CTE = """
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), 5)),
+                         1, 8))::BIGINT AS h,
+         length(text) - 4 AS n_grams
+  FROM documents, unnest(generate_series(1, length(text) - 4)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 5
+),
+x AS (
+  SELECT doc_id, pos, h, n_grams,
+         lag(h, 1) OVER win AS l1, lag(h, 2) OVER win AS l2,
+         lag(h, 3) OVER win AS l3,
+         lead(h, 1) OVER win AS r1, lead(h, 2) OVER win AS r2,
+         lead(h, 3) OVER win AS r3
+  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+r AS (
+  SELECT doc_id, pos, h, n_grams,
+         CASE WHEN l1 IS NOT NULL AND l1 >= h THEN
+           CASE WHEN l2 IS NOT NULL AND l2 >= h THEN
+             CASE WHEN l3 IS NOT NULL AND l3 >= h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rl,
+         CASE WHEN r1 IS NOT NULL AND r1 > h THEN
+           CASE WHEN r2 IS NOT NULL AND r2 > h THEN
+             CASE WHEN r3 IS NOT NULL AND r3 > h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rr
+  FROM x
+),
+fp AS (
+  SELECT DISTINCT doc_id, h FROM r
+  WHERE (n_grams >= 4 AND
+         GREATEST(pos - rl, pos - 3, 1)
+           <= LEAST(pos, n_grams - 3, pos + rr - 3))
+     OR (n_grams < 4 AND pos - rl <= 1 AND pos + rr >= n_grams)
+)
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_WINNOW_FP_CTE
+    + """,
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM fp),
+hdf AS (SELECT h, COUNT(*) AS df FROM fp GROUP BY h),
+rare AS (
+  SELECT h FROM hdf CROSS JOIN nd
+  WHERE df >= 2
+    AND df <= LEAST(GREATEST(2, CAST(0.04 * n_docs AS BIGINT)), 64)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN rare USING (h) JOIN fp b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Copy-span candidate pairs from winnowing fingerprints — the
+    downstream consumer of ``winnow_fingerprint`` and the MOSS pipeline's
+    second stage: docs sharing >= 3 RARE fingerprints are candidate
+    near-dups for span-level verification.  "Rare" = document frequency
+    in [2, min(max(2, 4% of docs), 64)]: the RELATIVE 4% is the
+    stop-fingerprint cut (hashes half the corpus shares identify nothing,
+    like stopwords) keeping semantics SF-stable, and the ABSOLUTE 64 is
+    the block cap (the dedup_ngram_jaccard discipline) bounding every
+    bucket's pair fan-out at 64²/2 regardless of corpus pathology — on
+    the 10×-replica sf1.0 corpus the uncapped form ran 138 s (every
+    bucket holds all replicas); capped it is budget-safe.
+
+    Scale: the pair join groups by fp_hash with per-bucket size bounded
+    by the caps, the same blocked-join discipline as
+    ``dedup_near_exactjacc``/``dedup_ngram_jaccard``; fp rows are 16
+    bytes (doc_id, hash).  For graceful truncation instead of exclusion
+    above the cap, swap in the Bernoulli per-block draw + n_trunc audit
+    column demonstrated in dedup_ngram_jaccard; n_docs is a 1-row
+    broadcast fold.
+
+    Known corpus limit: the synthetic generator's ~30-word vocabulary
+    yields only ~1000 distinct 5-gram hashes corpus-wide, so on the
+    10×-replica sf1.0 corpus almost every hash exceeds the cap and the
+    capped op returns 0 pairs (the dedup_containment replica-df pathology
+    family) — real text has an open gram space and does not saturate."""
+    # cache: fp feeds THREE subplans (df-count, join side a, join side b) —
+    # uncached, the 27M-gram winnow selection recomputes per use
+    # (58 s -> ~30 s at sf1.0); rows are 16 bytes, the cache is tiny.
+    fp = (
+        _winnow_selected(spark, sf_dir).select("doc_id", "h").distinct().cache()
+    )
+    nd = fp.agg(F.countDistinct("doc_id").alias("n_docs"))
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(
+            "df >= 2 and"
+            " df <= least(greatest(2, cast(0.04 * n_docs as bigint)), 64)"
         )
-        .selectExpr("doc_id", "pos as fp_pos", "h as fp_hash")
-        .orderBy("doc_id", "fp_pos")
+        .select("h")
+    )
+    a = fp.join(rare, "h")
+    b = fp.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "h")
+        .where("doc_id < doc_b")
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where("n_shared >= 3")
+        .orderBy("doc_a", "doc_b")
     )

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "q22_dormant_customers",    # TPC-H Q22 scalar avg-acctbal fold
     "dsir_importance_resample",  # 1-row vocab/count scalars fold (staged r06)
     "lm_perplexity_score",      # 1-row vocab-size fold into the LM smoother
+    "dedup_winnow_pairs",       # 1-row n_docs fold (relative stop-fp cap)
     "dedup_ngram_jaccard",       # 1-row n_trunc_blocks audit fold (r08 cap)
     "quality_classifier_nb",    # vocab×|classes| model grid + 1-row folds (r7)
     "mixture_epoch_plan",       # 1-row weight-denominator fold (r7)

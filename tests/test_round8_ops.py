@@ -13,6 +13,7 @@ import pytest
 
 from bigdatawork_spark.operators.round8_ops import (
     dedup_segments_crossdoc,
+    dedup_winnow_pairs,
     lm_perplexity_score,
     winnow_fingerprint,
 )
@@ -187,6 +188,43 @@ def test_winnow_density_near_theoretical(spark, sf_dir, docs):
     ).sum()
     density = len(got) / total_grams
     assert 0.33 < density < 0.47  # theoretical 2/(w+1) = 0.4
+
+
+def test_winnow_pairs_matches_python_reference(spark, sf_dir, docs):
+    """Second MOSS stage re-derived in pure Python from the brute-force
+    fingerprints: rare-fingerprint (df in [2, max(2, 4% of docs)])
+    bucket join, pairs sharing >= 3."""
+    got = dedup_winnow_pairs(spark, sf_dir).toPandas()
+
+    fp_docs: dict[int, set] = {}
+    for _, r in docs[docs.text.notna()].iterrows():
+        if len(r.text) < 5:
+            continue
+        t = r.text.lower()
+        hs = {
+            int(
+                hashlib.md5(t[p - 1 : p - 1 + 5].encode()).hexdigest()[:8], 16
+            )
+            for p in _brute_winnow(r.text)
+        }
+        for h in hs:
+            fp_docs.setdefault(h, set()).add(r.doc_id)
+    n_docs = len({d for s in fp_docs.values() for d in s})
+    cap = min(max(2, int(0.04 * n_docs)), 64)
+    from collections import Counter
+
+    shared = Counter()
+    for h, ds in fp_docs.items():
+        if 2 <= len(ds) <= cap:
+            ds = sorted(ds)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    shared[(a, b)] += 1
+    expect = {p for p, c in shared.items() if c >= 3}
+    assert {(r.doc_a, r.doc_b) for _, r in got.iterrows()} == expect
+    for _, r in got.iterrows():
+        assert r.n_shared == shared[(r.doc_a, r.doc_b)]
+    assert len(expect) > 0
 
 
 def test_winnow_local_edit_perturbs_o1_fingerprints(spark, sf_dir):
