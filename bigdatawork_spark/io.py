@@ -64,6 +64,18 @@ _CLUSTER_KEYS = {
     "events": ("user_id", 8),
     "orders": ("o_orderkey", None),
     "lineitem": ("l_orderkey", None),
+    # documents/embeddings are SMALL FILES with FAT ROWS: one ~5 MB
+    # parquet file even at synthetic sf1.0 → a 1-2 partition cache, so
+    # every explode / Arrow-BLAS pass over them ran 1-2 tasks wide.  Like
+    # events, they want a FIXED LOW count, not per-core: the r08 sf1.0
+    # sweep (median-of-5 warm) measured wordcount 0.62/0.37/0.27/0.28/0.38
+    # and the dedup_exact sha2-group 0.45/0.26/0.22/0.33/0.61 at
+    # plain/4/8/16/32 partitions — wide fan-out shreds the all-distinct
+    # hash-group shuffle into tiny blocks and multiplies task dispatch,
+    # while 8 keeps every doc consumer near its optimum.  embeddings'
+    # mapInPandas BLAS scorer: 0.50/0.47/0.43/0.52 at plain/2/8/32.
+    "documents": ("doc_id", 8),
+    "embeddings": ("vec_id", 8),
 }
 
 
