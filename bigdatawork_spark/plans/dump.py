@@ -31,6 +31,9 @@ HEADLINE_NOTES = {
 
 
 EXTRA_NOTES = {
+    "winnow_fingerprint": "MOSS winnowing in ONE Window pass: repartition(doc_id) BEFORE the 27M-gram explode (spreads md5 hashing AND pre-satisfies the window partitioning — no exploded-row exchange), six lag/leads + rightmost-min reach predicate, no per-window expansion",
+    "dedup_winnow_pairs": "winnowing stage 2: cached 16-byte fp rows, capped rare-fp bucket self-join (df in [2, min(4% docs, 64)]) — bounded pair fan-out per bucket, n_docs via 1-row broadcast fold",
+    "lm_perplexity_score": "corpus explodes ONCE into bigram pairs; model = two keyed aggs (grams+counts shuffles); scoring join per-bigram with the vocab size folded in as a 1-row broadcast",
     "subquery_scalar_q17": "correlated scalar subquery, hand-decorrelated: ONE per-part aggregate joined back (AQE broadcasts it when small) — no per-row re-execution",
     "subquery_exists_q4": "EXISTS as LEFT SEMI join with mixed equi + non-equi date condition; semi join dedups multi-line matches without DISTINCT",
     "q10_returned_items": "both fact filters pushed to their scans; top-20 via TakeOrderedAndProject",
