@@ -10,6 +10,8 @@ import math
 
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from bigdatawork_spark.operators.round8_ops import (
     dedup_segments_crossdoc,
@@ -124,6 +126,73 @@ def test_dedup_segments_cleaned_text_is_subsequence(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# dedup_repeated_spans — pure-Python repeated-substring re-derivation
+# --------------------------------------------------------------------------
+
+
+def test_repeated_spans_matches_python_reference(spark, sf_dir, docs):
+    from bigdatawork_spark.operators.round8_ops import dedup_repeated_spans
+
+    got = dedup_repeated_spans(spark, sf_dir).toPandas()
+
+    from collections import Counter
+
+    K, MIN_SPAN = 20, 50
+    occ = Counter()
+    texts = {}
+    for _, r in docs[docs.text.notna()].iterrows():
+        if len(r.text) < K:
+            continue
+        t = r.text.lower()
+        texts[r.doc_id] = t
+        for i in range(len(t) - K + 1):
+            occ[t[i : i + K]] += 1
+    expect = []
+    for doc_id, t in texts.items():
+        marked = [
+            i + 1
+            for i in range(len(t) - K + 1)
+            if occ[t[i : i + K]] >= 2
+        ]
+        # gaps-and-islands
+        start = None
+        prev = None
+        for p in marked + [None]:
+            if start is None:
+                start = prev = p
+                continue
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            end = prev + K - 1
+            if end - start + 1 >= MIN_SPAN:
+                expect.append((doc_id, start, end, end - start + 1))
+            start = prev = p
+    expect.sort()
+    assert (
+        [tuple(r) for r in got.itertuples(index=False)] == expect
+    )
+    assert len(expect) > 0
+
+
+def test_repeated_spans_are_actually_repeated(spark, sf_dir, docs):
+    """Every reported span's text occurs at least twice in the corpus
+    (the defining property), checked literally on a sample."""
+    from bigdatawork_spark.operators.round8_ops import dedup_repeated_spans
+
+    got = dedup_repeated_spans(spark, sf_dir).toPandas().head(20)
+    corpus = "\x00".join(
+        t.lower() for t in docs[docs.text.notna()].text
+    )
+    by_id = docs.set_index("doc_id")
+    for _, r in got.iterrows():
+        # the span's first 20-gram must occur >= 2 times corpus-wide
+        t = by_id.loc[r.doc_id, "text"].lower()
+        gram = t[r.span_start - 1 : r.span_start - 1 + 20]
+        assert corpus.count(gram) >= 2, (r.doc_id, gram)
+
+
+# --------------------------------------------------------------------------
 # winnow_fingerprint — brute-force per-window winnowing reference
 # --------------------------------------------------------------------------
 
@@ -225,6 +294,50 @@ def test_winnow_pairs_matches_python_reference(spark, sf_dir, docs):
     for _, r in got.iterrows():
         assert r.n_shared == shared[(r.doc_a, r.doc_b)]
     assert len(expect) > 0
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefg h"),  # small alphabet: dense ties
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_fuzz_random_strings_vs_bruteforce(spark, texts):
+    """Hypothesis fuzz of the reach-arithmetic winnowing against the
+    brute-force per-window rule on RANDOM short strings over a tiny
+    alphabet (maximizing hash ties and boundary cases: docs shorter than
+    k, shorter than one window, exactly one window).  The operator is
+    re-pointed at an inline table through a temp view of the same shape."""
+    from bigdatawork_spark.operators.round8_ops import _winnow_selected
+    import bigdatawork_spark.operators.round8_ops as r8
+    from bigdatawork_spark import io as bio
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    orig_load = r8.load
+    try:
+        r8.load = lambda sp, sf, name: sdf  # inject the fuzz corpus
+        got = (
+            _winnow_selected(spark, "unused")
+            .toPandas()
+            .groupby("doc_id")["pos"]
+            .apply(set)
+            .to_dict()
+        )
+    finally:
+        r8.load = orig_load
+    for i, t in rows:
+        assert got.get(i, set()) == _brute_winnow(t), (i, t)
 
 
 def test_winnow_local_edit_perturbs_o1_fingerprints(spark, sf_dir):
