@@ -425,6 +425,146 @@ def dedup_repeated_spans(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_spans_removal",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         md5(substr(lower(text), CAST(i AS INTEGER), 20)) AS h
+  FROM documents, unnest(generate_series(1, length(text) - 19)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 20
+),
+rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+           AS grp
+  FROM g JOIN rep USING (h)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+  FROM marked GROUP BY doc_id, grp
+  HAVING MAX(pos) + 19 - MIN(pos) + 1 >= 50
+),
+bounds AS (
+  SELECT doc_id, s, e,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+  FROM spans
+),
+pieces AS (
+  SELECT b.doc_id, b.rn,
+         substr(lower(d.text), CAST(b.prev_e + 1 AS INTEGER),
+                CAST(GREATEST(b.s - b.prev_e - 1, 0) AS INTEGER)) AS piece
+  FROM bounds b JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, t.rn,
+         substr(lower(d.text), CAST(t.last_e + 1 AS INTEGER)) AS piece
+  FROM (SELECT doc_id, MAX(e) AS last_e, MAX(rn) + 1 AS rn
+        FROM bounds GROUP BY doc_id) t
+  JOIN documents d USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY rn) AS ctext,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_cut
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_cut, 0) AS n_cut_spans,
+       COALESCE(c.ctext, lower(d.text)) AS cleaned_text,
+       CAST(length(COALESCE(c.ctext, lower(d.text))) AS BIGINT)
+         AS cleaned_len
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+WHERE d.text IS NOT NULL
+ORDER BY d.doc_id
+""",
+)
+def dedup_spans_removal(spark, sf_dir):
+    """The REMOVAL stage of the Lee et al. exact-substring pipeline: apply
+    ``dedup_repeated_spans``'s cut list to the corpus — excise every
+    >=50-char repeated span from every document (the conservative
+    all-copies policy; keep-first needs a global span ranking, a one-line
+    change on the spans relation) and emit the cleaned text with audit
+    counts.  Untouched documents pass through; fully-repeated documents
+    come out empty (length filter downstream).  Gap extraction guards
+    GREATEST(len, 0) in BOTH engines: adjacent islands can overlap in
+    CHARS (k-1 smear) while being distinct at gram-position level.
+
+    Scale: the span list re-derives (same shapes as dedup_repeated_spans
+    — hashed repeat agg, hash-keyed mark join, one window per doc); the
+    cut application is a per-doc window over the doc's OWN spans (tiny
+    partitions) + one ordered collect per doc; the corpus text moves
+    through exactly one join keyed on doc_id.  No driver-side state."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null")
+        .select("doc_id", F.lower("text").alias("lt"))
+        .cache()
+    )
+    g = (
+        d.filter("length(lt) >= 20")
+        .repartition("doc_id")
+        .selectExpr("doc_id", "explode(sequence(1, length(lt) - 19)) as pos", "lt")
+        .selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+        .cache()
+    )
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where("cnt >= 2")
+    spans = (
+        g.join(rep.select("h"), "h")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            "pos - row_number() over (partition by doc_id order by pos) as grp",
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 19).alias("e"))
+        .where("e - s + 1 >= 50")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    bounds = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.coalesce(F.lag("e").over(w), F.lit(0)).alias("prev_e"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gap_pieces = bounds.join(d, "doc_id").selectExpr(
+        "doc_id",
+        "rn",
+        "substring(lt, cast(prev_e + 1 as int),"
+        " cast(greatest(s - prev_e - 1, 0) as int)) as piece",
+    )
+    tail_pieces = (
+        bounds.groupBy("doc_id")
+        .agg(F.max("e").alias("last_e"), (F.max("rn") + 1).alias("rn"))
+        .join(d, "doc_id")
+        .selectExpr(
+            "doc_id", "rn", "substring(lt, cast(last_e + 1 as int)) as piece"
+        )
+    )
+    cleaned = (
+        gap_pieces.unionByName(tail_pieces)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, piece))), x -> x.piece), '')"
+            ).alias("ctext"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cut"),
+        )
+    )
+    return (
+        d.join(cleaned, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_cut, 0L) as n_cut_spans",
+            "coalesce(ctext, lt) as cleaned_text",
+            "cast(length(coalesce(ctext, lt)) as bigint) as cleaned_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _WINNOW_FP_CTE = """
 WITH g AS (
   SELECT doc_id, i AS pos,

@@ -192,6 +192,60 @@ def test_repeated_spans_are_actually_repeated(spark, sf_dir, docs):
         assert corpus.count(gram) >= 2, (r.doc_id, gram)
 
 
+def test_spans_removal_matches_python_reference(spark, sf_dir, docs):
+    """Span EXCISION re-derived in pure Python: recompute the >=50-char
+    repeated spans, cut them out of each doc, compare text + counts —
+    including the untouched-passthrough and the fully-repeated->empty
+    cases and the k-1 char smear between position-adjacent islands."""
+    from bigdatawork_spark.operators.round8_ops import dedup_spans_removal
+
+    got = dedup_spans_removal(spark, sf_dir).toPandas().set_index("doc_id")
+
+    from collections import Counter
+
+    K, MIN_SPAN = 20, 50
+    occ = Counter()
+    texts = {}
+    for _, r in docs[docs.text.notna()].iterrows():
+        t = r.text.lower()
+        texts[r.doc_id] = t
+        for i in range(max(len(t) - K + 1, 0)):
+            occ[t[i : i + K]] += 1
+    n_with_cuts = 0
+    for doc_id, t in texts.items():
+        marked = [
+            i + 1
+            for i in range(max(len(t) - K + 1, 0))
+            if occ[t[i : i + K]] >= 2
+        ]
+        spans = []
+        start = prev = None
+        for p in marked + [None]:
+            if start is None:
+                start = prev = p
+                continue
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            end = prev + K - 1
+            if end - start + 1 >= MIN_SPAN:
+                spans.append((start, end))
+            start = prev = p
+        cleaned, cursor = [], 0  # cursor = last cut END (0-based exclusive)
+        for s, e in spans:
+            cleaned.append(t[cursor : max(s - 1, cursor)])
+            cursor = max(e, cursor)
+        cleaned.append(t[cursor:])
+        ctext = "".join(cleaned)
+        row = got.loc[doc_id]
+        assert row["n_cut_spans"] == len(spans), doc_id
+        assert row["cleaned_text"] == ctext, doc_id
+        assert row["cleaned_len"] == len(ctext)
+        n_with_cuts += bool(spans)
+    assert n_with_cuts > 0
+    assert set(texts) == set(got.index)
+
+
 # --------------------------------------------------------------------------
 # winnow_fingerprint — brute-force per-window winnowing reference
 # --------------------------------------------------------------------------
