@@ -58,6 +58,13 @@ EXTENDED = [
     "vocab_build",
     "char_ngram_profile",
     "bpe_train_merges",
+    # round-8 curation set
+    "lm_perplexity_score",
+    "dedup_segments_crossdoc",
+    "winnow_fingerprint",
+    "dedup_winnow_pairs",
+    "dedup_repeated_spans",
+    "dedup_spans_removal",
 ]
 
 
