@@ -75,18 +75,27 @@ def lm_perplexity_score(spark, sf_dir):
     cardinality (≪ corpus at 100 TB, broadcastable after frequency
     pruning).  V is a 1-row aggregate, joined via broadcast."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bigram_nll_scores(d).orderBy("doc_id")
+
+
+def bigram_nll_scores(d, id_col: str = "doc_id", col: str = "text"):
+    """DataFrame-level bigram-LM scorer (the ``lm_perplexity_score`` body,
+    reusable from the pipeline API's ``perplexity_gate`` stage): returns
+    (id_col, n_bigrams, avg_nll, ppl), unordered — docs with < 2 words
+    carry no bigrams and are absent (gate stages must LEFT-join and keep
+    them)."""
     words = d.selectExpr(
-        "doc_id", "filter(split(lower(text), ' '), x -> x != '') as ws"
+        f"{id_col}", f"filter(split(lower({col}), ' '), x -> x != '') as ws"
     )
     pairs = (
         words.where("size(ws) >= 2")
         .selectExpr(
-            "doc_id",
+            f"{id_col}",
             "explode(zip_with(slice(ws, 1, size(ws) - 1),"
             " slice(ws, 2, size(ws) - 1), (a, b) -> struct(a as w1, b as w2)))"
             " as p",
         )
-        .select("doc_id", "p.w1", "p.w2")
+        .select(id_col, "p.w1", "p.w2")
     )
     vocab = words.selectExpr("explode(ws) as word").agg(
         F.countDistinct("word").alias("vocab")
@@ -100,15 +109,14 @@ def lm_perplexity_score(spark, sf_dir):
     )
     return (
         pairs.join(model, ["w1", "w2"])
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(-F.avg("lp"), 6).alias("avg_nll"),
         )
         .selectExpr(
-            "doc_id", "n_bigrams", "avg_nll", "round(exp(avg_nll), 4) as ppl"
+            f"{id_col}", "n_bigrams", "avg_nll", "round(exp(avg_nll), 4) as ppl"
         )
-        .orderBy("doc_id")
     )
 
 
@@ -495,56 +503,61 @@ def dedup_spans_removal(spark, sf_dir):
     cut application is a per-doc window over the doc's OWN spans (tiny
     partitions) + one ordered collect per doc; the corpus text moves
     through exactly one join keyed on doc_id.  No driver-side state."""
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter("text is not null")
-        .select("doc_id", F.lower("text").alias("lt"))
-        .cache()
-    )
+    d = load(spark, sf_dir, "documents").filter("text is not null")
+    return excise_repeated_spans(d).orderBy("doc_id")
+
+
+def excise_repeated_spans(df, id_col: str = "doc_id", col: str = "text"):
+    """DataFrame-level repeated-span excision (the ``dedup_spans_removal``
+    body, reusable from the pipeline API): returns
+    (id_col, n_cut_spans, cleaned_text, cleaned_len), unordered, one row
+    per non-NULL-text input row."""
+    d = df.select(id_col, F.lower(col).alias("lt")).cache()
     g = (
         d.filter("length(lt) >= 20")
-        .repartition("doc_id")
-        .selectExpr("doc_id", "explode(sequence(1, length(lt) - 19)) as pos", "lt")
-        .selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+        .repartition(id_col)
+        .selectExpr(id_col, "explode(sequence(1, length(lt) - 19)) as pos", "lt")
+        .selectExpr(id_col, "pos", "md5(substring(lt, pos, 20)) as h")
         .cache()
     )
     rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where("cnt >= 2")
     spans = (
         g.join(rep.select("h"), "h")
         .selectExpr(
-            "doc_id",
+            id_col,
             "pos",
-            "pos - row_number() over (partition by doc_id order by pos) as grp",
+            f"pos - row_number() over (partition by {id_col} order by pos)"
+            " as grp",
         )
-        .groupBy("doc_id", "grp")
+        .groupBy(id_col, "grp")
         .agg(F.min("pos").alias("s"), (F.max("pos") + 19).alias("e"))
         .where("e - s + 1 >= 50")
     )
-    w = Window.partitionBy("doc_id").orderBy("s")
+    w = Window.partitionBy(id_col).orderBy("s")
     bounds = spans.select(
-        "doc_id",
+        id_col,
         "s",
         "e",
         F.coalesce(F.lag("e").over(w), F.lit(0)).alias("prev_e"),
         F.row_number().over(w).alias("rn"),
     )
-    gap_pieces = bounds.join(d, "doc_id").selectExpr(
-        "doc_id",
+    gap_pieces = bounds.join(d, id_col).selectExpr(
+        id_col,
         "rn",
         "substring(lt, cast(prev_e + 1 as int),"
         " cast(greatest(s - prev_e - 1, 0) as int)) as piece",
     )
     tail_pieces = (
-        bounds.groupBy("doc_id")
+        bounds.groupBy(id_col)
         .agg(F.max("e").alias("last_e"), (F.max("rn") + 1).alias("rn"))
-        .join(d, "doc_id")
+        .join(d, id_col)
         .selectExpr(
-            "doc_id", "rn", "substring(lt, cast(last_e + 1 as int)) as piece"
+            id_col, "rn", "substring(lt, cast(last_e + 1 as int)) as piece"
         )
     )
     cleaned = (
         gap_pieces.unionByName(tail_pieces)
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.expr(
                 "array_join(transform(array_sort(collect_list("
@@ -553,15 +566,11 @@ def dedup_spans_removal(spark, sf_dir):
             (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cut"),
         )
     )
-    return (
-        d.join(cleaned, "doc_id", "left")
-        .selectExpr(
-            "doc_id",
-            "coalesce(n_cut, 0L) as n_cut_spans",
-            "coalesce(ctext, lt) as cleaned_text",
-            "cast(length(coalesce(ctext, lt)) as bigint) as cleaned_len",
-        )
-        .orderBy("doc_id")
+    return d.join(cleaned, id_col, "left").selectExpr(
+        id_col,
+        "coalesce(n_cut, 0L) as n_cut_spans",
+        "coalesce(ctext, lt) as cleaned_text",
+        "cast(length(coalesce(ctext, lt)) as bigint) as cleaned_len",
     )
 
 

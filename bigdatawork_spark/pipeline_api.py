@@ -264,6 +264,56 @@ class CurationPipeline:
 
         return self.stage(f"mixture_temperature({source_col})", mix)
 
+    def perplexity_gate(
+        self, max_ppl: float, id_col: str = "doc_id", col: str = "text"
+    ) -> "CurationPipeline":
+        """Drop documents whose in-corpus bigram-LM perplexity exceeds
+        ``max_ppl`` — the CCNet quality cut as a stage, scored by the
+        shared ``round8_ops.bigram_nll_scores`` body (one policy site
+        with the lm_perplexity_score operator).  Documents with < 2 words
+        carry no bigrams, hence no score: they are KEPT (length gates are
+        a separate stage's job).  Two keyed aggregations + one per-bigram
+        join; shuffles carry grams+counts, never documents."""
+        from .operators.round8_ops import bigram_nll_scores
+
+        def gate(df: DataFrame) -> DataFrame:
+            scores = bigram_nll_scores(df, id_col=id_col, col=col)
+            return (
+                df.join(
+                    scores.select(id_col, "ppl"), id_col, "left"
+                )
+                .filter(F.coalesce(F.col("ppl") <= max_ppl, F.lit(True)))
+                .drop("ppl")
+            )
+
+        return self.stage(f"perplexity_gate(<={max_ppl})", gate)
+
+    def remove_repeated_spans(
+        self, id_col: str = "doc_id", col: str = "text"
+    ) -> "CurationPipeline":
+        """Excise every >=50-char exactly-repeated span (Lee et al.
+        exact-substring dedup at 20-gram anchor resolution) from ``col``,
+        in place, via the shared ``round8_ops.excise_repeated_spans``
+        body.  NOTE: the replacement text is lower-cased (the span hashes
+        are case-folded, so the reassembly is too); fully-repeated docs
+        become empty strings — follow with a length gate."""
+        from .operators.round8_ops import excise_repeated_spans
+
+        def cut(df: DataFrame) -> DataFrame:
+            cleaned = excise_repeated_spans(df, id_col=id_col, col=col)
+            return (
+                df.drop(col)
+                .join(
+                    cleaned.selectExpr(
+                        id_col, f"cleaned_text as {col}"
+                    ),
+                    id_col,
+                    "left",
+                )
+            )
+
+        return self.stage("remove_repeated_spans", cut)
+
     def describe(self) -> list[str]:
         """Stage names in application order (for audit logging)."""
         return [name for name, _ in self._stages]

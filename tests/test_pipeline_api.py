@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from bigdatawork_spark.io import load
 from bigdatawork_spark.pipeline_api import CurationPipeline
+from bigdatawork_spark.registry import QUERIES
 
 
 def test_describe_preserves_order():
@@ -166,3 +167,48 @@ def test_full_stack_pipeline_composes(spark, sf_dir):
     out = pipe.apply(docs)
     assert out.where("split = 'train'").count() > 0
     assert "chunk_text" in out.columns
+
+
+def test_perplexity_gate_stage_matches_operator(spark, sf_dir):
+    """The gate keeps exactly the docs the lm_perplexity_score operator
+    scores at or below the threshold (plus any unscored <2-word docs)."""
+    docs = load(spark, sf_dir, "documents")
+    thr = 30.2
+    kept = set(
+        r["doc_id"]
+        for r in CurationPipeline()
+        .perplexity_gate(thr)
+        .apply(docs)
+        .select("doc_id")
+        .collect()
+    )
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in QUERIES["lm_perplexity_score"](spark, sf_dir).collect()
+    }
+    want = {d for d, p in scored.items() if p <= thr} | (
+        set(r["doc_id"] for r in docs.select("doc_id").collect())
+        - set(scored)
+    )
+    assert kept == want
+    assert 0 < len(kept) < docs.count()
+
+
+def test_remove_repeated_spans_stage_matches_operator(spark, sf_dir):
+    """The in-place span-removal stage produces exactly the operator's
+    cleaned_text for every doc (case-folded by contract)."""
+    docs = load(spark, sf_dir, "documents")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in CurationPipeline()
+        .remove_repeated_spans()
+        .apply(docs)
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in QUERIES["dedup_spans_removal"](spark, sf_dir).collect()
+    }
+    assert out == want
+    assert any(v == "" for v in out.values())  # fully-repeated docs
