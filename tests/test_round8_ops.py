@@ -246,6 +246,60 @@ def test_spans_removal_matches_python_reference(spark, sf_dir, docs):
     assert set(texts) == set(got.index)
 
 
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),  # 4-word vocab: dense collisions
+            min_size=0,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_segment_dedup_fuzz_vs_python(spark, texts):
+    """Hypothesis fuzz of the cross-doc segment dedup on random tiny-vocab
+    corpora (maximizing boilerplate collisions and edge cases: empty
+    texts, docs shorter than one segment, every-segment-boilerplate)."""
+    import bigdatawork_spark.operators.round8_ops as r8
+    from bigdatawork_spark.operators.round8_ops import dedup_segments_crossdoc
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = r8.load
+    try:
+        r8.load = lambda sp, sf, name: sdf
+        got = (
+            dedup_segments_crossdoc(spark, "x").toPandas().set_index("doc_id")
+        )
+    finally:
+        r8.load = orig
+
+    seg_docs: dict[str, set] = {}
+    doc_segs = {}
+    for i, t in rows:
+        ws = _words(t)
+        if not ws:
+            continue
+        segs = _segments(ws)
+        doc_segs[i] = segs
+        for s in segs:
+            seg_docs.setdefault(s, set()).add(i)
+    boiler = {s for s, d in seg_docs.items() if len(d) >= 3}
+    for i, segs in doc_segs.items():
+        kept = [s for s in segs if s not in boiler]
+        row = got.loc[i]
+        assert row["n_seg"] == len(segs)
+        assert row["n_kept"] == len(kept)
+        assert row["cleaned_text"] == " ".join(kept)
+    assert set(doc_segs) == set(got.index)
+
+
 def test_heavy_hitters_exact_beyond_sketch_capacity(spark):
     """The MG guarantee under adversarial load: a 500-word vocabulary
     (>> the m=64 sketch capacity) with 20 planted heavy words — the
