@@ -248,6 +248,63 @@ def test_spans_removal_matches_python_reference(spark, sf_dir, docs):
 
 @given(
     texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=0,
+                max_size=20,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_perplexity_fuzz_vs_python(spark, texts):
+    """Hypothesis fuzz of the bigram-LM scorer on random tiny-vocab
+    corpora incl. NULL texts, empty texts, and single-word docs (no
+    bigrams → absent from the output by contract)."""
+    import bigdatawork_spark.operators.round8_ops as r8
+    from bigdatawork_spark.operators.round8_ops import lm_perplexity_score
+    from collections import Counter
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = r8.load
+    try:
+        r8.load = lambda sp, sf, name: sdf
+        got = lm_perplexity_score(spark, "x").toPandas().set_index("doc_id")
+    finally:
+        r8.load = orig
+
+    bi, ctx, vocab, per_doc = Counter(), Counter(), set(), {}
+    for i, t in rows:
+        if t is None:
+            continue
+        ws = _words(t)
+        vocab.update(ws)
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            per_doc[i] = pairs
+            bi.update(pairs)
+            for w1, _ in pairs:
+                ctx[w1] += 1
+    v = len(vocab)
+    assert set(per_doc) == set(got.index)
+    for i, pairs in per_doc.items():
+        nll = -sum(
+            math.log((bi[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in pairs
+        ) / len(pairs)
+        assert abs(got.loc[i, "avg_nll"] - nll) < 1e-5, (i, texts[i])
+
+
+@given(
+    texts=st.lists(
         st.lists(
             st.sampled_from(["aa", "bb", "cc", "dd"]),  # 4-word vocab: dense collisions
             min_size=0,
