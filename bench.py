@@ -166,44 +166,104 @@ def _materialize(df):
     )
 
 
-def _bench_duckdb(keys, runs: int) -> dict[str, float] | None:
-    """Time the headline shapes' oracle SQL through DuckDB over the SAME
-    sf1.0 parquet, warm, via the mirrored whole-row hash aggregate (see
-    MATERIALIZATION) — the BASELINE.md matched-scale protocol."""
-    from bigdatawork_spark.registry import ORACLES
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
+    """Matched-scale adjudication as the median of ``passes`` full
+    INTERLEAVED batch passes (VERDICT r08 item 1).
+
+    Each pass times one full DuckDB batch then one full Spark batch over
+    the same sf1.0 parquet — engines alternate per PASS, never per
+    campaign — so host weather during any single pass lands on both
+    engines' totals, and the reported ``ratio_vs_duckdb`` is the median of
+    the per-pass ratios: one weather-y pass cannot decide the gate.  Both
+    engines stay warm across passes (views/caches built once, one untimed
+    warm run per key per engine before pass 1).
+
+    Returns None only if DuckDB or an oracle is unavailable (the caller
+    then records a spark-only section).
+    """
+    from bigdatawork_spark.registry import ORACLES, QUERIES
     from bigdatawork_spark.schemas import TABLES
 
-    con = None
     try:
         import duckdb
+    except Exception:
+        return None
+    if any(ORACLES.get(k) is None for k in keys):
+        return None  # a headline key without an oracle breaks parity
 
-        con = duckdb.connect()
+    con = duckdb.connect()
+    try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF1_DIR}/{t}.parquet')"
             )
-        out: dict[str, float] = {}
-        for key in keys:
-            sql = ORACLES.get(key)
-            if sql is None:
-                return None  # a headline key without an oracle breaks parity
-            wrapped = f"SELECT bit_xor(hash(q)) FROM ({sql}) q"
-            con.execute(wrapped).fetchone()  # untimed warm run
-            times = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.execute(wrapped).fetchone()
-                times.append(time.perf_counter() - t0)
-            out[key] = round(sorted(times)[len(times) // 2], 4)
-        return out
+        wrapped = {
+            k: f"SELECT bit_xor(hash(q)) FROM ({ORACLES[k]}) q" for k in keys
+        }
+        # One untimed warm run per key per engine (DuckDB buffer pool /
+        # Spark codegen+broadcast build are one-time costs the BASELINE
+        # protocol has always excluded on both sides).
+        for k in keys:
+            con.execute(wrapped[k]).fetchone()
+            _materialize(QUERIES[k](spark, SF1_DIR))
+
+        # Within a pass each key gets RUNS_IN_PASS consecutive timed runs
+        # and contributes its median — applied IDENTICALLY to both engines.
+        # Measured (BASELINE.md r10): the first run after switching query
+        # shapes pays a ~2× JVM code-locality penalty that recovers by run
+        # 2 (steady-state batch 4.5 s vs 8.4 s of all-first-runs); DuckDB
+        # shows a smaller (~15%) switch effect.  Medians-of-consecutive
+        # time both engines at their steady state, which is what a
+        # long-running cluster executing recurring query shapes sees; the
+        # PASS-level engine alternation still shares host weather.
+        RUNS_IN_PASS = 3
+        duck_t: dict[str, list] = {k: [] for k in keys}
+        spark_t: dict[str, list] = {k: [] for k in keys}
+        pass_ratios = []
+        for _ in range(passes):
+            d_total = s_total = 0.0
+            for k in keys:
+                ts = []
+                for _ in range(RUNS_IN_PASS):
+                    t0 = time.perf_counter()
+                    con.execute(wrapped[k]).fetchone()
+                    ts.append(time.perf_counter() - t0)
+                dt = _median(ts)
+                duck_t[k].append(dt)
+                d_total += dt
+            for k in keys:
+                ts = []
+                for _ in range(RUNS_IN_PASS):
+                    t0 = time.perf_counter()
+                    _materialize(QUERIES[k](spark, SF1_DIR))
+                    ts.append(time.perf_counter() - t0)
+                st = _median(ts)
+                spark_t[k].append(st)
+                s_total += st
+            pass_ratios.append(round(s_total / d_total, 3))
+
+        duck_q = {k: round(_median(v), 4) for k, v in duck_t.items()}
+        spark_q = {k: round(_median(v), 4) for k, v in spark_t.items()}
+        return {
+            "passes": passes,
+            "pass_ratios": pass_ratios,
+            "ratio_vs_duckdb": _median(pass_ratios),
+            "spark_sec": round(sum(spark_q.values()), 4),
+            "spark_queries": spark_q,
+            "duckdb_sec": round(sum(duck_q.values()), 4),
+            "duckdb_queries": duck_q,
+        }
     except Exception:
         return None
     finally:
-        # always release the buffer pool before the Spark-side timing —
-        # including on the missing-oracle early return and on errors
-        if con is not None:
-            con.close()
+        con.close()
 
 
 def _warmup(spark, keys) -> None:
@@ -296,44 +356,47 @@ def main() -> None:
         # sf0.1 results above (r05 review).
         try:
             if _ensure_sf1(sf_dir):
-                duck_q = _bench_duckdb(keys, max(runs, 5))
+                passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES",
+                                                   "5")))
                 _fill_cache(spark, SF1_DIR)
-                # Scale-sized shuffle parallelism for the 10×-data phase:
-                # AQE starts at 64 partitions and coalesces to the advisory
-                # size — the documented sizing policy (session.py:
-                # partitions ~2-3× cores at scale).  Measured −11% on the
-                # sf1.0 batch; the same setting REGRESSES sf0.1 +29%
-                # (task-dispatch floor), so it is phase-scoped, not a
-                # session default (A/B recorded in BASELINE.md round 5).
-                spark.conf.set(
-                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                    "64",
+                # The r05 initialPartitionNum=64 phase conf is GONE (r10
+                # re-A/B, BASELINE.md): it predated the r08 key-clustered
+                # 8-partition caches and now SHREDS their co-partitioned
+                # joins — steady-state sf1.0 batch 4.2-4.5 s with it vs
+                # 3.0-3.2 s without (Q5 alone 1.02-1.09 → 0.44-0.52 s),
+                # and it was the main source of the Q5 run-to-run spread
+                # VERDICT r08 flagged.  The phase now runs under the
+                # session default (AQE initial = shuffle.partitions),
+                # which matches the cache clustering; at cluster scale the
+                # same knob is sized via SPARK_GRAFT_SHUFFLE (session.py).
+                sf1 = _sf1_interleaved(spark, keys, passes)
+                if sf1 is None:
+                    # DuckDB/oracle unavailable — record spark-only timings
+                    sf1 = {
+                        "spark_queries": time_keys(keys, SF1_DIR,
+                                                   n_runs=max(runs, 5)),
+                    }
+                    sf1["spark_sec"] = round(sum(sf1["spark_queries"]
+                                                 .values()), 4)
+                sf1["protocol"] = (
+                    "synthetic sf1.0 (tools/synth_scale.py x10, key-shifted),"
+                    " both engines warm; MEDIAN OF %d FULL INTERLEAVED BATCH"
+                    " PASSES — each pass times one full DuckDB batch then one"
+                    " full Spark batch (engines alternate per pass, never per"
+                    " campaign), ratio_vs_duckdb = median of per-pass ratios"
+                    " (VERDICT r08 item 1); inside a pass each key gets 3"
+                    " consecutive timed runs and contributes its median, on"
+                    " BOTH engines symmetrically (steady-state timing; the"
+                    " first run after a query-shape switch pays a ~2x JVM"
+                    " code-locality penalty — measured A/B in BASELINE.md"
+                    " r10); both engines materialized via the whole-row hash"
+                    " aggregate (see 'materialization'); Spark sf1.0 phase"
+                    " runs under the session-default AQE partitioning — the"
+                    " r05 initialPartitionNum=64 override was re-A/B'd and"
+                    " REMOVED in r10 (it predated the r08 key-clustered"
+                    " caches and shredded their co-partitioned joins, ~35%%"
+                    " on the batch; BASELINE.md r10)" % passes
                 )
-                try:
-                    spark_q = time_keys(keys, SF1_DIR, n_runs=max(runs, 5))
-                finally:
-                    spark.conf.unset(
-                        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-                    )
-                spark_total = round(sum(spark_q.values()), 4)
-                sf1: dict = {
-                    "protocol": "synthetic sf1.0 (tools/synth_scale.py x10, "
-                    "key-shifted), both engines warm, median of "
-                    "max(runs_per_query, 5), both engines materialized via "
-                    "the whole-row hash aggregate (see 'materialization'); "
-                    "Spark sf1.0 phase runs with AQE initialPartitionNum=64 "
-                    "(scale-sized shuffle, see BASELINE.md r05 A/B)",
-                    "spark_sec": spark_total,
-                    "spark_queries": spark_q,
-                }
-                if duck_q is not None:
-                    duck_total = round(sum(duck_q.values()), 4)
-                    sf1["duckdb_sec"] = duck_total
-                    sf1["duckdb_queries"] = duck_q
-                    if duck_total > 0:
-                        sf1["ratio_vs_duckdb"] = round(
-                            spark_total / duck_total, 3
-                        )
                 payload["sf1_0"] = sf1
         except Exception as ex:
             payload["sf1_0_error"] = f"{type(ex).__name__}: {ex}"[:200]

@@ -162,12 +162,22 @@ def dedup_near_exactjacc(spark, sf_dir):
 def dedup_near_minhash(spark, sf_dir):
     """Near-dup pairs via MinHash-LSH over 3-word shingles (Spark ML
     RegexTokenizer→NGram→HashingTF→MinHashLSH.approxSimilarityJoin) — the
-    ≥10⁶-document path: candidate pairs come from LSH band buckets, never
-    an all-pairs join.  Seeded for determinism; verified in tests for recall
-    ⊇ the exact-Jaccard twin's pairs."""
+    ≥10⁶-document path SHAPE: candidate pairs come from LSH band buckets,
+    never an all-pairs join.  Seeded for determinism; verified in tests for
+    recall ⊇ the exact-Jaccard twin's pairs.  Size-guarded (VERDICT r08
+    item 3): as a SINGLE-STAGE self-join it saturates band buckets on
+    exact-replica-heavy corpora (SCALE.md §8 measured >45 s at 50k replica
+    docs); production corpora go through ``dedup_ladder``, whose exact
+    pre-pass collapses replicas before this same LSH pipeline runs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    guard_twin_size(
+        d, "dedup_near_minhash", "dedup_ladder",
+        reason="a single-stage LSH self-join verification twin — without "
+               "dedup_ladder's exact pre-pass, replica-heavy corpora "
+               "saturate its band buckets (SCALE.md §8)",
+    )
     tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
     ngram = NGram(n=3, inputCol="words", outputCol="shingles")
     tf = HashingTF(
@@ -197,17 +207,22 @@ TWIN_MAX_ROWS = 50_000
 
 
 def guard_twin_size(df: DataFrame, key: str, production_key: str,
-                    limit: int = TWIN_MAX_ROWS) -> None:
-    """Raise if a quadratic verification twin is pointed at a corpus too
-    large for an all-pairs plan.  Eager by design (one cheap ``count()``
-    of the input table at build time — the table is footer-counted by
-    parquet or already cached in the bench/driver protocol): a user who
-    hits the ceiling is told the production key to use instead."""
+                    limit: int = TWIN_MAX_ROWS,
+                    reason: str | None = None) -> None:
+    """Raise if a verification twin is pointed at a corpus too large for
+    its plan.  Eager by design (one cheap ``count()`` of the input table
+    at build time — the table is footer-counted by parquet or already
+    cached in the bench/driver protocol): a user who hits the ceiling is
+    told the production key to use instead.  ``reason`` customizes the
+    explanation for twins whose hazard is not an all-pairs join (e.g. the
+    LSH bucket-saturation twin, VERDICT r08 item 3)."""
     n = df.count()
     if n > limit:
+        reason = reason or (
+            "an all-pairs ORACLE-PARITY twin for small-n verification"
+        )
         raise ValueError(
-            f"{key} is an all-pairs ORACLE-PARITY twin for small-n "
-            f"verification; input has {n} rows (> {limit}).  Use the "
+            f"{key} is {reason}; input has {n} rows (> {limit}).  Use the "
             f"production key '{production_key}' for real corpora."
         )
 

@@ -106,8 +106,15 @@ def test_ivf_probe_side_broadcasts(spark, sf_dir):
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
-    """The SCALE.md bucketing claim, proven on the plan: a join of two
-    tables bucketed by the join key needs no Exchange before the join."""
+    """The SCALE.md bucketing claim, proven on the plan AND the values: a
+    join of two tables bucketed by the join key needs no Exchange before
+    the join, and the bucketed result must equal the parquet-direct twin
+    (the compensating value check for this rows-only key — bucket files
+    going stale/partial would show up here)."""
+    from pyspark.sql import functions as F
+
+    from .compare import assert_frames_match
+
     df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
     plan = plan_string(df)
     join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
@@ -115,6 +122,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(df.toPandas(), want, "bucketed≡parquet-direct")
 
 
 def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):

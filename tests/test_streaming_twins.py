@@ -43,6 +43,22 @@ def test_stream_stateful_count_matches_batch_groupby(spark, sf_dir):
     assert_frames_match(stateful, batch, "stream_stateful≡batch")
 
 
+def test_stream_stateful_tws_matches_batch_groupby(spark, sf_dir):
+    """Compensating equivalence for the rows-only driver row (VERDICT r08
+    item 4): stream_stateful_tws — transformWithStateInPandas, or its
+    documented applyInPandasWithState fallback on builds where the new
+    API's driver worker dies — must equal the batch groupBy count either
+    way (identical semantics is the builder's stated contract)."""
+    tws = QUERIES["stream_stateful_tws"](spark, sf_dir).toPandas()
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert_frames_match(tws, batch, "stream_stateful_tws≡batch")
+
+
 def test_minhash_recalls_exact_jaccard_pairs(spark, sf_dir):
     """dedup_near_minhash (approx) must recover ≥80% of the exact twin's
     high-similarity pairs (SURVEY §5.2 LSH recall contract)."""

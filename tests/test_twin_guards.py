@@ -33,8 +33,23 @@ def test_guard_passes_small_input(spark, sf_dir):
     guard_twin_size(emb, "knn_classify", "knn_classify_ivf")  # must not raise
 
 
+def test_minhash_guard_raises_and_names_ladder(spark, sf_dir):
+    """VERDICT r08 item 3: dedup_near_minhash is guarded like the quadratic
+    twins — not all-pairs by construction, but its single-stage self-join
+    saturates LSH band buckets on replica-heavy corpora; the error must
+    point at the production key dedup_ladder."""
+    from bigdatawork_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="production key 'dedup_ladder'"):
+        guard_twin_size(
+            d, "dedup_near_minhash", "dedup_ladder", limit=1,
+            reason="a single-stage LSH self-join verification twin",
+        )
+
+
 @pytest.mark.parametrize(
-    "key", ["knn_classify", "dedup_embedding_cosine"]
+    "key", ["knn_classify", "dedup_embedding_cosine", "dedup_near_minhash"]
 )
 def test_twins_are_guarded_in_source(key):
     """Each quadratic twin's builder calls guard_twin_size before the

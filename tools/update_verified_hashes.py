@@ -54,6 +54,24 @@ def newest_round_keys() -> set[str]:
     return out
 
 
+def retired_keys() -> list[str]:
+    """Keys present in ANY CORRECTNESS_r*.json round but no longer in the
+    registry — renamed/superseded keys (e.g. the r07 ``multimodal_*_stub``
+    trio renamed in r08).  Emitting the split (VERDICT r08 item 5) keeps
+    audits that union the CORRECTNESS history from counting these
+    historical rows as unverified drift: their rows certify source that was
+    deliberately retired, not source that went unverified."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        seen.update(k for k, row in data.items() if isinstance(row, dict))
+    return sorted(seen - set(QUERIES))
+
+
 def main() -> None:
     bootstrap = "--bootstrap" in sys.argv
     try:
@@ -88,6 +106,13 @@ def main() -> None:
         f"snapshot: {len(snap)} keys ({added} added, {updated} updated, "
         f"{len(dropped)} dropped); {len(stale)} stale (will re-verify): "
         f"{stale[:10]}{'...' if len(stale) > 10 else ''}"
+    )
+    ret = retired_keys()
+    print(
+        f"current-vs-retired split: {len(snap)} current registry keys "
+        f"snapshotted; {len(ret)} RETIRED keys appear in CORRECTNESS "
+        f"history but not the registry (renamed/superseded — their "
+        f"historical rows are not unverified drift): {ret}"
     )
 
 
