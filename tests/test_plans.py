@@ -242,3 +242,71 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark, sf_dir):
         .agg(F.sum("value").alias("s"))
     )
     assert "AQEShuffleRead" in final_plan_string(agg)
+
+
+def test_winnow_fingerprint_single_fanout_exchange(spark, sf_dir):
+    """SCALE.md §10e plan claim, regression-locked (VERDICT r08 item 6):
+    winnowing runs in ONE window pass over grams exploded AFTER the
+    compact doc rows were repartitioned — exactly one hash-partitioned
+    Exchange in the whole plan (the doc_id REPARTITION_BY_COL below the
+    explode; the only other exchange is the presentation-sort range
+    partitioning), one Generate, one Window (reach arithmetic instead of
+    per-window expansion)."""
+    plan = plan_string(QUERIES["winnow_fingerprint"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_repeated_spans_cached_grams_and_hash_keyed_mark_join(spark, sf_dir):
+    """dedup_repeated_spans: the exploded gram table is cached (feeds the
+    repeat agg AND the mark join — two InMemoryTableScans; dropping the
+    cache reruns the 27M-row explode+md5 twice), the mark join is keyed
+    on the 32-byte hash (never on a text column), and the explode sits
+    above the compact-row doc_id repartition."""
+    plan = plan_string(QUERIES["dedup_repeated_spans"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "hashpartitioning(text" not in plan, plan
+    assert "hashpartitioning(lt" not in plan, plan
+    # the REPARTITION_BY_COL + single Generate live inside the cached gram
+    # relation; pin them on the cached plan itself
+    from bigdatawork_spark.io import load
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null and length(text) >= 20")
+        .repartition("doc_id")
+    )
+    gram_plan = plan_string(
+        d.selectExpr(
+            "doc_id", "explode(sequence(1, length(text) - 19)) as pos",
+            "lower(text) as lt",
+        ).selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+    )
+    assert "REPARTITION_BY_COL" in gram_plan, gram_plan
+    assert gram_plan.count("Generate") == 1, gram_plan
+
+
+def test_topk_heavy_hitters_pass1_is_map_only(spark, sf_dir):
+    """topk_heavy_hitters: pass 1 must stay map-only — the Misra-Gries
+    sketch runs as MapInPandas directly over the exploded token rows with
+    NO token-row exchange feeding it; the only word-keyed exchanges are
+    the candidate distinct (<= m rows/partition) and the pass-2 exact
+    count, and the candidate set reaches the semi join as a
+    BroadcastExchange (token rows never shuffle for the semi join)."""
+    plan = plan_string(QUERIES["topk_heavy_hitters"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning(word") <= 2, plan
+    # the MapInPandas subtree (text below the node, up to the next
+    # same-or-shallower sibling) must contain no word-keyed exchange:
+    # pass 1's input partitioning is whatever the doc_id repartition left
+    lines = plan.splitlines()
+    idx = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    depth = len(lines[idx]) - len(lines[idx].lstrip(" +-:"))
+    for l in lines[idx + 1:]:
+        d = len(l) - len(l.lstrip(" +-:"))
+        if d <= depth:
+            break
+        assert "hashpartitioning(word" not in l, plan
