@@ -68,24 +68,34 @@ def limit_topk_q3(spark, sf_dir):
     revenue pre-aggregation below the customer join — the pre-agg's extra
     partial/final agg before the join costs more than it saves, so the
     plan shape stays join→agg (VERDICT r04 weak item 1 adjudicated by
-    measurement)."""
+    measurement).
+
+    r10: EXPLICIT facts-first JOIN-ON chain + SHUFFLE_HASH(o) — the same
+    rewrite Q5 got in r08, for the same reason: with the comma form
+    Catalyst put customer⋈orders first, so the date-filtered orders
+    output was re-exchanged before meeting lineitem; facts-first runs
+    lineitem⋈orders as a co-partitioned SHJ straight off the
+    orderkey-clustered caches (zero exchange on either side) and only
+    the small filtered join output meets customer (AQE broadcast at test
+    scale, shuffle+skew at cluster scale).  Steady-state interleaved
+    sf1.0 A/B (3 passes, identical top-10): comma 0.377 s / facts-first
+    0.360 s / facts-first+SHJ 0.323 s."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("q3_customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("q3_orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("q3_lineitem")
     return spark.sql(
         """
-SELECT l_orderkey,
+SELECT /*+ SHUFFLE_HASH(o) */ l_orderkey,
        -- FLOOR(x + 0.5) = ROUND half-up on this positive domain; Spark's
        -- ROUND on doubles allocates a BigDecimal per row (r08 A/B: 2.2x)
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D) AS BIGINT))
          / 10000.0 AS DOUBLE) AS revenue,
        o_orderdate
-FROM q3_customer
-JOIN q3_orders   ON c_custkey = o_custkey
-JOIN q3_lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
+FROM q3_lineitem l
+JOIN q3_orders o ON l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate  > TIMESTAMP '1998-01-01'
+JOIN q3_customer c ON c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+WHERE l_shipdate > TIMESTAMP '1998-01-01'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10

@@ -1,9 +1,12 @@
 """A/B harness for the matched-scale (synthetic sf1.0) bench phase.
 
-Replicates bench.py's sf1.0 protocol — warm table cache, AQE
-initialPartitionNum=64, median of N runs, whole-row hash-aggregate
-materialization — for a chosen subset of headline keys, so optimization
-candidates can be measured without a full bench pass.
+Replicates bench.py's sf1.0 protocol — warm table cache, session-default
+AQE partitioning (the r05 initialPartitionNum=64 override was removed in
+r10 — BASELINE.md), steady-state median of N consecutive runs per key
+(first run after a shape switch pays a ~2x JIT-locality penalty; the
+median excludes it), whole-row hash-aggregate materialization — for a
+chosen subset of headline keys, so optimization candidates can be
+measured without a full bench pass.
 
     python tools/ab_sf1.py agg_groupby_q1 win_row_number [--runs 5] [--duck]
 
@@ -41,17 +44,39 @@ def main() -> None:
         sys.exit(1)
 
     if "--duck" in sys.argv:
-        duck = bench._bench_duckdb(keys, runs)
+        import duckdb
+
+        from bigdatawork_spark.registry import ORACLES
+        from bigdatawork_spark.schemas import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF1_DIR}/{t}.parquet')"
+            )
         for k in keys:
-            print(f"duck  {k}: {duck[k]:.4f}s" if duck and k in duck
-                  else f"duck  {k}: n/a")
+            sql = ORACLES.get(k)
+            if sql is None:
+                print(f"duck  {k}: n/a (rows-only)")
+                continue
+            wrapped = f"SELECT bit_xor(hash(q)) FROM ({sql}) q"
+            con.execute(wrapped).fetchone()
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(wrapped).fetchone()
+                times.append(time.perf_counter() - t0)
+            print(f"duck  {k}: {sorted(times)[len(times) // 2]:.4f}s")
+        con.close()
 
     spark = get_spark("bigdatawork-ab")
     _fill_cache(spark, SF1_DIR)
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        os.environ.get("AB_INIT_PARTS", "64"),
-    )
+    if os.environ.get("AB_INIT_PARTS"):
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ["AB_INIT_PARTS"],
+        )
     for k in keys:
         _materialize(QUERIES[k](spark, SF1_DIR))  # untimed prime
         times = []
