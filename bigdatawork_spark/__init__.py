@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401
     projections,
     reshape,
     round8_ops,
+    round10_ops,
     search_ops,
     sorts_sets,
     stats_ops,

@@ -158,6 +158,47 @@ def dedup_near_exactjacc(spark, sf_dir):
     )
 
 
+def minhash_pairs(docs: DataFrame, *, num_hash_tables: int = 5,
+                  threshold: float = 0.2, shingle_n: int = 3,
+                  seed: int = 42) -> DataFrame:
+    """Parameterized MinHash-LSH near-dup pairs (VERDICT r08 item 8).
+
+    ``docs`` needs (doc_id, text).  Banding knobs: ``num_hash_tables``
+    (OR-amplification width — more tables, more candidates, higher
+    recall, more bucket-join work) and ``threshold`` (max Jaccard
+    DISTANCE kept: the exact filter applied to LSH candidates, so the
+    pair set is monotone non-decreasing in it — pinned in
+    tests/test_streaming_twins.py's recall-vs-threshold case).  Returns
+    (doc_a < doc_b, jaccard_dist) sorted."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=shingle_n, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    staged = tf.transform(ngram.transform(tok.transform(docs)))
+    # LSH requires ≥1 non-zero feature: drop docs with <shingle_n words
+    staged = staged.filter(F.size("shingles") >= 1).cache()
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(staged)
+    pairs = model.approxSimilarityJoin(
+        staged, staged, threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("dedup_near_minhash")  # rows-only: LSH bucketing is engine-specific
 def dedup_near_minhash(spark, sf_dir):
     """Near-dup pairs via MinHash-LSH over 3-word shingles (Spark ML
@@ -168,9 +209,9 @@ def dedup_near_minhash(spark, sf_dir):
     item 3): as a SINGLE-STAGE self-join it saturates band buckets on
     exact-replica-heavy corpora (SCALE.md §8 measured >45 s at 50k replica
     docs); production corpora go through ``dedup_ladder``, whose exact
-    pre-pass collapses replicas before this same LSH pipeline runs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
-
+    pre-pass collapses replicas before this same LSH pipeline runs.
+    Banding is parameterized in ``minhash_pairs`` (r10); this registry key
+    pins the default (5 tables, 0.2) configuration."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     guard_twin_size(
         d, "dedup_near_minhash", "dedup_ladder",
@@ -178,26 +219,7 @@ def dedup_near_minhash(spark, sf_dir):
                "dedup_ladder's exact pre-pass, replica-heavy corpora "
                "saturate its band buckets (SCALE.md §8)",
     )
-    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
-    ngram = NGram(n=3, inputCol="words", outputCol="shingles")
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-    )
-    staged = tf.transform(ngram.transform(tok.transform(d)))
-    # LSH requires ≥1 non-zero feature: drop docs with <3 words (no shingles)
-    staged = staged.filter(F.size("shingles") >= 1).cache()
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
-    model = lsh.fit(staged)
-    pairs = model.approxSimilarityJoin(staged, staged, 0.2, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return minhash_pairs(d, num_hash_tables=5, threshold=0.2, shingle_n=3)
 
 
 #: Belt-and-braces ceiling for the ORACLE-PARITY quadratic twins (VERDICT

@@ -1,0 +1,223 @@
+"""Round-10 curation additions: URL canonicalization + host-level dedup
+(VERDICT r08 item 8 — "the one common curation stage absent from the
+family").  REF:∅ (reference snapshot empty — SURVEY.md §0); these extend
+§2-K per the LLM-pipeline mandate.
+
+Crawl-scale corpora are keyed by URL, and the same page arrives under
+many spellings — scheme/host case, default ports, ``www.`` prefixes,
+tracking parameters (``utm_*``/``fbclid``/``gclid``/``ref``), unordered
+query strings, trailing slashes, fragments.  ``dedup_url_normalize`` is
+the canonicalizer (RFC 3986 §6 syntax-based normalization plus the
+standard crawl-pipeline tracking-param strip); ``dedup_url_host``
+applies it: exact-dup removal at normalized-URL granularity, reported
+per host (the unit crawl curation budgets and rate-limits by).
+
+The documents table carries no URL column, so both engines first build
+the SAME deterministic messy URL from (doc_id, source) — generator and
+normalizer are mirrored Spark/DuckDB expression for expression, so the
+driver hash-compares real normalization work, not a constant.
+
+Scale: normalization is a pure per-row column expression — map-only,
+stays inside WholeStageCodegen, zero shuffles beyond the presentation
+sort (asserted in tests/test_plans.py).  Host-level dedup shuffles
+(host, url_norm) group keys + counts, never documents: two keyed
+aggregations, both linear, both AQE-coalesced; at 100 TB the second agg
+(per-host) is tiny by construction (#hosts << #urls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# Deterministic messy-URL generator, mirrored in the oracle CTE below —
+# exercises every normalization rule: scheme case, www + host case,
+# default port, path trailing slash, tracking params, param order,
+# fragments.
+_RAW_URL_SPARK = """
+concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END,
+  CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', upper(source))
+       ELSE source END,
+  '.Example.COM',
+  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+  '/docs/', cast(doc_id % 12 as string),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+       ELSE '?b=2&a=1' END,
+  CASE WHEN doc_id % 7 = 0 THEN concat('#s', cast(doc_id as string))
+       ELSE '' END
+)
+"""
+
+_RAW_URL_DUCK = """
+(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END ||
+ CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) ELSE source END ||
+ '.Example.COM' ||
+ CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+ '/docs/' || CAST(doc_id % 12 AS VARCHAR) ||
+ CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+ CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+      ELSE '?b=2&a=1' END ||
+ CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+#: Tracking params every crawl pipeline strips (Google/Facebook click ids,
+#: UTM campaign tags, generic ref) — anchored at the param name.
+_TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def _url_norm_df(spark, sf_dir):
+    """doc_id, url_raw, url_norm, host — the shared canonicalizer.
+
+    Generic syntax-based normalization (works on any http(s) URL, not
+    just the generator's): lowercase scheme+host, strip ``www.``, strip
+    default ports (80/http, 443/https) but KEEP non-default ports, strip
+    fragment, drop tracking params, sort surviving params, strip
+    trailing path slashes (root stays ``/``)."""
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_RAW_URL_SPARK} as url_raw"
+    )
+    return d.selectExpr(
+        "doc_id",
+        "url_raw",
+        # fragment off first; every later regexp sees the defragged URL
+        "regexp_replace(url_raw, '#.*$', '') as u",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme",
+        "regexp_extract(u, '://([^/?#]*)', 1) as hostport",
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path",
+        "regexp_extract(u, '\\\\?([^#]*)', 1) as query",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "scheme",
+        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), "
+        "'^www\\\\.', '') as host",
+        "regexp_extract(hostport, ':([0-9]+)$', 1) as portnum",
+        "CASE WHEN path = '' THEN '/' "
+        "     WHEN regexp_replace(path, '/+$', '') = '' THEN '/' "
+        "     ELSE regexp_replace(path, '/+$', '') END as path_n",
+        f"array_join(array_sort(filter(split(query, '&'), "
+        f"p -> p != '' AND NOT p rlike '{_TRACKING_RE}')), '&') as kept",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "host",
+        "concat(scheme, '://', host, "
+        "CASE WHEN portnum != '' AND NOT (scheme = 'http' AND portnum = '80') "
+        "          AND NOT (scheme = 'https' AND portnum = '443') "
+        "     THEN concat(':', portnum) ELSE '' END, "
+        "path_n, "
+        "CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) as url_norm",
+    )
+
+
+_NORM_CTE_DUCK = f"""
+raw AS (
+  SELECT doc_id, {_RAW_URL_DUCK} AS url_raw FROM documents
+),
+defrag AS (
+  SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$', '') AS u FROM raw
+),
+parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(u, '://([^/?#]*)', 1) AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS query
+  FROM defrag
+),
+cooked AS (
+  SELECT doc_id, url_raw, scheme,
+         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS portnum,
+         CASE WHEN path = '' THEN '/'
+              WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END AS path_n,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&')
+           AS kept
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, url_raw, host,
+         scheme || '://' || host ||
+         CASE WHEN portnum <> '' AND NOT (scheme = 'http' AND portnum = '80')
+                   AND NOT (scheme = 'https' AND portnum = '443')
+              THEN ':' || portnum ELSE '' END ||
+         path_n ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS url_norm
+  FROM cooked
+)
+"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK}
+SELECT doc_id, url_raw, host, url_norm FROM norm ORDER BY doc_id
+""",
+)
+def dedup_url_normalize(spark, sf_dir):
+    """URL canonicalization (RFC 3986 §6 syntax normalization + the
+    crawl-pipeline tracking-param strip) — see ``_url_norm_df``.  Pure
+    per-row column expressions: map-only, WholeStageCodegen, no
+    shuffle."""
+    return _url_norm_df(spark, sf_dir).select(
+        "doc_id", "url_raw", "host", "url_norm"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_url_host",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK},
+per_url AS (
+  SELECT host, url_norm,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         MIN(doc_id) AS keep_doc
+  FROM norm GROUP BY host, url_norm
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_docs_removed,
+       MIN(keep_doc) AS first_kept_doc
+FROM per_url GROUP BY host ORDER BY host
+""",
+)
+def dedup_url_host(spark, sf_dir):
+    """Host-level view of normalized-URL exact dedup: collapse each
+    normalized URL to its min-doc_id representative, then report per
+    host how many docs the URL dedup removed.  Two keyed aggregations —
+    (host, url_norm) then host — shuffling group keys + counts only;
+    #hosts << #urls, so the second agg is trivially small at any
+    scale."""
+    per_url = (
+        _url_norm_df(spark, sf_dir)
+        .groupBy("host", "url_norm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_urls"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dup_docs_removed"),
+            F.min("keep_doc").alias("first_kept_doc"),
+        )
+        .orderBy("host")
+    )

@@ -314,6 +314,38 @@ class CurationPipeline:
 
         return self.stage("remove_repeated_spans", cut)
 
+    def near_dedup_minhash(
+        self,
+        num_hash_tables: int = 5,
+        threshold: float = 0.2,
+        shingle_n: int = 3,
+        id_col: str = "doc_id",
+    ) -> "CurationPipeline":
+        """Drop MinHash-LSH near-duplicates, banding parameterized
+        (VERDICT r08 item 8): ``num_hash_tables`` = OR-amplification
+        width (recall knob), ``threshold`` = max Jaccard distance kept.
+        Keeps each near-dup pair's lower-id document (drop doc_b via a
+        left-anti join on the pair table — the standard keep-first
+        policy; pair recall vs threshold/banding is pinned in
+        tests/test_streaming_twins.py).  Run AFTER ``dedup_exact`` —
+        the dedup_ladder ordering (SCALE.md §8): exact replicas flood
+        LSH band buckets ~10x denser otherwise."""
+        from .operators.llm_ops import minhash_pairs
+
+        def dedup(df: DataFrame) -> DataFrame:
+            pairs = minhash_pairs(
+                df.select(F.col(id_col).alias("doc_id"), "text"),
+                num_hash_tables=num_hash_tables,
+                threshold=threshold,
+                shingle_n=shingle_n,
+            )
+            drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            return df.join(drop, id_col, "left_anti")
+
+        return self.stage(
+            f"near_dedup_minhash(t={num_hash_tables},d={threshold})", dedup
+        )
+
     def describe(self) -> list[str]:
         """Stage names in application order (for audit logging)."""
         return [name for name, _ in self._stages]

@@ -78,6 +78,66 @@ def test_minhash_recalls_exact_jaccard_pairs(spark, sf_dir):
     assert recall >= 0.8, f"recall={recall} exact={exact} approx={approx}"
 
 
+def test_minhash_banding_parameterized_recall_vs_threshold(spark, sf_dir):
+    """r10 banding parameterization (VERDICT r08 item 8): with banding
+    fixed, the pair set is MONOTONE in the distance threshold (LSH
+    candidates are filtered by the exact distance, so a looser threshold
+    can only add pairs); and the recall floor vs the exact-Jaccard twin
+    holds across band widths (3 and 7 tables), not just the registry
+    default of 5 — the knob trades work for recall without breaking the
+    contract."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.operators.llm_ops import minhash_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs(d, num_hash_tables=5, threshold=0.1).collect()
+    }
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs(d, num_hash_tables=5, threshold=0.3).collect()
+    }
+    assert tight <= loose, "threshold monotonicity violated"
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near_exactjacc"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    if not exact:
+        return
+    for tables in (3, 7):
+        approx = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_pairs(
+                d, num_hash_tables=tables, threshold=0.2
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"tables={tables} recall={recall}"
+
+
+def test_pipeline_near_dedup_minhash_stage_keeps_lower_ids(spark, sf_dir):
+    """The pipeline stage drops exactly the doc_b side of the pair table
+    (keep-first policy) and nothing else."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.operators.llm_ops import minhash_pairs
+    from bigdatawork_spark.pipeline_api import CurationPipeline
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = (
+        CurationPipeline()
+        .near_dedup_minhash(num_hash_tables=5, threshold=0.2)
+        .apply(d)
+    )
+    kept = {r.doc_id for r in out.collect()}
+    dropped = {r.doc_b for r in minhash_pairs(d).collect()}
+    all_ids = {r.doc_id for r in d.collect()}
+    assert kept == all_ids - dropped
+
+
 def test_ann_ivf_overlaps_brute_force(spark, sf_dir):
     """IVF top-5 must overlap brute-force top-5 (same probes) on ≥40% of
     neighbor slots — sanity for the bucketed candidate generator."""
