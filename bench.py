@@ -65,6 +65,11 @@ EXTENDED = [
     "dedup_winnow_pairs",
     "dedup_repeated_spans",
     "dedup_spans_removal",
+    # round-10 curation set
+    "dedup_url_normalize",
+    "dedup_url_host",
+    "url_filter_blocklist",
+    "decontaminate_ngram",
 ]
 
 

@@ -221,3 +221,148 @@ def dedup_url_host(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+@register(
+    "url_filter_blocklist",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK}
+SELECT doc_id, host, url_norm FROM norm
+WHERE host NOT IN ('src3.example.com', 'src7.example.com',
+                   'src12.example.com')
+  AND NOT regexp_matches(url_norm, '/docs/7($|[/?])')
+ORDER BY doc_id
+""",
+)
+def url_filter_blocklist(spark, sf_dir):
+    """Crawl blocklist gate (the UT1/robots-denylist stage every crawl
+    pipeline runs before content filters): drop documents whose
+    NORMALIZED host is on the domain blocklist, or whose URL matches a
+    blocked-path rule.  Hosts match post-normalization — ``WWW.SRC3...``
+    and ``src3...:80`` cannot dodge the list.
+
+    Scale: the blocklist is small by definition (UT1 ~3M hosts, a few
+    tens of MB) → broadcast LEFT ANTI join, map-side; the path rule is a
+    per-row regexp.  Zero shuffles beyond the presentation sort.  The
+    demo list names three live hosts + one path rule so the gate is
+    non-vacuous at every SF."""
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",), ("src12.example.com",)],
+        "host string",
+    )
+    return (
+        _url_norm_df(spark, sf_dir)
+        .join(F.broadcast(bl), "host", "left_anti")
+        .filter(~F.col("url_norm").rlike("/docs/7($|[/?])"))
+        .select("doc_id", "host", "url_norm")
+        .orderBy("doc_id")
+    )
+
+
+#: decontaminate_exact's deterministic 90/5/5 content-hash split
+#: (training_ops.py) — same thresholds so the two decontamination keys
+#: report over the identical split.
+_SPLIT_CASE = (
+    "CASE WHEN substring(md5(cast(doc_id as string)), 1, 4) < 'e666' "
+    "THEN 'train' WHEN substring(md5(cast(doc_id as string)), 1, 4) "
+    "< 'f333' THEN 'val' ELSE 'test' END"
+)
+
+_SPLIT_CASE_DUCK = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' "
+    "THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+    "< 'f333' THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws,
+         {_SPLIT_CASE_DUCK} AS split
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, split,
+         ('0x' || substr(md5(unnest(list_transform(
+             generate_series(1, len(ws) - 7),
+             i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)],
+                                  ' ')))), 1, 15))::BIGINT AS gh
+  FROM w WHERE len(ws) >= 8
+),
+bench AS (SELECT DISTINCT gh FROM g WHERE split IN ('val', 'test')),
+hit AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE split = 'train' AND gh IN (SELECT gh FROM bench)
+)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean
+FROM w LEFT JOIN hit ON w.doc_id = hit.doc_id
+WHERE w.split = 'train'
+GROUP BY w.source ORDER BY w.source
+""",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """N-gram-overlap benchmark decontamination (the GPT-3 appendix-C /
+    PaLM method, at word-8-gram resolution for this corpus's short
+    docs): a train document is contaminated if it shares ANY 8-word gram
+    with any val/test document — catching partial/embedded benchmark
+    leakage that ``decontaminate_exact``'s whole-document fingerprint
+    misses.  Same deterministic 90/5/5 content-hash split as the exact
+    key, so the two reports compose.
+
+    Scale: compact doc rows repartition BEFORE the gram explode (the r08
+    winnow lesson); grams shuffle as 60-bit md5-prefix integers (both
+    engines draw identical values — repo hash-mirror pattern), never as
+    strings; the bench gram set is distinct-folded val+test grams (5-10%
+    of the corpus) and meets the train grams in ONE semi join; the final
+    fold is a per-source count.  At 100 TB the gram table dominates —
+    de-anchor to stride-4 grams on the TRAIN side only (bench side stays
+    exhaustive; any shared gram still overlaps a stride anchor within 4
+    positions) to cut the explode 4x."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null")
+        .repartition("doc_id")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "filter(split(lower(text), ' '), x -> x != '') as ws",
+            f"{_SPLIT_CASE} as split",
+        )
+    )
+    g = w.filter(F.size("ws") >= 8).selectExpr(
+        "doc_id",
+        "split",
+        "explode(transform(sequence(1, size(ws) - 7), "
+        "i -> cast(conv(substring(md5(array_join(slice(ws, i, 8), ' ')), "
+        "1, 15), 16, 10) as bigint))) as gh",
+    )
+    bench = g.filter("split in ('val', 'test')").select("gh").distinct()
+    hit = (
+        g.filter("split = 'train'")
+        .join(bench, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        w.filter("split = 'train'")
+        .join(hit.withColumn("__hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )
