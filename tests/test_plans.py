@@ -270,22 +270,21 @@ def test_repeated_spans_cached_grams_and_hash_keyed_mark_join(spark, sf_dir):
     assert "hashpartitioning(text" not in plan, plan
     assert "hashpartitioning(lt" not in plan, plan
     # the REPARTITION_BY_COL + single Generate live inside the cached gram
-    # relation; pin them on the cached plan itself
-    from bigdatawork_spark.io import load
-
-    d = (
-        load(spark, sf_dir, "documents")
+    # relation; pin the repartition-below-explode shape on an equivalent
+    # uncacheable projection (the exact builder lineage may already be
+    # cached by an earlier test, which would swap the whole subtree for an
+    # InMemoryTableScan and hide the nodes)
+    gram_plan = plan_string(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter("text is not null and length(text) >= 20")
         .repartition("doc_id")
-    )
-    gram_plan = plan_string(
-        d.selectExpr(
-            "doc_id", "explode(sequence(1, length(text) - 19)) as pos",
-            "lower(text) as lt",
-        ).selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+        .selectExpr(
+            "doc_id", "explode(sequence(1, length(text) - 19)) as pos"
+        )
     )
     assert "REPARTITION_BY_COL" in gram_plan, gram_plan
     assert gram_plan.count("Generate") == 1, gram_plan
+    assert "InMemoryTableScan" not in gram_plan, gram_plan  # really rebuilt
 
 
 def test_topk_heavy_hitters_pass1_is_map_only(spark, sf_dir):
