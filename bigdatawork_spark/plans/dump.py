@@ -74,6 +74,12 @@ EXTRA_NOTES = {
     "join_lateral_topn": "correlated LATERAL LIMIT decorrelated by Catalyst into a rank plan — no per-row re-execution, no cartesian",
     "embedding_centroid": "posexplode feeds a map-side-combined (label,dim) aggregate — the wide explode never leaves the mapper",
     "vector_quantize": "element math folds INSIDE the array column (no explode); scalar max broadcasts via 1-row BNLJ",
+    "dedup_repeated_spans": "Lee et al. spans: cached gram table feeds the count>=2 agg AND the hash-keyed mark join (two InMemoryTableScans); islands = one window pass per doc",
+    "dedup_url_normalize": "RFC 3986 canonicalization as pure narrow projection — regexp parse + higher-order param filter/sort inside one WholeStageCodegen span; zero shuffles before the presentation sort",
+    "dedup_url_host": "two keyed aggs — (host,url_norm) then host — shuffling group keys + counts only; AQE coalesces both",
+    "url_filter_blocklist": "domain blocklist as broadcast LEFT ANTI join on the NORMALIZED host + per-row blocked-path regexp; map-side end to end",
+    "decontaminate_ngram": "8-gram explode above the compact-row doc_id repartition; grams shuffle as 60-bit md5-prefix ints; bench grams distinct-folded, ONE left-semi probe, per-source fold",
+    "topk_heavy_hitters": "pass 1 map-only Misra-Gries (MapInPandas, m rows/partition out); candidates broadcast into the semi join; only candidate words shuffle for the exact pass",
 }
 
 
