@@ -309,3 +309,37 @@ def test_topk_heavy_hitters_pass1_is_map_only(spark, sf_dir):
         if d <= depth:
             break
         assert "hashpartitioning(word" not in l, plan
+
+
+def test_url_normalize_is_map_only(spark, sf_dir):
+    """dedup_url_normalize's docstring claim: pure narrow projection —
+    no hash-partitioned Exchange anywhere (the only exchange is the
+    presentation sort's range partitioning); only doc_id+source read."""
+    df = QUERIES["dedup_url_normalize"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode — per-row expressions
+    rs = read_schema_lines(df)[0]
+    assert "text" not in rs, rs  # canonicalizer never reads document text
+
+
+def test_url_blocklist_is_broadcast_anti(spark, sf_dir):
+    """url_filter_blocklist: the blocklist side must be a BroadcastHashJoin
+    LeftAnti (UT1-scale lists broadcast; the fact side never shuffles)."""
+    plan = plan_string(QUERIES["url_filter_blocklist"](spark, sf_dir))
+    # simple-string rendering puts the join keys between the operator name
+    # and the join type: "BroadcastHashJoin [host#a], [host#b], LeftAnti"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_decontaminate_ngram_shape(spark, sf_dir):
+    """decontaminate_ngram: gram explode sits above the compact-row
+    doc_id repartition (the §10e lesson), bench grams meet train grams
+    in a LeftSemi, and no exchange is keyed on a text/gram STRING —
+    gram shuffles carry the 60-bit hash column gh."""
+    plan = plan_string(QUERIES["decontaminate_ngram"](spark, sf_dir))
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "hashpartitioning(text" not in plan, plan
+    assert "hashpartitioning(ws" not in plan, plan
