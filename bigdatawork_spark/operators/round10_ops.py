@@ -69,17 +69,17 @@ _RAW_URL_DUCK = """
 _TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 
 
-def _url_norm_df(spark, sf_dir):
-    """doc_id, url_raw, url_norm, host — the shared canonicalizer.
+def normalize_urls(d):
+    """Apply the canonicalizer to any DataFrame carrying (doc_id,
+    url_raw); returns (doc_id, url_raw, host, url_norm).
 
     Generic syntax-based normalization (works on any http(s) URL, not
     just the generator's): lowercase scheme+host, strip ``www.``, strip
     default ports (80/http, 443/https) but KEEP non-default ports, strip
     fragment, drop tracking params, sort surviving params, strip
-    trailing path slashes (root stays ``/``)."""
-    d = load(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_RAW_URL_SPARK} as url_raw"
-    )
+    trailing path slashes (root stays ``/``).  Fuzzed against a
+    pure-Python reference over arbitrary component combinations in
+    tests/test_url_fuzz.py."""
     return d.selectExpr(
         "doc_id",
         "url_raw",
@@ -114,6 +114,16 @@ def _url_norm_df(spark, sf_dir):
         "     THEN concat(':', portnum) ELSE '' END, "
         "path_n, "
         "CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) as url_norm",
+    )
+
+
+def _url_norm_df(spark, sf_dir):
+    """doc_id, url_raw, url_norm, host over the documents-derived URLs —
+    the deterministic generator feeding the registry keys."""
+    return normalize_urls(
+        load(spark, sf_dir, "documents").selectExpr(
+            "doc_id", f"{_RAW_URL_SPARK} as url_raw"
+        )
     )
 
 

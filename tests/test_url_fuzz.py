@@ -1,0 +1,128 @@
+"""Hypothesis fuzz of the URL canonicalizer (round 10) against a
+pure-Python reference implementing the same RFC 3986 §6 syntax rules —
+the r08 differential pattern (fuzz the Spark expression chain vs an
+independent restatement; any rule drift between the two formulations
+fails loudly on a concrete URL)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TRACK = re.compile(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=")
+
+
+def _norm_ref(u: str) -> tuple[str, str]:
+    """(host, url_norm) — independent restatement of normalize_urls."""
+    u = re.sub(r"#.*$", "", u)
+    scheme_m = re.search(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    scheme = scheme_m.group(1).lower() if scheme_m else ""
+    hp_m = re.search(r"://([^/?#]*)", u)
+    hostport = hp_m.group(1) if hp_m else ""
+    path_m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
+    path = path_m.group(1) if path_m else ""
+    q_m = re.search(r"\?([^#]*)", u)
+    query = q_m.group(1) if q_m else ""
+
+    host = re.sub(r"^www\.", "", re.sub(r":[0-9]+$", "", hostport).lower())
+    port_m = re.search(r":([0-9]+)$", hostport)
+    portnum = port_m.group(1) if port_m else ""
+    if path == "" or re.sub(r"/+$", "", path) == "":
+        path_n = "/"
+    else:
+        path_n = re.sub(r"/+$", "", path)
+    kept = "&".join(
+        sorted(p for p in query.split("&") if p and not _TRACK.match(p))
+    )
+    port_part = (
+        f":{portnum}"
+        if portnum
+        and not (scheme == "http" and portnum == "80")
+        and not (scheme == "https" and portnum == "443")
+        else ""
+    )
+    url_norm = (
+        f"{scheme}://{host}{port_part}{path_n}" + (f"?{kept}" if kept else "")
+    )
+    return host, url_norm
+
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+)
+_scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp", "FTP"])
+_www = st.sampled_from(["", "www.", "WWW.", "wWw."])
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":1"])
+_pkey = st.one_of(
+    _label,
+    st.sampled_from(["utm_source", "utm_campaign", "utm_", "fbclid", "gclid",
+                     "ref", "refx", "xutm_a"]),
+)
+_param = st.tuples(_pkey, _label).map(lambda kv: f"{kv[0]}={kv[1]}")
+_urls = st.builds(
+    lambda scheme, www, host, port, segs, slashes, params, frag: (
+        f"{scheme}://{www}{host}{port}"
+        + ("/" + "/".join(segs) if segs else "")
+        + "/" * slashes
+        + ("?" + "&".join(params) if params is not None else "")
+        + frag
+    ),
+    _scheme,
+    _www,
+    st.lists(_label, min_size=1, max_size=3).map(".".join),
+    _port,
+    st.lists(_label, min_size=0, max_size=3),
+    st.integers(min_value=0, max_value=2),
+    st.one_of(st.none(), st.lists(_param, min_size=0, max_size=4)),
+    st.sampled_from(["", "#f", "#s1/x?y=1"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_urls, min_size=1, max_size=20))
+def test_normalize_urls_fuzz_vs_python(spark, urls):
+    from bigdatawork_spark.operators.round10_ops import normalize_urls
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url_raw string"
+    )
+    got = {r.doc_id: (r.host, r.url_norm) for r in normalize_urls(df).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == _norm_ref(u), (
+            f"url={u!r} spark={got[i]} ref={_norm_ref(u)}"
+        )
+
+
+def test_normalize_urls_pinned_cases(spark):
+    """Hand-pinned canonical pairs — the rules stated one example each,
+    independent of both the fuzz generator and the registry generator."""
+    from bigdatawork_spark.operators.round10_ops import normalize_urls
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#frag",
+         "ex.com", "http://ex.com/a?a=1&b=2"),
+        ("https://ex.com:443/", "ex.com", "https://ex.com/"),
+        ("https://ex.com:8080/x", "ex.com", "https://ex.com:8080/x"),
+        ("ftp://Ex.com:80/x", "ex.com", "ftp://ex.com:80/x"),  # non-http: keep 80
+        ("http://ex.com", "ex.com", "http://ex.com/"),
+        ("http://ex.com/?utm_a=1&ref=z", "ex.com", "http://ex.com/"),
+        ("http://ex.com/a//", "ex.com", "http://ex.com/a"),
+        ("http://ex.com/?refx=keep", "ex.com", "http://ex.com/?refx=keep"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "doc_id long, url_raw string",
+    )
+    got = {r.doc_id: (r.host, r.url_norm) for r in normalize_urls(df).collect()}
+    for i, (u, host, norm) in enumerate(cases):
+        assert got[i] == (host, norm), f"url={u!r} got={got[i]}"
