@@ -336,22 +336,29 @@ def decontaminate_ngram(spark, sf_dir):
     de-anchor to stride-4 grams on the TRAIN side only (bench side stays
     exhaustive; any shared gram still overlaps a stride anchor within 4
     positions) to cut the explode 4x."""
-    w = (
+    return ngram_contamination(
         load(spark, sf_dir, "documents")
         .filter("text is not null")
         .repartition("doc_id")
-        .selectExpr(
-            "doc_id",
-            "source",
-            "filter(split(lower(text), ' '), x -> x != '') as ws",
-            f"{_SPLIT_CASE} as split",
-        )
     )
-    g = w.filter(F.size("ws") >= 8).selectExpr(
+
+
+def ngram_contamination(docs, n: int = 8):
+    """The column-level body of ``decontaminate_ngram``: ``docs`` needs
+    (doc_id, source, text); ``n`` is the gram width.  Split assignment,
+    gram explode, bench distinct-fold, one semi join, per-source fold —
+    fuzzed against a pure-Python reference in tests/test_url_fuzz.py."""
+    w = docs.selectExpr(
+        "doc_id",
+        "source",
+        "filter(split(lower(text), ' '), x -> x != '') as ws",
+        f"{_SPLIT_CASE} as split",
+    )
+    g = w.filter(F.size("ws") >= n).selectExpr(
         "doc_id",
         "split",
-        "explode(transform(sequence(1, size(ws) - 7), "
-        "i -> cast(conv(substring(md5(array_join(slice(ws, i, 8), ' ')), "
+        f"explode(transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> cast(conv(substring(md5(array_join(slice(ws, i, {n}), ' ')), "
         "1, 15), 16, 10) as bigint))) as gh",
     )
     bench = g.filter("split in ('val', 'test')").select("gh").distinct()

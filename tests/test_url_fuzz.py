@@ -126,3 +126,59 @@ def test_normalize_urls_pinned_cases(spark):
     got = {r.doc_id: (r.host, r.url_norm) for r in normalize_urls(df).collect()}
     for i, (u, host, norm) in enumerate(cases):
         assert got[i] == (host, norm), f"url={u!r} got={got[i]}"
+
+
+def _contamination_ref(rows, n=8):
+    """Pure-Python reference for ngram_contamination: rows of
+    (doc_id, source, text) → {source: (n_train, n_contam, n_clean)}."""
+    import hashlib
+
+    def split_of(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        return "train" if h < "e666" else ("val" if h < "f333" else "test")
+
+    def grams(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bench = set()
+    for doc_id, _, text in rows:
+        if split_of(doc_id) in ("val", "test"):
+            bench |= grams(text)
+    out = {}
+    for doc_id, source, text in rows:
+        if split_of(doc_id) != "train":
+            continue
+        hit = bool(grams(text) & bench)
+        t, c, cl = out.get(source, (0, 0, 0))
+        out[source] = (t + 1, c + (1 if hit else 0), cl + (0 if hit else 1))
+    return out
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), _doc),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ngram_contamination_fuzz_vs_python(spark, docs):
+    """Tiny 5-word vocabulary + short docs → dense 8-gram collisions
+    across random splits; the Spark semi-join plan must agree with the
+    set-algebra reference on every per-source count (incl. docs with <8
+    words, empty docs, and sources whose train side is empty)."""
+    from bigdatawork_spark.operators.round10_ops import ngram_contamination
+
+    rows = [(i, f"s{i % 3}", text) for i, text in docs]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_train, r.n_contaminated, r.n_clean)
+        for r in ngram_contamination(df).collect()
+    }
+    assert got == _contamination_ref(rows)
