@@ -70,6 +70,7 @@ EXTENDED = [
     "dedup_url_host",
     "url_filter_blocklist",
     "decontaminate_ngram",
+    "layout_zorder_stats",
 ]
 
 
