@@ -183,6 +183,45 @@ def driver_verified_keys() -> set[str]:
     return seen
 
 
+def driver_latest_round() -> dict[str, int]:
+    """key → round number of the NEWEST clean driver row for that key
+    (hash-green, or rows-only that ran without error).  Used by
+    ``driver_order`` to rotate the oldest-verified vintages back into the
+    driver's ~50-key window (VERDICT r10 item 1: ~35 contract keys were
+    last driver-sampled in r01/r03 while the engine under them changed —
+    non-ANSI flip r08, sorted clustered caches r10).  Unreadable files are
+    skipped; keys never verified are absent."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            clean = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if clean:
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
 def source_hash(key: str) -> str:
     """Stable fingerprint of a key's implementation: sha256 over the
     builder's source text plus its oracle SQL.  Used to detect keys whose
@@ -232,11 +271,16 @@ def driver_order(
          the source that produced it; VERDICT r05 item 2)
       3. verified and unchanged
     so each round's ~50-key budget lands on fresh-or-changed keys with no
-    manual reshuffling.  Ties keep DRIVER_PRIORITY order, then
-    registration order (deterministic).  Keys absent from ``d`` (e.g.
-    rows-only keys when ordering ORACLES) are skipped."""
+    manual reshuffling.  Within tiers 2-3 keys sort by the round of their
+    NEWEST clean driver row ascending (oldest vintage first — VERDICT r10
+    item 1: a green row ages as the engine under it changes, so the
+    rotation must resample the stalest vintages, not a fixed priority
+    list).  Remaining ties keep DRIVER_PRIORITY order, then registration
+    order (deterministic).  Keys absent from ``d`` (e.g. rows-only keys
+    when ordering ORACLES) are skipped."""
     verified = driver_verified_keys()
     recorded = _verified_hashes(_hash_file)
+    vintage = driver_latest_round()
     prio = {k: i for i, k in enumerate(DRIVER_PRIORITY)}
 
     def stale(k: str) -> bool:
@@ -250,7 +294,8 @@ def driver_order(
             tier = 2
         else:
             tier = 3
-        return (tier, prio.get(k, len(prio)))
+        rnd = vintage.get(k, 0) if tier >= 2 else 0
+        return (tier, rnd, prio.get(k, len(prio)))
 
     # dict preserves registration order; stable sort keeps it as the tiebreak
     return {k: d[k] for k in sorted(d, key=rank)}

@@ -176,6 +176,35 @@ def test_driver_order_rotates_on_round1_results():
     assert "str_funcs" in verified and "agg_groupby_q1" in verified
 
 
+def test_driver_order_rotates_oldest_vintage_first():
+    """VERDICT r10 item 1: within the verified tiers, keys must sort by the
+    round of their newest clean driver row ascending, so the driver's
+    ~50-key window resamples the stalest vintages (r01/r03 §2-B/J/H/A keys)
+    instead of a fixed priority order."""
+    from bigdatawork_spark.registry import (
+        _verified_hashes,
+        driver_latest_round,
+        source_hash,
+    )
+
+    vintage = driver_latest_round()
+    if not vintage:
+        pytest.skip("no CORRECTNESS_r*.json present")
+    verified = driver_verified_keys()
+    recorded = _verified_hashes()
+    ordered = list(driver_order(QUERIES))
+    # per-tier vintage monotonicity (tier 2 and tier 3 separately)
+    for want_stale in (True, False):
+        rounds = [
+            vintage.get(k, 0)
+            for k in ordered
+            if k in verified and (recorded.get(k) != source_hash(k)) == want_stale
+        ]
+        assert rounds == sorted(rounds), (
+            f"verified tier (stale={want_stale}) not vintage-ascending"
+        )
+
+
 def test_entry_queries_tune_a_foreign_session(spark):
     """The driver owns its session; queries() callables must apply the
     UTC/AQE/shuffle confs before the first builder runs even when that
