@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401
     reshape,
     round8_ops,
     round10_ops,
+    round11_ops,
     search_ops,
     sorts_sets,
     stats_ops,

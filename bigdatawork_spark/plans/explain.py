@@ -42,3 +42,37 @@ def pushed_filters(df: DataFrame) -> list[str]:
 def count_operator(df: DataFrame, name: str) -> int:
     """Occurrences of a physical operator (e.g. 'BroadcastHashJoin')."""
     return plan_string(df).count(name)
+
+
+def executed_scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Materialize the DataFrame, then return each FileSourceScan's SQL
+    metrics dict from the AQE-finalized executed plan (e.g. ``numFiles``,
+    ``numPartitions``, ``staticFilesNum``, ``pruningTime``).  The
+    partitions-read metrics are the ground truth for dynamic-partition-
+    pruning assertions — the pre-execution plan text only shows the
+    pruning EXPRESSION, not what it actually pruned."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.executedPlan()
+
+    out: list[dict[str, int]] = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if "FileSourceScan" in cls:
+            m = n.metrics()
+            it = m.keys().iterator()
+            mm = {}
+            while it.hasNext():
+                k = it.next()
+                mm[k] = m.apply(k).value()
+            out.append(mm)
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(root)
+    return out

@@ -367,3 +367,29 @@ def test_sorted_cluster_cache_releases_window_sort(spark, sf_dir, monkeypatch):
         assert "Exchange" not in between, plan
     finally:
         io.drop_tables(spark, sf_dir)
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """VERDICT r10 Missing #1: the central 100 TB scan claim — a
+    date-partitioned fact joined through a filtered, MATERIALIZED dim gets
+    dynamic partition pruning — pinned as a plan property AND a runtime
+    metric, not prose.  Three assertions: (1) the fact scan's
+    PartitionFilters carry a dynamicpruningexpression; (2) no static date
+    predicate was propagated instead (the demo would be vacuous — a
+    key-derivable dim predicate gets pushed statically, which is why the
+    dim attribute comes from a materialized parquet file); (3) the
+    executed scan read exactly the 4 Saturday partitions of the 30-day
+    month (numPartitions metric vs staticFilesNum)."""
+    from bigdatawork_spark.plans.explain import executed_scan_metrics
+
+    df = _q(spark, sf_dir, "join_dpp_partitioned")
+    plan = formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan[:2000]
+    fact_pf = next(l for l in pf if "dynamicpruningexpression" in l)
+    assert "date_format" not in fact_pf and "2024-01" not in fact_pf, fact_pf
+
+    metrics = executed_scan_metrics(df)
+    fact = next(m for m in metrics if "staticFilesNum" in m and m["staticFilesNum"] > 1)
+    assert fact["staticFilesNum"] == 30, fact
+    assert fact["numPartitions"] == 4, fact
