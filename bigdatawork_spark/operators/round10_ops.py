@@ -74,11 +74,14 @@ def normalize_urls(d):
     url_raw); returns (doc_id, url_raw, host, url_norm).
 
     Generic syntax-based normalization (works on any http(s) URL, not
-    just the generator's): lowercase scheme+host, strip ``www.``, strip
-    default ports (80/http, 443/https) but KEEP non-default ports, strip
-    fragment, drop tracking params, sort surviving params, strip
-    trailing path slashes (root stays ``/``).  Fuzzed against a
-    pure-Python reference over arbitrary component combinations in
+    just the generator's): strip userinfo (``user:pw@`` — a trivial
+    spelling that otherwise bypasses host-keyed blocklists; ADVICE r10),
+    lowercase scheme+host, strip ``www.``, strip default ports (80/http,
+    443/https) but KEEP non-default ports (incl. after ``[IPv6]``
+    literals), strip fragment, drop tracking params, sort surviving
+    params, strip trailing path slashes (root stays ``/``).  Fuzzed
+    against a pure-Python reference over arbitrary component
+    combinations — including userinfo and IPv6 hosts — in
     tests/test_url_fuzz.py."""
     return d.selectExpr(
         "doc_id",
@@ -89,7 +92,11 @@ def normalize_urls(d):
         "doc_id",
         "url_raw",
         "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme",
-        "regexp_extract(u, '://([^/?#]*)', 1) as hostport",
+        # userinfo off before host/port extraction: 'http://x@host/' must
+        # canonicalize to host, or a trivial spelling bypasses host-level
+        # blocklists/dedup (ADVICE r10)
+        "regexp_replace(regexp_extract(u, '://([^/?#]*)', 1), '^[^@]*@', '')"
+        " as hostport",
         "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path",
         "regexp_extract(u, '\\\\?([^#]*)', 1) as query",
     ).selectExpr(
@@ -137,7 +144,8 @@ defrag AS (
 parts AS (
   SELECT doc_id, url_raw,
          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         regexp_extract(u, '://([^/?#]*)', 1) AS hostport,
+         regexp_replace(regexp_extract(u, '://([^/?#]*)', 1),
+                        '^[^@]*@', '') AS hostport,
          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
            AS path,
          regexp_extract(u, '\\?([^#]*)', 1) AS query

@@ -26,7 +26,7 @@ def _norm_ref(u: str) -> tuple[str, str]:
     scheme_m = re.search(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
     scheme = scheme_m.group(1).lower() if scheme_m else ""
     hp_m = re.search(r"://([^/?#]*)", u)
-    hostport = hp_m.group(1) if hp_m else ""
+    hostport = re.sub(r"^[^@]*@", "", hp_m.group(1)) if hp_m else ""
     path_m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
     path = path_m.group(1) if path_m else ""
     q_m = re.search(r"\?([^#]*)", u)
@@ -61,6 +61,7 @@ _label = st.text(
     max_size=8,
 )
 _scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp", "FTP"])
+_user = st.sampled_from(["", "user@", "u:pw@", "Weird.Name@"])
 _www = st.sampled_from(["", "www.", "WWW.", "wWw."])
 _port = st.sampled_from(["", ":80", ":443", ":8080", ":1"])
 _pkey = st.one_of(
@@ -69,17 +70,22 @@ _pkey = st.one_of(
                      "ref", "refx", "xutm_a"]),
 )
 _param = st.tuples(_pkey, _label).map(lambda kv: f"{kv[0]}={kv[1]}")
+_host = st.one_of(
+    st.lists(_label, min_size=1, max_size=3).map(".".join),
+    st.sampled_from(["[::1]", "[2001:DB8::1]", "[fe80::a%25eth0]"]),
+)
 _urls = st.builds(
-    lambda scheme, www, host, port, segs, slashes, params, frag: (
-        f"{scheme}://{www}{host}{port}"
+    lambda scheme, user, www, host, port, segs, slashes, params, frag: (
+        f"{scheme}://{user}{www}{host}{port}"
         + ("/" + "/".join(segs) if segs else "")
         + "/" * slashes
         + ("?" + "&".join(params) if params is not None else "")
         + frag
     ),
     _scheme,
+    _user,
     _www,
-    st.lists(_label, min_size=1, max_size=3).map(".".join),
+    _host,
     _port,
     st.lists(_label, min_size=0, max_size=3),
     st.integers(min_value=0, max_value=2),
@@ -118,6 +124,15 @@ def test_normalize_urls_pinned_cases(spark):
         ("http://ex.com/?utm_a=1&ref=z", "ex.com", "http://ex.com/"),
         ("http://ex.com/a//", "ex.com", "http://ex.com/a"),
         ("http://ex.com/?refx=keep", "ex.com", "http://ex.com/?refx=keep"),
+        # userinfo stripped — the blocklist-bypass spelling (ADVICE r10)
+        ("http://anything@src3.example.com/", "src3.example.com",
+         "http://src3.example.com/"),
+        ("http://u:pw@WWW.Ex.com:80/a", "ex.com", "http://ex.com/a"),
+        # IPv6 literals: bracket form survives, port rules still apply
+        ("https://[2001:DB8::1]:443/x", "[2001:db8::1]",
+         "https://[2001:db8::1]/x"),
+        ("http://[::1]:8080/", "[::1]", "http://[::1]:8080/"),
+        ("http://user@[::1]/y", "[::1]", "http://[::1]/y"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)],
