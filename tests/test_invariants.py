@@ -344,3 +344,33 @@ def test_nearest_centroid_structure(spark, sf_dir):
         d = {c: float(((emb[r["vec_id"]] - mu) ** 2).sum()) for c, mu in cent.items()}
         best = min(d, key=lambda c: (round(d[c], 6), c))
         assert r["pred_label"] == best, (r["vec_id"], d)
+
+
+def test_q5_shapes_hash_identical(spark, sf_dir, monkeypatch):
+    """VERDICT r10 item 4: the cluster-scale dims-first Q5 form is a code
+    path (SPARK_GRAFT_Q5_SHAPE=dims_first), and both shapes must return
+    the identical result at sf0.01 AND sf0.1 — the flip is a physical
+    re-plan, never a semantic change."""
+    from bigdatawork_spark.registry import QUERIES
+
+    for d in (sf_dir, "/root/testdata/sf0.1"):
+        monkeypatch.delenv("SPARK_GRAFT_Q5_SHAPE", raising=False)
+        facts = sorted(map(tuple, QUERIES["join_multiway_q5"](spark, d).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_Q5_SHAPE", "dims_first")
+        dims = sorted(map(tuple, QUERIES["join_multiway_q5"](spark, d).collect()))
+        assert facts == dims, f"shape divergence at {d}"
+        assert len(facts) > 0
+
+
+def test_q5_dims_first_never_exchanges_lineitem(spark, sf_dir, monkeypatch):
+    """The dims-first form's selling point at cluster scale: lineitem is
+    probe-side of a broadcast/shuffle-hash join and is never exchanged on
+    its own key.  Pin: no Exchange hashpartitioning on l_orderkey feeding
+    the lineitem scan side (at test scale AQE broadcasts the reduced
+    build side, so lineitem streams straight from its scan)."""
+    from bigdatawork_spark.plans.explain import plan_string
+    from bigdatawork_spark.registry import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_Q5_SHAPE", "dims_first")
+    plan = plan_string(QUERIES["join_multiway_q5"](spark, sf_dir))
+    assert "hashpartitioning(l_orderkey" not in plan, plan
