@@ -338,7 +338,15 @@ def _bpe_train_impl(spark, sf_dir, n_merges: int = 4):
     exactly the reference algorithm).  ``localCheckpoint`` keeps the
     per-round plan flat.  At 100 TB the vocabulary table is the working
     set (distinct words, not corpus rows) — the standard trainer layout."""
-    d = load(spark, sf_dir, "documents")
+    return bpe_train_on(load(spark, sf_dir, "documents"), n_merges)
+
+
+def bpe_train_on(d, n_merges: int = 4):
+    """Core trainer over any DataFrame with a ``text`` column — split out
+    of ``_bpe_train_impl`` (r11) so the merge sequence can be
+    differential-fuzzed against a pure-Python reference on seeded random
+    corpora (tests/test_corpus_ops.py::test_bpe_fuzz_vs_python — the
+    test_url_fuzz pattern), not just the fixed test corpus."""
     vocab = (
         d.selectExpr("explode(split(lower(text), ' ')) as w")
         .where("w != ''")
@@ -394,6 +402,45 @@ def bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, merged string, pair_count long"
     ).orderBy("merge_idx")
+
+
+@register(
+    "bpe_first_merge",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+    AS wd
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (SELECT wd, COUNT(*) AS freq FROM w GROUP BY wd),
+s AS (SELECT freq, list_filter(string_split(wd, ''), c -> c <> '') AS syms
+      FROM v),
+p AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+  FROM s, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT CAST(0 AS INTEGER) AS merge_idx, l AS "left", r AS "right",
+       l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM p ORDER BY cnt DESC, l, r LIMIT 1
+""",
+)
+def bpe_first_merge(spark, sf_dir):
+    """Round 0 of the BPE trainer — the freq-weighted adjacent-pair argmax
+    with the (count desc, pair asc) tiebreak — as a DuckDB-oracled,
+    driver-hash-checked key (VERDICT r10 item 6: ``bpe_train_merges`` is
+    iterative and stays rows-only, so its core aggregation deserved a
+    cross-engine row of its own; later rounds are covered by the seeded
+    random-corpus differential fuzz in tests/test_corpus_ops.py).
+    Returns the single learned rule (merge_idx, left, right, merged,
+    pair_count).  Reuses the memoized trainer — no extra Spark work
+    beyond what bpe_train_merges already does."""
+    merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges[:1],
+        "merge_idx int, left string, right string, merged string,"
+        " pair_count long",
+    )
 
 
 @register(
