@@ -304,6 +304,76 @@ def knn_classify_ivf(spark, sf_dir):
 # dedup_ladder — the measured production order (SCALE.md §8) as one operator
 
 
+def _ladder_exact_stage(d):
+    """Stage 1 of the ladder, shared with ``dedup_ladder_exact_stage``:
+    collapse hash-identical documents to their min-doc_id representative.
+    Returns (exact_pairs, representatives).  Shuffles constant-width
+    sha256 keys, never documents."""
+    hashed = d.select(
+        "doc_id", "text", F.sha2("text", 256).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    exact_pairs = (
+        ranked.filter(F.col("rn") > 1)
+        .select(
+            F.col("keep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit("exact").alias("kind"),
+            F.lit(0.0).alias("jaccard_dist"),
+        )
+    )
+    reps = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+    return exact_pairs, reps
+
+
+@_staged(
+    "dedup_ladder_exact_stage",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT keep_id AS doc_a, doc_id AS doc_b, 'exact' AS kind,
+       CAST(0.0 AS DOUBLE) AS jaccard_dist
+FROM g WHERE rn > 1 ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ladder_exact_stage(spark, sf_dir):
+    """The ladder's exact pre-pass ALONE, as a DuckDB-oracled key
+    (VERDICT r10 item 7: the flagship production-dedup composition was
+    rows-only end-to-end; its stage-1 output — every non-representative
+    mapped to its min-doc_id representative — is plain SQL, so the driver
+    now hash-checks it cross-engine; the MinHash stage stays covered by
+    the recall-vs-exact-twin tests).  The sf0.01 corpus carries no
+    natural exact duplicates (the stage would hash-match vacuously on
+    0 = 0), so both engines first add the SAME deterministic replicas —
+    every doc_id % 5 = 0 document re-appears at doc_id + 1000000, the
+    round-10 messy-URL-generator pattern — and the checked pairs are the
+    (original, replica) mappings the ranking logic must produce.  The
+    oracle groups on raw text equality, equivalent to the sha256-key
+    grouping the engine uses (the hash exists so the 100 TB shuffle
+    carries 64-byte keys, not documents)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    exact_pairs, _ = _ladder_exact_stage(corpus)
+    return exact_pairs.orderBy("doc_a", "doc_b")
+
+
 @_staged("dedup_ladder")  # rows-only: MinHash stage is engine-specific
 def dedup_ladder(spark, sf_dir):
     """Production dedup order, composed: (1) exact-dup pre-pass collapses
@@ -327,23 +397,7 @@ def dedup_ladder(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = d.select(
-        "doc_id", "text", F.sha2("text", 256).alias("text_hash")
-    )
-    w = Window.partitionBy("text_hash").orderBy("doc_id")
-    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
-        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
-    )
-    exact_pairs = (
-        ranked.filter(F.col("rn") > 1)
-        .select(
-            F.col("keep_id").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.lit("exact").alias("kind"),
-            F.lit(0.0).alias("jaccard_dist"),
-        )
-    )
-    reps = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+    exact_pairs, reps = _ladder_exact_stage(d)
 
     tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
     ngram = NGram(n=3, inputCol="words", outputCol="shingles")
