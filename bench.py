@@ -71,6 +71,10 @@ EXTENDED = [
     "url_filter_blocklist",
     "decontaminate_ngram",
     "layout_zorder_stats",
+    # round-11 scale-evidence set
+    "join_dpp_partitioned",
+    "bpe_first_merge",
+    "dedup_ladder_exact_stage",
 ]
 
 

@@ -226,7 +226,15 @@ def source_hash(key: str) -> str:
     """Stable fingerprint of a key's implementation: sha256 over the
     builder's source text plus its oracle SQL.  Used to detect keys whose
     code changed AFTER their last driver-green row (VERDICT r05 item 2 /
-    r06 item 5): a green row only certifies the source that produced it."""
+    r06 item 5): a green row only certifies the source that produced it.
+
+    Known blind spot (documented r11): the hash covers the BUILDER
+    function's text only — an edit to a shared helper it calls (e.g.
+    ``llm_ops.minhash_pairs``) does not mark its callers stale.  The
+    per-round FULL local driver simulation (tools/drive_driver.py, all
+    keys — COVERAGE.md round bullets) is the compensating control: every
+    key re-verifies against DuckDB on the current tree each round
+    regardless of staleness bookkeeping."""
     import hashlib
     import inspect
 
