@@ -160,9 +160,10 @@ def dedup_near_exactjacc(spark, sf_dir):
     )
 
 
-# Last minhash_pairs staged cache — evicted by the next call (bounded
-# cache lifetime; see comment at the cache site).
+# Last minhash_pairs / tfidf_keywords staged caches — evicted by the next
+# call of the same operator (bounded cache lifetime; see the cache sites).
 _MINHASH_STAGED_LAST: DataFrame | None = None
+_TFIDF_STAGED_LAST: DataFrame | None = None
 
 
 def minhash_pairs(docs: DataFrame, *, num_hash_tables: int = 5,
@@ -743,7 +744,17 @@ def tfidf_keywords(spark, sf_dir):
     n_par = max(
         d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
     )
+    # Same bounded-lifetime discipline as minhash_pairs (ADVICE r10
+    # class): each call evicts the previous call's staged cache, so the
+    # bench loop's repeated invocations hold at most one cached relation.
+    global _TFIDF_STAGED_LAST
+    if _TFIDF_STAGED_LAST is not None:
+        try:
+            _TFIDF_STAGED_LAST.unpersist(blocking=False)
+        except Exception:
+            pass  # the old relation's session may already be stopped
     dd = d.select("doc_id", "text").repartition(n_par).cache()
+    _TFIDF_STAGED_LAST = dd
     df_rows = (
         dd.select(
             F.explode(
