@@ -75,6 +75,7 @@ EXTENDED = [
     "join_dpp_partitioned",
     "bpe_first_merge",
     "dedup_ladder_exact_stage",
+    "join_skew_aqe",
 ]
 
 

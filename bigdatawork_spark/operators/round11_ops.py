@@ -134,3 +134,102 @@ def join_dpp_partitioned(spark, sf_dir):
         )
         .orderBy("event_date")
     )
+
+
+@register(
+    "join_skew_aqe",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey END AS jkey,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT o_orderkey AS jkey, 1 AS dim_tag FROM orders
+  WHERE o_orderkey % 10 >= 7
+  UNION ALL
+  SELECT 1 AS jkey, 0 AS dim_tag
+)
+SELECT CAST(CASE WHEN f.jkey = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_hot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(d.dim_tag) AS BIGINT) AS sum_dim_tag,
+       CAST(SUM(CAST(ROUND(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM fact f JOIN dim d ON f.jkey = d.jkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_skew_aqe(spark, sf_dir):
+    """Skewed fact⋈dim join under AQE's automatic skew handling — the
+    runtime counterpart of ``join_salted_skew`` (manual salting): a
+    deterministic remap concentrates ~70% of lineitem onto one hot key,
+    a unique-key dim (filtered orders + the literal hot row) joins back on it, and per-class totals are
+    hash-checked cross-engine.
+
+    SCALE.md §2's window/join rows say "skewed keys → AQE skew split";
+    tests/test_plans.py::test_aqe_splits_skewed_join makes that claim a
+    RUNTIME plan property: with the skew thresholds scaled to the test
+    corpus (the defaults are sized for 256 MB cluster partitions) and
+    SPARK_GRAFT_SKEW_FORCE_SMJ=1 pinning the sort-merge form (the same
+    env-switch pattern as Q5's shape flip — at test scale AQE would
+    otherwise broadcast the small dim and there would be nothing to
+    split), the executed AQE plan shows ``skew=true`` on the join: the
+    hot partition was split into parallel subtasks instead of straggling
+    on one core.  The default registered path stays UNHINTED — AQE picks
+    broadcast at test scale and skew-handled SMJ at cluster scale, the
+    r01 doctrine.
+
+    100 TB: this is the no-code-change answer to moderate key skew; the
+    manual salt (``join_salted_skew``) remains for the extreme tail the
+    splitter cannot fix (a single key larger than an executor)."""
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jkey"),
+        "l_extendedprice",
+    )
+    # Widen a narrow (single-file) scan before the join: AQE splits a
+    # skewed reduce partition at MAPPER-block granularity, so a 1-mapper
+    # shuffle is unsplittable no matter how skewed (the §10e single-file
+    # lesson again — at 100 TB the scan arrives in thousands of splits
+    # and this repartition is skipped).
+    n_par = max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    if fact.rdd.getNumPartitions() < n_par:
+        fact = fact.repartition(n_par)
+    # Dim WITHOUT an aggregate on the join key: AQE's OptimizeSkewedJoin
+    # only rewrites SMJ(Sort(shuffle), Sort(shuffle)) — an Aggregate
+    # between the Sort and its shuffle stage blocks the pattern (verified
+    # while building this key), so the dim is filtered orders (unique by
+    # PK, all cold keys) unioned with the one literal hot-key row.
+    cold = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 >= 7)
+        .select(
+            F.col("o_orderkey").alias("jkey"),
+            F.lit(1).alias("dim_tag"),
+        )
+    )
+    hot = spark.createDataFrame([(1, 0)], "jkey long, dim_tag int")
+    dim = cold.unionByName(hot)
+    if os.environ.get("SPARK_GRAFT_SKEW_FORCE_SMJ") == "1":
+        dim = dim.hint("MERGE")
+    joined = fact.join(dim, "jkey")
+    return (
+        joined.groupBy(
+            F.when(F.col("jkey") == 1, 1).otherwise(0).alias("is_hot")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("dim_tag").alias("sum_dim_tag"),
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * 100 + 0.5d) as bigint)"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("is_hot")
+    )

@@ -393,3 +393,35 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     fact = next(m for m in metrics if "staticFilesNum" in m and m["staticFilesNum"] > 1)
     assert fact["staticFilesNum"] == 30, fact
     assert fact["numPartitions"] == 4, fact
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir, monkeypatch):
+    """SCALE.md §2's 'skewed keys → AQE skew split' as a RUNTIME property:
+    on join_skew_aqe's 70%-hot-key join, with the skew thresholds scaled
+    down to the test corpus (defaults are sized for 256 MB cluster
+    partitions) and the SMJ form pinned (at test scale AQE would
+    broadcast the small dim — nothing to split), the AQE-final plan must
+    mark the join skew=true: the hot partition was split into parallel
+    subtasks instead of straggling on one core."""
+    from bigdatawork_spark.plans.explain import final_plan_string
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_FORCE_SMJ", "1")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = final_plan_string(QUERIES["join_skew_aqe"](spark, sf_dir))
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
