@@ -141,11 +141,19 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
 def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     """The date filter must become PartitionFilters (directory pruning),
-    not a row-level PushedFilter — the 100 TB layout contract."""
+    not a row-level PushedFilter — the 100 TB layout contract.  Since r11
+    the claim is also a RUNTIME metric, symmetric with the DPP pin: the
+    executed scan read 3 of the month's 30 date directories."""
+    from bigdatawork_spark.plans.explain import executed_scan_metrics
+
     df = QUERIES["sink_partitioned_parquet"](spark, sf_dir)
     plan = formatted_plan(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_date" in pf[0], plan[:2000]
+    scan = next(
+        m for m in executed_scan_metrics(df) if "numPartitions" in m
+    )
+    assert scan["numPartitions"] == 3, scan
 
 
 def test_range_partitioned_sort_has_no_global_sort(spark, sf_dir):
