@@ -855,3 +855,71 @@ def test_random_lttb_buckets(spark, rows):
         """
     ).df()
     assert_frames_match(got, want, "random_lttb")
+
+
+# --- as-of join: union+last(ignore nulls) window trick vs a pure walk ---
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),            # user_id
+        st.integers(min_value=0, max_value=5),            # ts offset (ties!)
+        st.sampled_from(["click", "purchase", "view"]),   # view = noise
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_asof_dir_seq = [0]
+
+
+@settings(**_SETTINGS)
+@given(rows=_asof_rows)
+def test_random_asof_join_vs_walk(spark, tmp_path_factory, rows):
+    """join_asof's union+last(ignore nulls) formulation vs an independent
+    chronological walk.  Tie-heavy timestamps (6 distinct values over up
+    to 20 events) exercise the (ts, event_id) tie rule the fixed corpus
+    rarely hits: a click at the SAME timestamp as a purchase counts only
+    when its event_id sorts first.  'view' rows prove the event-type
+    prefilter keeps noise out of the window state."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    events = [
+        (i, uid, base + datetime.timedelta(seconds=off), et)
+        for i, (uid, off, et) in enumerate(rows)
+    ]
+    # unique dir per example: io.load memoizes the DataFrame handle per
+    # (sf_dir, table) and a rewritten file under a memoized handle is stale
+    _asof_dir_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"asof{_asof_dir_seq[0]}")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[2] for e in events], pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in events], pa.int64()),
+            "event_type": pa.array([e[3] for e in events], pa.string()),
+            "value": pa.array([0.0] * len(events), pa.float64()),
+            "props": pa.array(["{}"] * len(events), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r["event_id"]: r["prior_click_ts"]
+        for r in QUERIES["join_asof"](spark, str(d)).collect()
+    }
+
+    # reference: one chronological walk in (ts, event_id) order
+    last_click: dict[int, datetime.datetime] = {}
+    want: dict[int, datetime.datetime | None] = {}
+    for eid, uid, ts, et in sorted(events, key=lambda e: (e[2], e[0])):
+        if et == "click":
+            last_click[uid] = ts
+        elif et == "purchase":
+            want[eid] = last_click.get(uid)
+    assert got == want, f"events={events!r}"
