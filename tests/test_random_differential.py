@@ -923,3 +923,76 @@ def test_random_asof_join_vs_walk(spark, tmp_path_factory, rows):
         elif et == "purchase":
             want[eid] = last_click.get(uid)
     assert got == want, f"events={events!r}"
+
+
+# --- session windows: F.session_window vs a pure gaps-and-islands walk ---
+
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                   # user_id
+        st.sampled_from([0, 10, 29, 30, 31, 60, 89, 90, 120]),   # minute offsets
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_sess_rows)
+def test_random_session_window_vs_walk(spark, tmp_path_factory, rows):
+    """win_time_session's F.session_window vs an independent
+    gaps-and-islands walk, with offsets chosen so EXACTLY-gap (30 min)
+    differences are common: Spark extends a session when the next event
+    is exactly gap after the previous (touching-inclusive), matching the
+    oracle's strict '> gap starts a new session' rule — probed while
+    building this test; this fuzz pins the boundary so engine drift in
+    either formulation fails loudly.  Duplicate timestamps per user are
+    also generated (offset ties)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    events = [
+        (i, uid, base + datetime.timedelta(minutes=off))
+        for i, (uid, off) in enumerate(rows)
+    ]
+    _asof_dir_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"sess{_asof_dir_seq[0]}")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[2] for e in events], pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in events], pa.int64()),
+            "event_type": pa.array(["view"] * len(events), pa.string()),
+            "value": pa.array([0.0] * len(events), pa.float64()),
+            "props": pa.array(["{}"] * len(events), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["last_event"], r["n_events"])
+        for r in QUERIES["win_time_session"](spark, str(d)).collect()
+    )
+
+    # reference walk: per user in ts order, diff > 30 min opens a session
+    gap = datetime.timedelta(minutes=30)
+    want = []
+    by_user: dict[int, list] = {}
+    for _, uid, ts in events:
+        by_user.setdefault(uid, []).append(ts)
+    for uid, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if ts - last > gap:
+                want.append((uid, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        want.append((uid, start, last, n))
+    assert got == sorted(want), f"events={events!r}"
