@@ -996,3 +996,77 @@ def test_random_session_window_vs_walk(spark, tmp_path_factory, rows):
                 last, n = ts, n + 1
         want.append((uid, start, last, n))
     assert got == sorted(want), f"events={events!r}"
+
+
+# --- sliding windows: F.window(1h, 15m) assignment vs a direct expansion ---
+
+_slide_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                              # event_type
+        # minute offsets chosen to sit ON window edges (multiples of 15),
+        # one µs before/after them, and between
+        st.sampled_from([0, 7, 14, 15, 16, 29, 30, 44, 45, 59, 60, 75]),
+        st.sampled_from([0, 1]),                                  # extra second
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_slide_rows)
+def test_random_sliding_window_vs_expansion(spark, tmp_path_factory, rows):
+    """win_time_sliding's F.window('1 hour', '15 minutes') assignment vs a
+    direct pure-Python expansion (each event belongs to the 4 windows
+    [start, start+1h) whose start is the preceding 15-min boundary minus
+    k*15min).  Offsets sit exactly ON window edges: an event at a
+    boundary belongs to the window STARTING there and not the one ENDING
+    there ([start, end) half-open) — the classic off-by-one this pins."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    events = [
+        (i, et, base + datetime.timedelta(minutes=off, seconds=sec))
+        for i, (et, off, sec) in enumerate(rows)
+    ]
+    _asof_dir_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"slide{_asof_dir_seq[0]}")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[2] for e in events], pa.timestamp("us")),
+            "user_id": pa.array([0] * len(events), pa.int64()),
+            "event_type": pa.array([e[1] for e in events], pa.string()),
+            "value": pa.array([1.0] * len(events), pa.float64()),
+            "props": pa.array(["{}"] * len(events), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in QUERIES["win_time_sliding"](spark, str(d)).collect()
+    )
+
+    slide = datetime.timedelta(minutes=15)
+    size = datetime.timedelta(hours=1)
+    agg: dict[tuple, int] = {}
+    for _, et, ts in events:
+        # preceding slide boundary, then the 4 windows covering ts
+        secs = (ts - base).total_seconds()
+        bucket = base + datetime.timedelta(
+            seconds=(secs // slide.total_seconds()) * slide.total_seconds()
+        )
+        for k in range(4):
+            ws = bucket - k * slide
+            if ws <= ts < ws + size:
+                agg[(ws, et)] = agg.get((ws, et), 0) + 1
+    want = sorted(
+        (ws, et, n, round(float(n), 6)) for (ws, et), n in agg.items()
+    )
+    assert got == want, f"events={events!r}"
