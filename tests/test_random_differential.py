@@ -1070,3 +1070,56 @@ def test_random_sliding_window_vs_expansion(spark, tmp_path_factory, rows):
         (ws, et, n, round(float(n), 6)) for (ws, et), n in agg.items()
     )
     assert got == want, f"events={events!r}"
+
+
+# --- RANGE frame: peer/boundary inclusivity vs a direct O(n²) scan ---
+
+_range_vals = st.lists(
+    st.sampled_from([0.0, 1000.0, 2500.0, 5000.0, 6000.0, 7500.0,
+                     10000.0, 10001.0, 12500.0]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**_SETTINGS)
+@given(vals=_range_vals)
+def test_random_range_frame_vs_scan(spark, tmp_path_factory, vals):
+    """win_range_frame's RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+    vs a direct O(n²) value-window scan.  Values are drawn so EXACT
+    ±5000 differences and duplicate order keys are common: the frame is
+    inclusive on both boundaries and every PEER (equal value) is always
+    in-frame regardless of row order — the two classic RANGE-vs-ROWS
+    confusions this pins."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(1996, 6, 1)
+    _asof_dir_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"range{_asof_dir_seq[0]}")
+    n = len(vals)
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(list(range(n)), pa.int64()),
+            "o_custkey": pa.array([0] * n, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array(vals, pa.float64()),
+            "o_orderdate": pa.array([base] * n, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+        }),
+        str(d / "orders.parquet"),
+    )
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r["o_orderkey"]: r["nearby_total"]
+        for r in QUERIES["win_range_frame"](spark, str(d)).collect()
+    }
+    want = {
+        i: sum(v2 for v2 in vals if abs(v2 - v) <= 5000.0)
+        for i, v in enumerate(vals)
+    }
+    assert got == want, f"vals={vals!r}"
