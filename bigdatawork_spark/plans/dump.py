@@ -31,6 +31,10 @@ HEADLINE_NOTES = {
 
 
 EXTRA_NOTES = {
+    "join_dpp_partitioned": "dynamic partition pruning over the Hive-partitioned events layout: dynamicpruningexpression on the fact scan's PartitionFilters (NO static date predicate — the dim attribute is a materialized scan column), executed partitions-read metric 4 of 30 (tests/test_plans.py)",
+    "join_skew_aqe": "70%-hot-key fact⋈dim; registered path is UNHINTED (AQE broadcasts at this scale, skew-handled SMJ at cluster scale) — the skew=true runtime pin runs under SPARK_GRAFT_SKEW_FORCE_SMJ with corpus-scaled thresholds (tests/test_plans.py)",
+    "bpe_first_merge": "BPE round 0: vocab aggregate (shuffle carries distinct words + freqs, never documents), zip_with adjacent pairs exploded off the VOCAB not the corpus, single argmax row to the driver",
+    "dedup_ladder_exact_stage": "exact-dup pre-pass of the production ladder: sha256 group keys shuffle (64-byte keys, not documents), min-id representative window, deterministic replica injection for non-vacuous oracle",
     "winnow_fingerprint": "MOSS winnowing in ONE Window pass: repartition(doc_id) BEFORE the 27M-gram explode (spreads md5 hashing AND pre-satisfies the window partitioning — no exploded-row exchange), six lag/leads + rightmost-min reach predicate, no per-window expansion",
     "dedup_winnow_pairs": "winnowing stage 2: cached 16-byte fp rows, capped rare-fp bucket self-join (df in [2, min(4% docs, 64)]) — bounded pair fan-out per bucket, n_docs via 1-row broadcast fold",
     "lm_perplexity_score": "corpus explodes ONCE into bigram pairs; model = two keyed aggs (grams+counts shuffles); scoring join per-bigram with the vocab size folded in as a 1-row broadcast",
