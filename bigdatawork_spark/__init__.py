@@ -23,6 +23,7 @@ from .operators import (  # noqa: F401
     round8_ops,
     round10_ops,
     round11_ops,
+    round11b_ops,
     search_ops,
     sorts_sets,
     stats_ops,
