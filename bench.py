@@ -76,6 +76,10 @@ EXTENDED = [
     "bpe_first_merge",
     "dedup_ladder_exact_stage",
     "join_skew_aqe",
+    # round-11c incremental-dedup family
+    "dedup_incremental_exact",
+    "dedup_incremental_audit",
+    "dedup_incremental_minhash",
 ]
 
 

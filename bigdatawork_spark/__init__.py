@@ -24,6 +24,7 @@ from .operators import (  # noqa: F401
     round10_ops,
     round11_ops,
     round11b_ops,
+    round11c_ops,
     search_ops,
     sorts_sets,
     stats_ops,

@@ -1,0 +1,290 @@
+"""Round-11 (cont. 2) incremental-dedup family.  REF:∅ (reference
+snapshot empty — SURVEY.md §0).
+
+A production curation pipeline is CONTINUOUS: batch N+1 arrives after
+100 TB have already been curated, and must be deduplicated (a) within
+itself and (b) against the accumulated corpus — WITHOUT rescanning the
+corpus text.  The standing state is a dedup INDEX: the corpus's exact
+content hashes (64 bytes/doc) and, for near-dup, the MinHash signatures
+of its exact-unique representatives.  These keys demonstrate that shape
+on the `documents` table with `doc_id % 10 = 7` playing the arriving
+batch and the remaining 90% the standing corpus:
+
+- ``dedup_incremental_exact`` — batch survivors after the exact index
+  anti-join + within-batch collapse (oracled).
+- ``dedup_incremental_audit`` — the per-source admission report
+  (kept / batch_dup / index_hit) a pipeline operator ships per batch
+  (oracled; `kept` ≡ the survivor count by construction, pinned in
+  tests/test_round11c.py).
+- ``dedup_incremental_minhash`` — near-dup hits of the batch RESIDUE
+  against the corpus representatives via MinHash-LSH, ladder-style
+  (exact collapse first on BOTH sides — the SCALE.md §8 lesson; LSH
+  runs index⋈batch, never corpus⋈corpus).  Rows-only (LSH bucketing is
+  engine-specific); recall pinned against a hand-built cross-split
+  near-dup corpus in tests/test_round11c.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_BATCH_MOD = 10
+_BATCH_REM = 7
+
+# The sf corpus carries no natural exact duplicates, so without help the
+# exact/audit keys would hash-match with every branch but 'kept' firing on
+# ZERO rows (the r05 vacuity lesson; the dedup_ladder_exact_stage replica
+# pattern is reused here): both engines inject the SAME deterministic
+# replicas — every doc_id % 50 = 0 document reappears in the BATCH
+# (+1000007 keeps the new id ≡ 7 mod 10 → an index_hit) and every
+# doc_id % 50 = 7 document reappears in the batch again (+1000010 → a
+# batch_dup), so all three admission statuses are exercised and checked.
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000007, text, source FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 1000010, text, source FROM documents WHERE doc_id % 50 = 7
+)
+"""
+
+
+def _augmented_documents(spark, sf_dir):
+    """documents ∪ the deterministic replica plants (see _AUG_SQL)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000007).alias("doc_id"), "text", "source"
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") % 50 == 7).select(
+                (F.col("doc_id") + 1000010).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+
+
+def _split(spark, sf_dir, *, augmented: bool = True):
+    """(batch, corpus) halves under the %10=7 arrival rule, each with the
+    64-hex content hash attached (the only column the index-side plumbing
+    ever shuffles).  ``augmented`` adds the replica plants (exact/audit
+    keys); the minhash key splits the natural corpus — exact replicas are
+    collapsed before LSH anyway, so planting them there would verify
+    nothing."""
+    d = (
+        _augmented_documents(spark, sf_dir)
+        if augmented
+        else load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    h = d.withColumn("h", F.sha2("text", 256))
+    return (
+        h.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM),
+        h.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM),
+    )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+WITH {_AUG_SQL},
+batch AS (
+  SELECT doc_id, sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (
+  SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+  FROM batch GROUP BY h
+)
+SELECT g.doc_id, g.h AS text_hash, g.n_batch_copies
+FROM grp g
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = g.h)
+ORDER BY g.doc_id
+""",
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Exact-dedup admission of an arriving batch against the standing
+    corpus index: collapse the batch per content hash (keep min doc_id,
+    count copies), then anti-join the CORPUS HASH INDEX — the batch
+    never sees corpus text, and the join shuffles 64-byte hashes on both
+    sides.  At 100 TB the index is a persisted hash-bucketed table of
+    ~64 B/doc; admission cost scales with the BATCH, not the corpus.
+    Both engines run over the replica-augmented corpus (_AUG_SQL) so the
+    anti-join and the within-batch collapse each reject REAL rows — not
+    the vacuous 0=0 a dup-free corpus would give."""
+    batch, corpus = _split(spark, sf_dir)
+    idx = corpus.select("h").distinct()
+    grp = batch.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+    )
+    return (
+        grp.join(idx, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"), "n_batch_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_incremental_audit",
+    oracle=f"""
+WITH {_AUG_SQL},
+batch AS (
+  SELECT doc_id, source, sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (SELECT h, MIN(doc_id) AS keep_id FROM batch GROUP BY h),
+cls AS (
+  SELECT b.source,
+         CASE WHEN i.h IS NOT NULL THEN 'index_hit'
+              WHEN b.doc_id > g.keep_id THEN 'batch_dup'
+              ELSE 'kept' END AS status
+  FROM batch b
+  JOIN grp g ON b.h = g.h
+  LEFT JOIN idx i ON b.h = i.h
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY source, status ORDER BY source, status
+""",
+)
+def dedup_incremental_audit(spark, sf_dir):
+    """The per-batch admission report: every arriving doc classified
+    `index_hit` (hash already in the corpus index — precedence over the
+    within-batch rule), `batch_dup` (a younger copy inside the batch),
+    or `kept`, rolled up per source.  This is the audit artifact a
+    continuous pipeline publishes with each ingested batch; `kept`
+    counts equal ``dedup_incremental_exact``'s survivor count (pinned
+    cross-op in tests).  Plan shape: two hash-key joins (batch⋈batch
+    group mins, batch⋈index) plus a tiny (source × 3) rollup — nothing
+    wider than the hash column moves."""
+    batch, corpus = _split(spark, sf_dir)
+    idx = corpus.select("h").distinct().withColumn("in_idx", F.lit(True))
+    mins = batch.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    cls = (
+        batch.join(mins, "h")
+        .join(idx, "h", "left")
+        .select(
+            "source",
+            F.when(F.col("in_idx"), "index_hit")
+            .when(F.col("doc_id") > F.col("keep_id"), "batch_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return (
+        cls.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+# Bounded-lifetime cache (the minhash_pairs pattern, ADVICE r10): the two
+# staged feature relations feed lsh.fit and both join sides; each call
+# evicts the previous call's relations.
+_INC_STAGED_LAST: list[DataFrame] = []
+
+
+def incremental_minhash_hits(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    *,
+    num_hash_tables: int = 5,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup hits of ``batch_docs`` against ``index_docs`` (both need
+    (doc_id, text)) via the minhash_pairs pipeline (RegexTokenizer →
+    NGram(shingle_n) → binary HashingTF → MinHashLSH), joined
+    batch⋈index instead of self⋈self: candidate generation is LSH band
+    buckets over the INDEX side, so admission cost scales with the batch
+    and the bucket densities, never corpus².  Returns
+    (batch_doc, index_doc, jaccard_dist ≤ threshold) sorted."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=shingle_n, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+
+    def stage(docs):
+        s = tf.transform(ngram.transform(tok.transform(docs)))
+        return s.filter(F.size("shingles") >= 1).cache()
+
+    global _INC_STAGED_LAST
+    for old in _INC_STAGED_LAST:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # the old relation's session may already be stopped
+    idx_staged, batch_staged = stage(index_docs), stage(batch_docs)
+    _INC_STAGED_LAST = [idx_staged, batch_staged]
+
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(idx_staged)
+    hits = model.approxSimilarityJoin(
+        batch_staged, idx_staged, threshold, distCol="jaccard_dist"
+    )
+    return (
+        hits.select(
+            F.col("datasetA.doc_id").alias("batch_doc"),
+            F.col("datasetB.doc_id").alias("index_doc"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .orderBy("batch_doc", "index_doc")
+    )
+
+
+@register("dedup_incremental_minhash")  # rows-only: LSH bucketing is engine-specific
+def dedup_incremental_minhash(spark, sf_dir):
+    """Near-dup admission of the arriving batch against the corpus,
+    ladder-style (SCALE.md §8: exact collapse BEFORE LSH, on both
+    sides — replica floods otherwise saturate band buckets):
+
+      1. corpus → exact-unique representatives (min doc_id per hash) —
+         at 100 TB this is the PERSISTED signature index, maintained
+         incrementally, not recomputed;
+      2. batch → within-batch representatives, MINUS exact index hits
+         (those are already decided by ``dedup_incremental_exact`` —
+         LSH never re-litigates jaccard=0 pairs);
+      3. MinHash-LSH join of the batch residue against the corpus
+         representatives (default banding: 5 tables, distance ≤ 0.2).
+
+    Output (batch_doc, index_doc, jaccard_dist): the admission decisions
+    a near-dup policy consumes.  Recall is pinned against a hand-built
+    cross-split near-dup corpus (tests/test_round11c.py) — the sf corpus
+    is not guaranteed to carry near-dups straddling the %10 split.
+    Splits the NATURAL corpus (augmented=False): planted exact replicas
+    would be collapsed before LSH anyway and verify nothing here."""
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    corpus_reps = (
+        corpus.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .join(corpus.select("doc_id", "text"), "doc_id")
+    )
+    idx_hashes = corpus.select("h").distinct()
+    batch_residue = (
+        batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .join(idx_hashes, "h", "left_anti")
+        .join(batch.select("doc_id", "text"), "doc_id")
+    )
+    return incremental_minhash_hits(
+        corpus_reps.select("doc_id", "text"),
+        batch_residue.select("doc_id", "text"),
+    )

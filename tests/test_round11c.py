@@ -1,0 +1,156 @@
+"""Round-11c incremental-dedup invariants beyond the driver's hash
+check: cross-op consistency of the exact admission and its audit, and
+the rows-only MinHash admission key's recall/exclusion contract on a
+hand-built corpus with KNOWN near-dups straddling the batch split (the
+sf corpus carries no guaranteed cross-split near-dups, so recall there
+would be vacuous)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from bigdatawork_spark.io import load
+from bigdatawork_spark.registry import QUERIES
+
+_WORDS = [f"w{i:03d}" for i in range(200)]
+
+
+def _doc(seed, n):
+    """Pairwise-dissimilar base docs: a per-doc seeded sample from a
+    200-word vocab — two independent samples share almost no 3-shingles
+    (unlike a cyclic sliding window, which makes neighbors near-dups)."""
+    import random
+
+    return " ".join(random.Random(seed).sample(_WORDS, n))
+
+
+def _near(base, tail):
+    """A near-dup of `base`: same long prefix, different short tail —
+    3-word-shingle Jaccard stays >= 0.8 for 30-word docs with a 2-word
+    tail swap."""
+    return " ".join(base.split(" ")[:-2] + tail.split(" "))
+
+
+def _corpus_dir(tmp_path_factory):
+    """60 docs: ids ..7 are the batch.  Deterministic plants:
+    - exact pair inside batch: 17 == 37;
+    - exact index hit: 27 == 20 (corpus);
+    - near cross pairs: 7 ~ 10, 47 ~ 40 (distinct tails, shared 28-word
+      prefix);
+    - near pair WITHIN batch only: 57 ~ 17 — must NOT appear (the key
+      reports batch-vs-INDEX hits, not batch self-pairs)."""
+    texts = {}
+    for i in range(60):
+        texts[i] = _doc(i, 30)
+    texts[37] = texts[17]
+    texts[27] = texts[20]
+    texts[7] = _near(texts[10], "xx yy")
+    texts[47] = _near(texts[40], "zz qq")
+    texts[57] = _near(texts[17], "aa bb")
+    d = tmp_path_factory.mktemp("inc")
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(
+                ["s1" if i % 2 == 0 else "s2" for i in ids], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(texts[i]) for i in ids], pa.int64()
+            ),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d), texts
+
+
+def test_incremental_exact_and_audit_are_consistent(spark, sf_dir):
+    """On the real sf corpus: survivors' hashes are disjoint from the
+    corpus index, each survivor is its hash-group's min doc_id, and the
+    audit's totals reconcile exactly with the survivor set and the raw
+    batch size (kept == survivors, kept+batch_dup+index_hit == batch)."""
+    from bigdatawork_spark.operators.round11c_ops import _augmented_documents
+
+    surv = QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
+    audit = QUERIES["dedup_incremental_audit"](spark, sf_dir).collect()
+
+    d = _augmented_documents(spark, sf_dir).withColumn("h", F.sha2("text", 256))
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    idx_hashes = {
+        r.h for r in d.filter(F.col("doc_id") % 10 != 7).select("h").distinct().collect()
+    }
+    assert all(r.text_hash not in idx_hashes for r in surv)
+    mins = {
+        r.h: r.m
+        for r in batch.groupBy("h").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert all(r.doc_id == mins[r.text_hash] for r in surv)
+
+    by_status: dict[str, int] = {}
+    for r in audit:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+    # the replica plants make every admission branch fire — the driver's
+    # hash check is non-vacuous for all three statuses
+    assert set(by_status) == {"kept", "batch_dup", "index_hit"}, by_status
+    assert by_status.get("kept", 0) == len(surv)
+    assert sum(by_status.values()) == batch.count()
+    # copies reconcile too: each survivor's batch copies are all 'kept'
+    # or 'batch_dup', so kept + batch_dup == copies of non-index-hit hashes
+    non_hit_copies = sum(r.n_batch_copies for r in surv)
+    assert by_status.get("kept", 0) + by_status.get("batch_dup", 0) == non_hit_copies
+
+
+def test_incremental_minhash_recall_and_exclusions(spark, tmp_path_factory):
+    """On the planted corpus: the two cross-split near-dup pairs are
+    recalled with the right index-side representative; exact index hits
+    and batch-internal relations never leak into the output."""
+    d, texts = _corpus_dir(tmp_path_factory)
+    hits = QUERIES["dedup_incremental_minhash"](spark, d).collect()
+    got = {(r.batch_doc, r.index_doc) for r in hits}
+    assert (7, 10) in got and (47, 40) in got, got
+    # 27 is an exact index hit -> excluded from the residue entirely;
+    # 37 is a batch dup of 17 -> collapsed to 17;
+    # 57's near-twin 17 is IN THE BATCH, so (57, *) must not pair with it
+    assert all(b not in (27, 37) for b, _ in got), got
+    assert (57, 17) not in got and (17, 57) not in got
+    # every reported pair straddles the split and respects the distance cut
+    for r in hits:
+        assert r.batch_doc % 10 == 7 and r.index_doc % 10 != 7
+        assert 0.0 <= r.jaccard_dist <= 0.2
+
+
+def test_incremental_exact_on_planted_corpus_full_answer(spark, tmp_path_factory):
+    """End-to-end exact admission on the planted corpus, checked against
+    a hashlib walk — including the n_batch_copies of the collapsed 17/37
+    pair and 27's index-hit disappearance."""
+    d, texts = _corpus_dir(tmp_path_factory)
+    surv = {
+        r.doc_id: (r.text_hash, r.n_batch_copies)
+        for r in QUERIES["dedup_incremental_exact"](spark, d).collect()
+    }
+    # mirror the operator's deterministic replica plants (_AUG_SQL)
+    aug = dict(texts)
+    for i, t in texts.items():
+        if i % 50 == 0:
+            aug[i + 1000007] = t
+        if i % 50 == 7:
+            aug[i + 1000010] = t
+    idx = {
+        hashlib.sha256(t.encode()).hexdigest()
+        for i, t in aug.items()
+        if i % 10 != 7
+    }
+    grp: dict[str, list[int]] = {}
+    for i, t in aug.items():
+        if i % 10 == 7:
+            grp.setdefault(hashlib.sha256(t.encode()).hexdigest(), []).append(i)
+    want = {
+        min(ids): (h, len(ids)) for h, ids in grp.items() if h not in idx
+    }
+    assert surv == want
