@@ -80,6 +80,7 @@ EXTENDED = [
     "dedup_incremental_exact",
     "dedup_incremental_audit",
     "dedup_incremental_minhash",
+    "stream_index_admission",
 ]
 
 

@@ -288,3 +288,70 @@ def dedup_incremental_minhash(spark, sf_dir):
         corpus_reps.select("doc_id", "text"),
         batch_residue.select("doc_id", "text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_index_admission — the streaming twin of the admission family
+# ---------------------------------------------------------------------------
+
+
+@register("stream_index_admission")  # rows-only: wall-clock source lifecycle
+def stream_index_admission(spark, sf_dir):
+    """Continuous admission as a STREAM: arriving documents are probed
+    against the static corpus hash index (stream-static left_anti join —
+    the index broadcasts or probes per micro-batch, no stream state) and
+    then exact-deduped WITHIN the stream (``dropDuplicates`` on the
+    content hash — per-hash state that catches re-arrivals ACROSS
+    micro-batches).  The source is written as two files drained one per
+    trigger: file 1 is the natural batch, file 2 is all replica plants
+    (copies of file-1 docs and of corpus docs), so the second
+    micro-batch consists entirely of rows the two operators must drop —
+    cross-micro-batch, which is exactly what distinguishes stateful
+    streaming dedup from a per-batch distinct.
+
+    Admitted rows therefore equal ``dedup_incremental_exact``'s
+    (doc_id, text_hash) survivor set (pinned in tests/test_round11c.py).
+    Production note: unbounded per-hash state wants a watermark over an
+    arrival-time column + ``dropDuplicatesWithinWatermark`` once the
+    re-arrival horizon is bounded; the index side stays a plain batch
+    relation re-read per micro-batch, i.e. the persisted-index shape."""
+    import time as _time
+    import uuid as _uuid
+
+    from ..streaming.stream_ops import _fresh_dir
+
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    src = _fresh_dir("src-adm")
+    nat = batch.select("doc_id", "text")
+    nat.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)  # distinct mtimes → deterministic file order
+    plants = nat.filter(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 1000010).alias("doc_id"), "text"
+    ).unionByName(
+        corpus.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000007).alias("doc_id"), "text"
+        )
+    )
+    plants.coalesce(1).write.mode("append").parquet(src)
+
+    idx = corpus.select("h").distinct()
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("h", F.sha2("text", 256))
+        .join(idx, "h", "left_anti")
+        .dropDuplicates(["h"])
+        .select("doc_id", F.col("h").alias("text_hash"))
+    )
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _fresh_dir("chk-adm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id")

@@ -154,3 +154,21 @@ def test_incremental_exact_on_planted_corpus_full_answer(spark, tmp_path_factory
         min(ids): (h, len(ids)) for h, ids in grp.items() if h not in idx
     }
     assert surv == want
+
+
+def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
+    """COVERAGE.md rows-only compensating test: the streaming admission's
+    admitted set (stream-static anti-join + cross-micro-batch
+    dropDuplicates over a two-file source whose SECOND file is all
+    replicas) equals dedup_incremental_exact's (doc_id, text_hash)
+    survivor set — every replica was dropped by stream state, none by
+    luck of batching."""
+    got = {
+        (r.doc_id, r.text_hash)
+        for r in QUERIES["stream_index_admission"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.text_hash)
+        for r in QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
+    }
+    assert got == want
