@@ -172,3 +172,91 @@ def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
         for r in QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- randomized differential: admission vs a hashlib walk -------------------
+
+import pytest  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_fuzz_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["t0", "t1", "t2", "t3", "dup", ""]),  # dup-heavy pool
+        st.sampled_from(["s1", "s2"]),
+    ),
+    min_size=0,
+    max_size=55,  # >50 so the %50 plant rules fire on more than doc 0/7
+)
+
+_fuzz_seq = [0]
+
+
+def _write_docs(tmp_path_factory, rows):
+    _fuzz_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"fz{_fuzz_seq[0]}")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _walk(rows):
+    """Pure-Python restatement of the augmented split + admission."""
+    aug = {i: (t, src) for i, (t, src) in enumerate(rows)}
+    for i, (t, src) in enumerate(rows):
+        if i % 50 == 0:
+            aug[i + 1000007] = (t, src)
+        if i % 50 == 7:
+            aug[i + 1000010] = (t, src)
+    h = {i: hashlib.sha256(t.encode()).hexdigest() for i, (t, _) in aug.items()}
+    batch = {i for i in aug if i % 10 == 7}
+    idx = {h[i] for i in aug if i % 10 != 7}
+    grp: dict[str, list[int]] = {}
+    for i in batch:
+        grp.setdefault(h[i], []).append(i)
+    surv = {
+        min(ids): (hh, len(ids)) for hh, ids in grp.items() if hh not in idx
+    }
+    audit: dict[tuple[str, str], int] = {}
+    for i in sorted(batch):
+        status = (
+            "index_hit" if h[i] in idx
+            else ("batch_dup" if i > min(grp[h[i]]) else "kept")
+        )
+        k = (aug[i][1], status)
+        audit[k] = audit.get(k, 0) + 1
+    return surv, audit
+
+
+@given(rows=_fuzz_docs)
+@settings(**_SETTINGS)
+def test_random_incremental_admission_vs_walk(spark, tmp_path_factory, rows):
+    """Random dup-heavy corpora (6-text pool, so index hits and batch
+    dups are the norm, plus empty-string docs and empty corpora) through
+    BOTH admission keys vs one independent hashlib walk."""
+    d = _write_docs(tmp_path_factory, rows)
+    surv = {
+        r.doc_id: (r.text_hash, r.n_batch_copies)
+        for r in QUERIES["dedup_incremental_exact"](spark, d).collect()
+    }
+    audit = {
+        (r.source, r.status): r.n_docs
+        for r in QUERIES["dedup_incremental_audit"](spark, d).collect()
+    }
+    want_surv, want_audit = _walk(rows)
+    assert surv == want_surv, f"rows={rows!r}"
+    assert audit == want_audit, f"rows={rows!r}"
