@@ -81,6 +81,7 @@ EXTENDED = [
     "dedup_incremental_audit",
     "dedup_incremental_minhash",
     "stream_index_admission",
+    "dedup_index_persisted",
 ]
 
 

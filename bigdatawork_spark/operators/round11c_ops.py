@@ -355,3 +355,63 @@ def stream_index_admission(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_index_persisted — the persisted-index admission, plan-pinned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_index_persisted",
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (
+  SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+  FROM batch GROUP BY h
+)
+SELECT g.doc_id, g.h AS text_hash, g.n_batch_copies
+FROM grp g
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = g.h)
+ORDER BY g.doc_id
+""",
+)
+def dedup_index_persisted(spark, sf_dir):
+    """The persisted-index admission: SCALE.md §11c's "the index is a
+    persisted table" claim as a PINNED PLAN, not prose.  Stage 1 (index
+    build/maintenance — amortized across every future batch) writes the
+    corpus's distinct content hashes to parquet; stage 2 (admission)
+    reads the BATCH slice of `documents` plus the index FILES — the
+    admission query's executed plan contains exactly ONE scan of
+    documents.parquet and one of the index path (pinned in
+    tests/test_round11c.py), i.e. corpus text is provably not rescanned
+    per batch.  Natural split (no replica plants): the plants' union
+    would add corpus-slice scans to the admission plan and break the
+    very property this key pins; the rejection VALUES are verified by
+    ``dedup_incremental_exact`` (planted + fuzzed) and by this key's
+    planted-corpus engine test."""
+    import uuid as _uuid
+
+    from ..streaming.stream_ops import _fresh_dir
+
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    idx_path = _fresh_dir(f"hashidx-{_uuid.uuid4().hex[:8]}")
+    corpus.select("h").distinct().write.mode("overwrite").parquet(idx_path)
+
+    idx = spark.read.parquet(idx_path)
+    grp = batch.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+    )
+    return (
+        grp.join(idx, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"), "n_batch_copies")
+        .orderBy("doc_id")
+    )

@@ -260,3 +260,37 @@ def test_random_incremental_admission_vs_walk(spark, tmp_path_factory, rows):
     want_surv, want_audit = _walk(rows)
     assert surv == want_surv, f"rows={rows!r}"
     assert audit == want_audit, f"rows={rows!r}"
+
+
+def test_persisted_index_admission_plan_and_values(spark, tmp_path_factory):
+    """The §11c claim as a plan property: the ADMISSION query scans
+    documents.parquet exactly once (the batch slice) and reads corpus
+    state only through the persisted index files; on the planted corpus
+    its values still reject the exact index hit (27) and collapse the
+    batch dup (37→17) — non-vacuous despite the natural split."""
+    from bigdatawork_spark.plans.explain import formatted_plan
+
+    d, texts = _corpus_dir(tmp_path_factory)
+    df = QUERIES["dedup_index_persisted"](spark, d)
+    locs = [
+        l for l in formatted_plan(df).splitlines() if "Location:" in l
+    ]
+    assert sum("documents.parquet" in l for l in locs) == 1, locs
+    assert sum("hashidx-" in l for l in locs) == 1, locs
+
+    surv = {
+        r.doc_id: (r.text_hash, r.n_batch_copies) for r in df.collect()
+    }
+    idx = {
+        hashlib.sha256(t.encode()).hexdigest()
+        for i, t in texts.items()
+        if i % 10 != 7
+    }
+    grp: dict[str, list[int]] = {}
+    for i, t in texts.items():
+        if i % 10 == 7:
+            grp.setdefault(hashlib.sha256(t.encode()).hexdigest(), []).append(i)
+    want = {min(ids): (h, len(ids)) for h, ids in grp.items() if h not in idx}
+    assert surv == want
+    assert 27 not in surv and 37 not in surv and 17 in surv
+    assert surv[17][1] == 2  # 37 collapsed into 17
