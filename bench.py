@@ -76,6 +76,13 @@ EXTENDED = [
     "bpe_first_merge",
     "dedup_ladder_exact_stage",
     "join_skew_aqe",
+    # round-11b pipeline-mechanics set
+    "global_row_index",
+    "quantile_bin_assign",
+    "corr_matrix",
+    "ngram_pmi",
+    "kfold_stratified",
+    "stream_restart_checkpoint",
     # round-11c incremental-dedup family
     "dedup_incremental_exact",
     "dedup_incremental_audit",

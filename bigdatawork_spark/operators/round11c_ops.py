@@ -70,19 +70,50 @@ def _augmented_documents(spark, sf_dir):
     )
 
 
-def _split(spark, sf_dir, *, augmented: bool = True):
+# Bounded-lifetime cache for the hashed (augmented) relation: every
+# admission builder consumes batch/corpus from MULTIPLE subplans (group
+# mins + joins), and Spark recomputes the full union+sha2 lineage per
+# consumer otherwise (the SURVEY §7 cache-shared-subplans lesson).  One
+# sf_dir is live at a time; switching evicts the previous dir's entries
+# (tests fuzz over fresh tmp dirs — without eviction each example would
+# leak a cached relation into executor storage, ADVICE r10).
+_SPLIT_CACHE: dict[str, dict[bool, object]] = {}
+
+
+def _hashed_documents(spark, sf_dir, *, augmented: bool, cache: bool = True):
+    if not cache:
+        d = (
+            _augmented_documents(spark, sf_dir)
+            if augmented
+            else load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        )
+        return d.withColumn("h", F.sha2("text", 256))
+    per = _SPLIT_CACHE.get(sf_dir)
+    if per is None:
+        for old_dir in list(_SPLIT_CACHE):
+            for df in _SPLIT_CACHE.pop(old_dir).values():
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass  # the old relation's session may already be stopped
+        per = _SPLIT_CACHE.setdefault(sf_dir, {})
+    if augmented not in per:
+        per[augmented] = _hashed_documents(
+            spark, sf_dir, augmented=augmented, cache=False
+        ).cache()
+    return per[augmented]
+
+
+def _split(spark, sf_dir, *, augmented: bool = True, cache: bool = True):
     """(batch, corpus) halves under the %10=7 arrival rule, each with the
     64-hex content hash attached (the only column the index-side plumbing
     ever shuffles).  ``augmented`` adds the replica plants (exact/audit
     keys); the minhash key splits the natural corpus — exact replicas are
     collapsed before LSH anyway, so planting them there would verify
-    nothing."""
-    d = (
-        _augmented_documents(spark, sf_dir)
-        if augmented
-        else load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    )
-    h = d.withColumn("h", F.sha2("text", 256))
+    nothing.  ``cache=False`` bypasses the shared hashed-relation cache
+    (dedup_index_persisted pins FileSourceScan Location lines, which an
+    InMemoryTableScan would hide)."""
+    h = _hashed_documents(spark, sf_dir, augmented=augmented, cache=cache)
     return (
         h.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM),
         h.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM),
@@ -300,25 +331,31 @@ def stream_index_admission(spark, sf_dir):
     """Continuous admission as a STREAM: arriving documents are probed
     against the static corpus hash index (stream-static left_anti join —
     the index broadcasts or probes per micro-batch, no stream state) and
-    then exact-deduped WITHIN the stream (``dropDuplicates`` on the
-    content hash — per-hash state that catches re-arrivals ACROSS
-    micro-batches).  The source is written as two files drained one per
-    trigger: file 1 is the natural batch, file 2 is all replica plants
-    (copies of file-1 docs and of corpus docs), so the second
-    micro-batch consists entirely of rows the two operators must drop —
-    cross-micro-batch, which is exactly what distinguishes stateful
-    streaming dedup from a per-batch distinct.
+    then folded into a stateful per-hash admission LEDGER
+    (``groupBy(h).agg(min(doc_id), count)`` in complete mode — state
+    that merges re-arrivals ACROSS micro-batches).  The min-agg ledger
+    is deliberately arrival-order-INVARIANT: ``dropDuplicates`` (the
+    row-passing alternative, demonstrated by ``stream_dedup``) keeps an
+    arbitrary row of a same-batch duplicate pair, so its admitted
+    doc_ids depend on file order and intra-batch scheduling; the ledger
+    admits min(doc_id) per hash no matter how arrivals are batched.
+    The source is written as two files drained one per trigger: file 1
+    is the natural batch, file 2 is all replica plants (copies of
+    file-1 docs and of corpus docs), so the second micro-batch consists
+    entirely of rows the join must drop or the ledger must MERGE rather
+    than re-admit — cross-micro-batch, which is what distinguishes
+    stateful streaming dedup from a per-batch distinct.
 
-    Admitted rows therefore equal ``dedup_incremental_exact``'s
-    (doc_id, text_hash) survivor set (pinned in tests/test_round11c.py).
-    Production note: unbounded per-hash state wants a watermark over an
-    arrival-time column + ``dropDuplicatesWithinWatermark`` once the
-    re-arrival horizon is bounded; the index side stays a plain batch
-    relation re-read per micro-batch, i.e. the persisted-index shape."""
+    The final ledger therefore equals ``dedup_incremental_exact``'s
+    full (doc_id, text_hash, n_batch_copies) survivor relation (pinned
+    in tests/test_round11c.py).  Production note: unbounded per-hash
+    state wants a watermark once a re-arrival horizon exists; the index
+    side stays a plain batch relation re-read per micro-batch, i.e. the
+    persisted-index shape."""
     import time as _time
     import uuid as _uuid
 
-    from ..streaming.stream_ops import _fresh_dir
+    from ..streaming.stream_ops import _fresh_dir, _read_stream
 
     batch, corpus = _split(spark, sf_dir, augmented=False)
     src = _fresh_dir("src-adm")
@@ -336,19 +373,21 @@ def stream_index_admission(spark, sf_dir):
 
     idx = corpus.select("h").distinct()
     sdf = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        _read_stream(spark, src, max_files=1)
         .withColumn("h", F.sha2("text", 256))
         .join(idx, "h", "left_anti")
-        .dropDuplicates(["h"])
-        .select("doc_id", F.col("h").alias("text_hash"))
+        .groupBy(F.col("h").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+        )
+        .select("doc_id", "text_hash", "n_batch_copies")
     )
     name = f"t_{_uuid.uuid4().hex[:8]}"
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode("complete")
         .option("checkpointLocation", _fresh_dir("chk-adm"))
         .trigger(availableNow=True)
         .start()
@@ -397,12 +436,10 @@ def dedup_index_persisted(spark, sf_dir):
     very property this key pins; the rejection VALUES are verified by
     ``dedup_incremental_exact`` (planted + fuzzed) and by this key's
     planted-corpus engine test."""
-    import uuid as _uuid
-
     from ..streaming.stream_ops import _fresh_dir
 
-    batch, corpus = _split(spark, sf_dir, augmented=False)
-    idx_path = _fresh_dir(f"hashidx-{_uuid.uuid4().hex[:8]}")
+    batch, corpus = _split(spark, sf_dir, augmented=False, cache=False)
+    idx_path = _fresh_dir("hashidx")
     corpus.select("h").distinct().write.mode("overwrite").parquet(idx_path)
 
     idx = spark.read.parquet(idx_path)

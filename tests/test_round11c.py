@@ -157,18 +157,19 @@ def test_incremental_exact_on_planted_corpus_full_answer(spark, tmp_path_factory
 
 
 def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
-    """COVERAGE.md rows-only compensating test: the streaming admission's
-    admitted set (stream-static anti-join + cross-micro-batch
-    dropDuplicates over a two-file source whose SECOND file is all
-    replicas) equals dedup_incremental_exact's (doc_id, text_hash)
-    survivor set — every replica was dropped by stream state, none by
-    luck of batching."""
+    """COVERAGE.md rows-only compensating test: the streaming admission
+    ledger (stream-static anti-join + cross-micro-batch min-agg state
+    over a two-file source whose SECOND file is all replicas) equals
+    dedup_incremental_exact's FULL survivor relation including copy
+    counts — every replica was merged or dropped by stream state, none
+    by luck of batching, and the min-agg makes the admitted doc_ids
+    arrival-order-invariant."""
     got = {
-        (r.doc_id, r.text_hash)
+        (r.doc_id, r.text_hash, r.n_batch_copies)
         for r in QUERIES["stream_index_admission"](spark, sf_dir).collect()
     }
     want = {
-        (r.doc_id, r.text_hash)
+        (r.doc_id, r.text_hash, r.n_batch_copies)
         for r in QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
     }
     assert got == want
@@ -176,7 +177,6 @@ def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
 
 # --- randomized differential: admission vs a hashlib walk -------------------
 
-import pytest  # noqa: E402
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
