@@ -81,6 +81,10 @@ _SPLIT_CACHE: dict[str, dict[bool, object]] = {}
 
 
 def _hashed_documents(spark, sf_dir, *, augmented: bool, cache: bool = True):
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CACHE") == "0":
+        cache = False  # plan dumps need the file scans visible (io.load rule)
     if not cache:
         d = (
             _augmented_documents(spark, sf_dir)

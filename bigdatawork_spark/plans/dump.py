@@ -84,6 +84,14 @@ EXTRA_NOTES = {
     "url_filter_blocklist": "domain blocklist as broadcast LEFT ANTI join on the NORMALIZED host + per-row blocked-path regexp; map-side end to end",
     "decontaminate_ngram": "8-gram explode above the compact-row doc_id repartition; grams shuffle as 60-bit md5-prefix ints; bench grams distinct-folded, ONE left-semi probe, per-source fold",
     "topk_heavy_hitters": "pass 1 map-only Misra-Gries (MapInPandas, m rows/partition out); candidates broadcast into the semi join; only candidate words shuffle for the exact pass",
+    "global_row_index": "scalable zipWithIndex: ONE range shuffle (the irreducible cost of a total order), per-partition counts to the driver (≤#partitions rows), offsets back as a broadcast 2-column dim, window PARTITIONED BY physical pid — no single-task global Window anywhere",
+    "quantile_bin_assign": "boundary pass = one aggregate (9 doubles of driver state); bin assignment pure map-side expression in WholeStageCodegen; rollup shuffles 10 groups",
+    "corr_matrix": "all 6 Pearson coefficients in ONE partial+final aggregate pass — the shuffle carries 6 co-moment tuples per task; stack-unpivot adds no scan",
+    "ngram_pmi": "tokenize/pair narrow; both count aggs shuffle the VOCABULARY after map-side combine; scoring joins are vocab⋈vocab; MLE denominators inlined as literals (no scalar broadcast join)",
+    "kfold_stratified": "per-stratum window parallelizes across lang strata; single shuffle on lang; fold arithmetic and the audit rollup ride the same partitioning",
+    "dedup_incremental_exact": "batch-vs-index exact admission: both exchanges hashpartition on the 64-hex content hash — corpus text never moves; anti-join probes the index side",
+    "dedup_incremental_audit": "per-batch admission report: batch⋈group-mins and batch⋈index share the hash partitioning; final rollup is (source × 3 statuses)",
+    "dedup_index_persisted": "the persisted-index plan pin: exactly ONE documents.parquet scan (the batch slice) + the index parquet scan — corpus state arrives only through index files",
 }
 
 
