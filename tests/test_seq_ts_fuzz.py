@@ -1,0 +1,204 @@
+"""Differential fuzz of the sequence/time-series analytics keys against
+pure-Python walks (the r8-r11 pattern): `win_gaps_islands`,
+`event_transitions`, `ts_resample_ffill`, `ts_interpolate_linear` each
+had only fixed-corpus oracle verification; randomized tiny corpora reach
+what the fixed tables can't — single-event users, every-event-one-island
+runs, the EXACT 30-minute transition boundary, single-observation
+spines, and leading/trailing resample gaps.
+
+Value fields compare with a ±2-3e-6 tolerance (Spark rounds HALF_UP,
+Python round() half-even — a dyadic average can land exactly on a 1e-6
+midpoint and round apart); structure (rows, hours, flags, counts)
+compares exactly."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdatawork_spark.registry import QUERIES
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = datetime.datetime(2024, 3, 1)
+
+# minute offsets: dense ties + the exact 30-min transition boundary +
+# multi-hour gaps for the resample spine
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                       # user_id
+        st.sampled_from([0, 1, 1, 30, 31, 59, 60, 61, 240, 241]),   # minutes
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(min_value=0, max_value=2000),                   # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_dir_seq = [0]
+
+
+def _events_dir(tmp_path_factory, rows):
+    _dir_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"seq{_dir_seq[0]}")
+    evs = [
+        (i, u, _BASE + datetime.timedelta(minutes=m), et, c / 100.0)
+        for i, (u, m, et, c) in enumerate(rows)
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in evs], pa.int64()),
+            "ts": pa.array([e[2] for e in evs], pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in evs], pa.int64()),
+            "event_type": pa.array([e[3] for e in evs], pa.string()),
+            "value": pa.array([e[4] for e in evs], pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+    return str(d), evs
+
+
+def _by_user(evs):
+    out: dict[int, list] = {}
+    for eid, u, ts, et, v in evs:
+        out.setdefault(u, []).append((ts, eid, et, v))
+    for u in out:
+        out[u].sort()
+    return out
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_gaps_islands_vs_run_walk(spark, tmp_path_factory, rows):
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.user_id: (r.longest_streak, r.n_islands)
+        for r in QUERIES["win_gaps_islands"](spark, d).collect()
+    }
+    want = {}
+    for u, seq in _by_user(evs).items():
+        runs, cur = [], 0
+        prev = None
+        for _, _, et, _ in seq:
+            if et == prev:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur, prev = 1, et
+        runs.append(cur)
+        want[u] = (max(runs), len(runs))
+    assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_event_transitions_vs_pair_walk(spark, tmp_path_factory, rows):
+    """The 30-minute bound is INCLUSIVE (next_ts <= ts + 30min) — the
+    offset pool makes exactly-30-minute successors common, so a < vs <=
+    drift on either side fails on a concrete pair."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in QUERIES["event_transitions"](spark, d).collect()
+    }
+    want: dict[tuple[str, str], int] = {}
+    for seq in _by_user(evs).values():
+        for (ts, _, et, _), (nts, _, net, _) in zip(seq, seq[1:]):
+            if nts <= ts + datetime.timedelta(minutes=30):
+                want[(et, net)] = want.get((et, net), 0) + 1
+    assert got == want, f"rows={rows!r}"
+
+
+def _hour(ts):
+    return ts.replace(minute=0, second=0, microsecond=0)
+
+
+def _hourly_and_spine(evs):
+    """Per user: dense hourly spine + exact hourly averages (2dp cents
+    stay exact through the sum; one float division mirrors the
+    decimal→double cast)."""
+    spines, hourly = {}, {}
+    for u, seq in _by_user(evs).items():
+        agg: dict[datetime.datetime, list[int]] = {}
+        for ts, _, _, v in seq:
+            ent = agg.setdefault(_hour(ts), [0, 0])
+            ent[0] += round(v * 100)
+            ent[1] += 1
+        hourly[u] = {
+            h: round((c / 100.0) / n, 6) for h, (c, n) in agg.items()
+        }
+        t0, t1 = _hour(seq[0][0]), _hour(seq[-1][0])
+        spine, h = [], t0
+        while h <= t1:
+            spine.append(h)
+            h += datetime.timedelta(hours=1)
+        spines[u] = spine
+    return spines, hourly
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_resample_ffill_vs_walk(spark, tmp_path_factory, rows):
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        (r.user_id, r.hour): (r.observed, r.value_ffill)
+        for r in QUERIES["ts_resample_ffill"](spark, d).collect()
+    }
+    spines, hourly = _hourly_and_spine(evs)
+    want = {}
+    for u, spine in spines.items():
+        last = None
+        for h in spine:
+            v = hourly[u].get(h)
+            if v is not None:
+                last = v
+            want[(u, str(h))] = (v is not None, last)
+    assert set(got) == set(want), f"rows={rows!r}"
+    for k, (obs, val) in want.items():
+        gobs, gval = got[k]
+        assert gobs == obs, (k, rows)
+        assert abs(gval - val) <= 2.1e-6, (k, gval, val)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_interpolate_linear_vs_walk(spark, tmp_path_factory, rows):
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        (r.user_id, r.hour): (r.observed, r.value_interp)
+        for r in QUERIES["ts_interpolate_linear"](spark, d).collect()
+    }
+    spines, hourly = _hourly_and_spine(evs)
+    want = {}
+    for u, spine in spines.items():
+        obs_hours = sorted(hourly[u])
+        for h in spine:
+            v = hourly[u].get(h)
+            if v is not None:
+                want[(u, str(h))] = (True, round(v, 6))
+                continue
+            ph = max(x for x in obs_hours if x < h)
+            nxt = [x for x in obs_hours if x > h]
+            pv = hourly[u][ph]
+            if nxt:
+                nh = nxt[0]
+                nv = hourly[u][nh]
+                frac = (h - ph).total_seconds() / (nh - ph).total_seconds()
+                want[(u, str(h))] = (False, round(pv + (nv - pv) * frac, 6))
+            else:
+                want[(u, str(h))] = (False, round(pv, 6))
+    assert set(got) == set(want), f"rows={rows!r}"
+    for k, (obs, val) in want.items():
+        gobs, gval = got[k]
+        assert gobs == obs, (k, rows)
+        assert abs(gval - val) <= 3.1e-6, (k, gval, val)
