@@ -202,3 +202,90 @@ def test_random_interpolate_linear_vs_walk(spark, tmp_path_factory, rows):
         gobs, gval = got[k]
         assert gobs == obs, (k, rows)
         assert abs(gval - val) <= 3.1e-6, (k, gval, val)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_cdc_scd2_vs_change_walk(spark, tmp_path_factory, rows):
+    """SCD2 build vs a per-user change walk: the subtle contract is that
+    valid_to is the next RAW event's ts (lead before the change filter),
+    and is_current marks ONLY a final event that itself opened a new
+    state — re-assertion ties and single-event users hit both."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in QUERIES["cdc_scd2"](spark, d).collect()
+    ]
+    want = []
+    for u in sorted(_by_user(evs)):
+        seq = _by_user(evs)[u]
+        for i, (ts, eid, et, _) in enumerate(seq):
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+            prev = seq[i - 1][2] if i > 0 else None
+            if prev is None or prev != et:
+                want.append((u, et, ts, nxt, nxt is None))
+    # the op orders by (user, valid_from) only — ties in valid_from may
+    # interleave, so compare as multisets plus the pinned sort keys
+    # (valid_to can be None: sort via a None-last key, not raw tuples)
+    none_last = lambda r: (  # noqa: E731
+        r[0], r[2], r[1], r[3] is None, r[3] or _BASE, r[4],
+    )
+    assert sorted(got, key=none_last) == sorted(want, key=none_last), (
+        f"rows={rows!r}"
+    )
+    assert [r[0] for r in got] == [r[0] for r in sorted(want, key=none_last)]
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_funnel_vs_stage_walk(spark, tmp_path_factory, rows):
+    """Strict ordering (click AFTER view, purchase AFTER click) with
+    NULL-fails-comparison semantics; equal stage timestamps (common in
+    the tie-heavy offset pool) must NOT count as progression."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    row = QUERIES["funnel_conversion"](spark, d).collect()[0]
+    mins: dict[int, dict[str, datetime.datetime]] = {}
+    for _, u, ts, et, _ in evs:
+        cur = mins.setdefault(u, {})
+        if et not in cur or ts < cur[et]:
+            cur[et] = ts
+    viewed = clicked = purchased = 0
+    for cur in mins.values():
+        v, c, p = cur.get("view"), cur.get("click"), cur.get("purchase")
+        if v is not None:
+            viewed += 1
+            if c is not None and c > v:
+                clicked += 1
+                if p is not None and p > c:
+                    purchased += 1
+    assert (row.n_users, row.viewed, row.clicked_after_view,
+            row.purchased_after_click) == (
+        len(mins), viewed, clicked, purchased
+    ), f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_retention_cohort_vs_walk(spark, tmp_path_factory, rows):
+    """Cohort week (Monday-truncated first-seen) × floor-div week offset,
+    distinct per user — the walk recomputes both from raw dates."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        (r.cohort_week, r.week_no): r.active_users
+        for r in QUERIES["retention_cohort"](spark, d).collect()
+    }
+    firsts: dict[int, datetime.date] = {}
+    for _, u, ts, _, _ in evs:
+        day = ts.date()
+        if u not in firsts or day < firsts[u]:
+            firsts[u] = day
+    cells = set()
+    for _, u, ts, _, _ in evs:
+        f = firsts[u]
+        cohort = f - datetime.timedelta(days=f.weekday())
+        week_no = (ts.date() - f).days // 7
+        cells.add((u, str(cohort), week_no))
+    want: dict[tuple[str, int], int] = {}
+    for _, cw, wn in cells:
+        want[(cw, wn)] = want.get((cw, wn), 0) + 1
+    assert got == want, f"rows={rows!r}"
