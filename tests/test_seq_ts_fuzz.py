@@ -289,3 +289,74 @@ def test_random_retention_cohort_vs_walk(spark, tmp_path_factory, rows):
     for _, cw, wn in cells:
         want[(cw, wn)] = want.get((cw, wn), 0) + 1
     assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_moving_zscore_vs_walk(spark, tmp_path_factory, rows):
+    """Trailing-window z-score vs a per-row walk: the frame EXCLUDES the
+    current row (10 PRECEDING..1 PRECEDING), warm-up (<3 priors) and
+    zero-variance histories are skipped, stddev is the SAMPLE form —
+    each of those is one off-by-one away from a wrong detector."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.event_id: (r.n_prior if hasattr(r, "n_prior") else None,
+                     r.zscore, r.is_anomaly)
+        for r in QUERIES["win_moving_zscore"](spark, d).collect()
+    }
+    want = {}
+    for seq in _by_user(evs).values():
+        vals = [v for _, _, _, v in seq]
+        for i, (_, eid, _, v) in enumerate(seq):
+            prior = vals[max(0, i - 10):i]
+            n = len(prior)
+            if n < 3:
+                continue
+            mu = sum(prior) / n
+            var = sum((x - mu) ** 2 for x in prior) / (n - 1)
+            if var <= 0:
+                continue
+            z = (v - mu) / var**0.5
+            want[eid] = (None, round(z, 6), 1 if abs(z) > 2.0 else 0)
+    assert set(got) == set(want), f"rows={rows!r}"
+    for eid, (_, z, flag) in want.items():
+        _, gz, gflag = got[eid]
+        assert abs(gz - z) <= 2.1e-6, (eid, gz, z)
+        assert gflag == flag, (eid, rows)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_outlier_mad_vs_walk(spark, tmp_path_factory, rows):
+    """MAD outliers vs a sorted-median walk: even-n interpolation for
+    both medians, the 1.4826 consistency constant, and the STRICT >
+    threshold all recomputed independently."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.event_type: (r.n_events, r.med, r.mad, r.n_outliers)
+        for r in QUERIES["ts_outlier_mad"](spark, d).collect()
+    }
+
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        mid = (n - 1) // 2
+        return s[mid] if n % 2 else (s[mid] + s[mid + 1]) / 2.0
+
+    by_type: dict[str, list[float]] = {}
+    for _, _, _, et, v in [(None, *e[1:]) for e in evs]:
+        by_type.setdefault(et, []).append(v)
+    want = {}
+    for et, vals in by_type.items():
+        med = median(vals)
+        adevs = [abs(v - med) for v in vals]
+        mad = median(adevs)
+        n_out = sum(1 for a in adevs if a > 3.0 * 1.4826 * mad)
+        want[et] = (len(vals), round(med, 6), round(mad, 6), n_out)
+    assert set(got) == set(want), f"rows={rows!r}"
+    for et, (n, med, mad, n_out) in want.items():
+        gn, gmed, gmad, gout = got[et]
+        assert gn == n and gout == n_out, (et, rows)
+        assert abs(gmed - med) <= 1.1e-6 and abs(gmad - mad) <= 1.1e-6, (
+            et, gmed, med, gmad, mad,
+        )
