@@ -360,3 +360,110 @@ def test_random_outlier_mad_vs_walk(spark, tmp_path_factory, rows):
         assert abs(gmed - med) <= 1.1e-6 and abs(gmad - mad) <= 1.1e-6, (
             et, gmed, med, gmad, mad,
         )
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_session_paths_vs_walk(spark, tmp_path_factory, rows):
+    """Two-window sessionizer + ordered path build vs a single walk: the
+    30-minute gap is STRICT (> 30min starts a session; exactly-30 keeps
+    it), the pool makes exact-gap successors common, and the >=5 support
+    cut is recomputed independently."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.path: r.n_sessions
+        for r in QUERIES["session_paths"](spark, d).collect()
+    }
+    paths: dict[str, int] = {}
+    for seq in _by_user(evs).values():
+        cur, prev_ts = [], None
+        for ts, _, et, _ in seq:
+            if prev_ts is not None and ts - prev_ts > datetime.timedelta(minutes=30):
+                p = ">".join(cur)
+                paths[p] = paths.get(p, 0) + 1
+                cur = []
+            cur.append(et)
+            prev_ts = ts
+        p = ">".join(cur)
+        paths[p] = paths.get(p, 0) + 1
+    want = {p: n for p, n in paths.items() if n >= 5}
+    assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_twa_vs_segment_walk(spark, tmp_path_factory, rows):
+    """Step-function time-weighted average vs an integer segment walk
+    (cents × µs stay exact): zero-length segments from tied timestamps
+    contribute zero weight, and the final reading is droppped — both are
+    the usual TWA implementation mistakes."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.event_type: (r.n_segments, r.twa_value)
+        for r in QUERIES["ts_time_weighted_avg"](spark, d).collect()
+    }
+    by_type: dict[str, list] = {}
+    for eid, u, ts, et, v in evs:
+        by_type.setdefault(et, []).append((ts, eid, v))
+    want = {}
+    for et, seq in by_type.items():
+        seq.sort()
+        num = den = 0
+        segs = 0
+        for (ts, _, v), (nts, _, _) in zip(seq, seq[1:]):
+            dt = int((nts - ts).total_seconds() * 1_000_000)
+            num += round(v * 100) * dt
+            den += dt
+            segs += 1
+        if segs:
+            want[et] = (segs, round((num / 100) / den, 6) if den else None)
+    assert set(got) == set(want), f"rows={rows!r}"
+    for et, (segs, twa) in want.items():
+        gsegs, gtwa = got[et]
+        assert gsegs == segs, (et, rows)
+        if twa is None:
+            assert gtwa is None, (et, gtwa)
+        else:
+            assert gtwa is not None and abs(gtwa - twa) <= 1.1e-6, (et, gtwa, twa)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_agg_mode_tiebreak_vs_walk(spark, tmp_path_factory, rows):
+    """Deterministic arg-max: count ties between hours are broken by the
+    SMALLER hour — the dense offset pool makes count ties routine."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.event_type: (r.modal_hour, r.n_at_mode)
+        for r in QUERIES["agg_mode"](spark, d).collect()
+    }
+    counts: dict[str, dict[int, int]] = {}
+    for _, _, ts, et, _ in evs:
+        c = counts.setdefault(et, {})
+        c[ts.hour] = c.get(ts.hour, 0) + 1
+    want = {
+        et: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for et, c in counts.items()
+    }
+    assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_running_distinct_vs_walk(spark, tmp_path_factory, rows):
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        (r.event_type, r.event_id): r.running_users
+        for r in QUERIES["win_running_distinct"](spark, d).collect()
+    }
+    by_type: dict[str, list] = {}
+    for eid, u, ts, et, _ in evs:
+        by_type.setdefault(et, []).append((ts, eid, u))
+    want = {}
+    for et, seq in by_type.items():
+        seq.sort()
+        seen: set[int] = set()
+        for ts, eid, u in seq:
+            seen.add(u)
+            want[(et, eid)] = len(seen)
+    assert got == want, f"rows={rows!r}"
