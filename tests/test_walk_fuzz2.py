@@ -1,0 +1,225 @@
+"""Walk-fuzz batch 2: `fuzzy_match_levenshtein`, `skyline_pareto`,
+`ks_test_drift`, `basket_pairs` — each vs an independent pure-Python
+restatement on randomized tmp corpora (continues test_seq_ts_fuzz).
+
+Contract note (fuzzy_match_levenshtein): the blocking key is the 2nd
+name token; on a SINGLE-token name Spark's ``split().getItem(1)`` is
+NULL (never joins) while DuckDB's ``split_part(...,2)`` is '' (joins
+other one-token names) — the generators below emit two-token names
+only, matching the parts corpus this operator is declared over."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdatawork_spark.registry import QUERIES
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_dir_seq = [0]
+
+
+def _fresh(tmp_path_factory, tag):
+    _dir_seq[0] += 1
+    return tmp_path_factory.mktemp(f"{tag}{_dir_seq[0]}")
+
+
+# --- fuzzy_match_levenshtein ------------------------------------------------
+
+_ADJ = ["red", "reed", "rd", "blue", "blu", "green", "grean", "pink"]
+_NOUN = ["widget", "gadget", "sprocket"]
+
+_names = st.sets(
+    st.tuples(st.sampled_from(_ADJ), st.sampled_from(_NOUN)).map(
+        lambda t: f"{t[0]} {t[1]}"
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(names=_names)
+@settings(**_SETTINGS)
+def test_random_fuzzy_match_vs_dp_walk(spark, tmp_path_factory, names):
+    """Blocked edit-distance matching vs a DP walk: blocking on the 2nd
+    token means cross-noun near-misses must NOT pair however close, and
+    the <=4 cut is checked on adjective pools built to straddle it."""
+    d = _fresh(tmp_path_factory, "fz")
+    ns = sorted(names)
+    pq.write_table(
+        pa.table({"p_name": pa.array(ns, pa.string())}),
+        str(d / "part.parquet"),
+    )
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in QUERIES["fuzzy_match_levenshtein"](spark, str(d)).collect()
+    }
+    want = {}
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            if a.split(" ")[1] == b.split(" ")[1]:
+                dd = _lev(a, b)
+                if dd <= 4:
+                    want[(a, b)] = dd
+    assert got == want, f"names={ns!r}"
+
+
+# --- skyline_pareto ---------------------------------------------------------
+
+_parts = st.lists(
+    st.tuples(
+        st.sampled_from(["b1", "b2", "b3"]),          # p_brand
+        st.sampled_from(["t1", "t2"]),                # p_type
+        st.integers(min_value=100, max_value=500),    # price cents
+        st.integers(min_value=1, max_value=10),       # size
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_parts)
+@settings(**_SETTINGS)
+def test_random_skyline_vs_dominance_walk(spark, tmp_path_factory, rows):
+    """Pareto skyline vs brute-force dominance on EXACT group averages:
+    the small integer domains make equal-price / equal-size group pairs
+    routine, which is where <= vs < dominance drift shows."""
+    d = _fresh(tmp_path_factory, "sk")
+    pq.write_table(
+        pa.table({
+            "p_brand": pa.array([r[0] for r in rows], pa.string()),
+            "p_type": pa.array([r[1] for r in rows], pa.string()),
+            "p_retailprice": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            "p_size": pa.array([r[3] for r in rows], pa.int64()),
+        }),
+        str(d / "part.parquet"),
+    )
+    got = {
+        (r.p_brand, r.p_type): (r.avg_price, r.avg_size, r.n_parts)
+        for r in QUERIES["skyline_pareto"](spark, str(d)).collect()
+    }
+    agg: dict[tuple[str, str], list[int]] = {}
+    for b, t, c, s in rows:
+        ent = agg.setdefault((b, t), [0, 0, 0])
+        ent[0] += c
+        ent[1] += s
+        ent[2] += 1
+    stats = {
+        k: ((c / 100) / n, s / n, n) for k, (c, s, n) in agg.items()
+    }
+    want = {}
+    for k, (p, s, n) in stats.items():
+        dominated = any(
+            bp <= p and bs >= s and (bp < p or bs > s)
+            for kk, (bp, bs, _) in stats.items()
+            if kk != k
+        )
+        if not dominated:
+            want[k] = (round(p, 6), round(s, 6), n)
+    assert set(got) == set(want), f"rows={rows!r}"
+    for k, (p, s, n) in want.items():
+        gp, gs, gn = got[k]
+        assert gn == n
+        assert abs(gp - p) <= 1.1e-6 and abs(gs - s) <= 1.1e-6, (k, got[k], want[k])
+
+
+# --- ks_test_drift ----------------------------------------------------------
+
+_chars = st.lists(
+    st.integers(min_value=1, max_value=12), min_size=2, max_size=40
+)
+
+
+@given(ncs=_chars)
+@settings(**_SETTINGS)
+def test_random_ks_drift_vs_ecdf_walk(spark, tmp_path_factory, ncs):
+    """Two-sample KS vs an explicit merged-grid ECDF walk, including the
+    alpha=0.05 critical value and the strict rejection rule."""
+    d = _fresh(tmp_path_factory, "ks")
+    n = len(ncs)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x" * c for c in ncs], pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array(ncs, pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    row = QUERIES["ks_test_drift"](spark, str(d)).collect()[0]
+    a = sorted(ncs[0::2])
+    b = sorted(ncs[1::2])
+    na, nb = len(a), len(b)
+    ks = 0.0
+    for v in sorted(set(a) | set(b)):
+        fa = sum(1 for x in a if x <= v) / na
+        fb = sum(1 for x in b if x <= v) / nb
+        ks = max(ks, abs(fa - fb))
+    crit = 1.358 * ((na + nb) / (na * nb)) ** 0.5
+    assert (row.n_a, row.n_b) == (na, nb), ncs
+    assert abs(row.ks_stat - ks) <= 1.1e-6, (row.ks_stat, ks)
+    assert abs(row.ks_crit - crit) <= 1.1e-6, (row.ks_crit, crit)
+    assert row.drifted == (1 if ks > crit else 0), ncs
+
+
+# --- basket_pairs -----------------------------------------------------------
+
+_baskets = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),   # l_orderkey
+        st.integers(min_value=1, max_value=8),   # l_partkey
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(items=_baskets)
+@settings(**_SETTINGS)
+def test_random_basket_pairs_vs_itertools_walk(spark, tmp_path_factory, items):
+    """Co-occurrence pairs vs an itertools walk: duplicate (order, part)
+    lines must collapse BEFORE pairing, and the >=2 support cut and
+    a<b orientation are recomputed independently."""
+    import itertools
+
+    d = _fresh(tmp_path_factory, "bk")
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([i[0] for i in items], pa.int64()),
+            "l_partkey": pa.array([i[1] for i in items], pa.int64()),
+        }),
+        str(d / "lineitem.parquet"),
+    )
+    got = {
+        (r.part_a, r.part_b): r.n_orders
+        for r in QUERIES["basket_pairs"](spark, str(d)).collect()
+    }
+    orders: dict[int, set[int]] = {}
+    for o, p in set(items):
+        orders.setdefault(o, set()).add(p)
+    counts: dict[tuple[int, int], int] = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    assert got == want, f"items={items!r}"
