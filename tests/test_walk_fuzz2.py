@@ -223,3 +223,217 @@ def test_random_basket_pairs_vs_itertools_walk(spark, tmp_path_factory, items):
             counts[(a, b)] = counts.get((a, b), 0) + 1
     want = {k: v for k, v in counts.items() if v >= 2}
     assert got == want, f"items={items!r}"
+
+
+# --- bm25_rank ---------------------------------------------------------------
+
+_BM_VOCAB = ["join", "merge", "scan", "the", "fast", "slow", "table"]
+
+_bm_docs = st.lists(
+    st.lists(st.sampled_from(_BM_VOCAB), min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=18,  # < 20 so the top-20 cut never truncates
+)
+
+
+@given(texts=_bm_docs)
+@settings(**_SETTINGS)
+def test_random_bm25_vs_formula_walk(spark, tmp_path_factory, texts):
+    """BM25 scores vs a from-scratch formula walk (k1=1.2, b=0.75,
+    idf=ln(1+(N-df+.5)/(df+.5)), mean-length normalization): df/avglen
+    bookkeeping drifts easily.  Rank order is checked for
+    self-consistency against the returned scores (round-6 ties make
+    cross-implementation rank order legitimately ambiguous)."""
+    import math
+
+    d = _fresh(tmp_path_factory, "bm")
+    n = len(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    rows = QUERIES["bm25_rank"](spark, str(d)).collect()
+    got = {r.doc_id: r.score for r in rows}
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+    avglen = sum(len(ws) for ws in toks.values()) / n
+    terms = ("join", "merge", "scan")
+    df = {
+        t: sum(1 for ws in toks.values() if t in ws) for t in terms
+    }
+    want = {}
+    for i, ws in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += (
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avglen))
+            )
+        if score > 0:
+            want[i] = round(score, 6)
+    assert set(got) == set(want), f"texts={texts!r}"
+    for i, sc in want.items():
+        assert abs(got[i] - sc) <= 2.1e-6, (i, got[i], sc)
+    # rank column must be the (score desc, doc_id) rank of the returned rows
+    expect_rn = {
+        r[0]: k + 1
+        for k, r in enumerate(
+            sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert {r.doc_id: r.rn for r in rows} == expect_rn
+
+
+# --- ts_period_over_period ---------------------------------------------------
+
+_days = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # day offset
+        st.sampled_from(["click", "view"]),
+        st.integers(min_value=1, max_value=2000),   # cents (nonzero days)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_days)
+@settings(**_SETTINGS)
+def test_random_period_over_period_vs_walk(spark, tmp_path_factory, rows):
+    """Daily lag deltas vs a walk: missing days make lag jump across
+    gaps (it is a ROW lag over present days, not a calendar lag), and
+    the first present day NULLs both deltas."""
+    import datetime
+
+    d = _fresh(tmp_path_factory, "pp")
+    base = datetime.datetime(2024, 3, 1)
+    evs = [
+        (i, 1, base + datetime.timedelta(days=dd, minutes=i % 60), et, c / 100.0)
+        for i, (dd, et, c) in enumerate(rows)
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in evs], pa.int64()),
+            "ts": pa.array([e[2] for e in evs], pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in evs], pa.int64()),
+            "event_type": pa.array([e[3] for e in evs], pa.string()),
+            "value": pa.array([e[4] for e in evs], pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+    got = {
+        (r.event_type, r.day): (r.revenue, r.abs_change, r.pct_change)
+        for r in QUERIES["ts_period_over_period"](spark, str(d)).collect()
+    }
+    daily: dict[tuple[str, str], int] = {}
+    for _, _, ts, et, v in evs:
+        k = (et, str(ts.date()))
+        daily[k] = daily.get(k, 0) + round(v * 100)
+    want = {}
+    by_type: dict[str, list[str]] = {}
+    for et, day in sorted(daily):
+        by_type.setdefault(et, []).append(day)
+    for et, days in by_type.items():
+        prev = None
+        for day in days:
+            rev = daily[(et, day)] / 100.0
+            if prev is None:
+                want[(et, day)] = (rev, None, None)
+            else:
+                want[(et, day)] = (
+                    rev,
+                    round(rev - prev, 6),
+                    round((rev - prev) / prev * 100.0, 6),
+                )
+            prev = rev
+    assert set(got) == set(want), f"rows={rows!r}"
+    for k, (rev, ac, pc) in want.items():
+        grev, gac, gpc = got[k]
+        assert abs(grev - rev) <= 1e-9, (k, grev, rev)
+        for g, w in ((gac, ac), (gpc, pc)):
+            if w is None:
+                assert g is None, (k, g)
+            else:
+                assert g is not None and abs(g - w) <= 2.1e-6, (k, g, w)
+
+
+# --- stats_winsorized ----------------------------------------------------------
+
+_win_vals = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "view"]),
+        st.integers(min_value=-500, max_value=5000),  # cents incl. outliers
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_win_vals)
+@settings(**_SETTINGS)
+def test_random_winsorized_mean_vs_walk(spark, tmp_path_factory, rows):
+    """Winsorized mean vs a walk with explicit (n-1)q percentile
+    interpolation and HALF_UP 4dp clipping (the decimal cast inside the
+    sum): tiny groups make P1/P99 land BETWEEN points, exercising the
+    interpolation on both sides."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = _fresh(tmp_path_factory, "wz")
+    base = datetime.datetime(2024, 3, 1)
+    evs = [
+        (i, 1, base + datetime.timedelta(minutes=i), et, c / 100.0)
+        for i, (et, c) in enumerate(rows)
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([e[0] for e in evs], pa.int64()),
+            "ts": pa.array([e[2] for e in evs], pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in evs], pa.int64()),
+            "event_type": pa.array([e[3] for e in evs], pa.string()),
+            "value": pa.array([e[4] for e in evs], pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+    got = {
+        r.event_type: (r.n_events, r.winsorized_mean)
+        for r in QUERIES["stats_winsorized"](spark, str(d)).collect()
+    }
+
+    def q_cont(s, q):
+        import math
+        pos = (len(s) - 1) * q
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(s) - 1)
+        return s[lo] + (pos - lo) * (s[hi] - s[lo])
+
+    by_type: dict[str, list[float]] = {}
+    for _, _, _, et, v in evs:
+        by_type.setdefault(et, []).append(v)
+    want = {}
+    for et, vals in by_type.items():
+        s = sorted(vals)
+        p1, p99 = q_cont(s, 0.01), q_cont(s, 0.99)
+        total = sum(
+            Decimal(repr(min(max(v, p1), p99))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+            for v in vals
+        )
+        want[et] = (len(vals), round(float(total) / len(vals), 6))
+    assert set(got) == set(want), f"rows={rows!r}"
+    for et, (n, m) in want.items():
+        gn, gm = got[et]
+        assert gn == n, (et, rows)
+        assert abs(gm - m) <= 2.1e-6, (et, gm, m)
