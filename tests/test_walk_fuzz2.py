@@ -437,3 +437,80 @@ def test_random_winsorized_mean_vs_walk(spark, tmp_path_factory, rows):
         gn, gm = got[et]
         assert gn == n, (et, rows)
         assert abs(gm - m) <= 2.1e-6, (et, gm, m)
+
+
+# --- sequence / bin packing ---------------------------------------------------
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.integers(min_value=0, max_value=1200),  # words per doc
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _write_pack_docs(tmp_path_factory, rows):
+    d = _fresh(tmp_path_factory, "pk")
+    texts = [" ".join(["w"] * n) for _, n in rows]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@given(rows=_pack_docs)
+@settings(**_SETTINGS)
+def test_random_packing_vs_running_sum_walk(spark, tmp_path_factory, rows):
+    """Both packing layouts vs one running-sum walk.  The two ops count
+    tokens DIFFERENTLY by contract — pack_sequences counts raw split
+    fields (an empty text is ONE empty token: split('') = ['']),
+    pack_bins_greedy filters empties (an empty text is zero tokens) —
+    and a bin is determined by tokens accumulated BEFORE the document
+    (sum-minus-self), so a budget-straddling doc belongs to the bin it
+    STARTED in.  Zero-length and giant (multi-bin) docs are generated
+    on purpose."""
+    d = _write_pack_docs(tmp_path_factory, rows)
+
+    def walk(budget, raw):
+        agg: dict[tuple[str, int], list[int]] = {}
+        per_src: dict[str, int] = {}
+        for src, n in rows:  # doc_id order == list order
+            n_tok = max(n, 1) if raw else n  # split('') -> [''] counts 1
+            before = per_src.get(src, 0)
+            b = before // budget
+            per_src[src] = before + n_tok
+            ent = agg.setdefault((src, b), [0, 0])
+            ent[0] += 1
+            ent[1] += n_tok
+        return agg
+
+    got_seq = {
+        (r.source, r.bin_id): (r.n_docs, r.n_tokens)
+        for r in QUERIES["pack_sequences"](spark, d).collect()
+    }
+    assert got_seq == {
+        k: tuple(v) for k, v in walk(512, raw=True).items()
+    }, f"rows={rows!r}"
+
+    got_bins = {
+        (r.source, r.bin): (r.n_docs, r.n_tokens, r.fill_ratio)
+        for r in QUERIES["pack_bins_greedy"](spark, d).collect()
+    }
+    want = {
+        k: (nd, nt, round(nt / 2048, 6))
+        for k, (nd, nt) in walk(2048, raw=False).items()
+    }
+    assert set(got_bins) == set(want), f"rows={rows!r}"
+    for k, (nd, nt, fr) in want.items():
+        gnd, gnt, gfr = got_bins[k]
+        assert (gnd, gnt) == (nd, nt), (k, rows)
+        assert abs(gfr - fr) <= 1.1e-6, (k, gfr, fr)
