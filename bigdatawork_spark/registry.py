@@ -144,6 +144,52 @@ CONTRACT_KEYS: frozenset[str] = frozenset(
 )
 
 
+# Keys owed a fresh driver row by a named round (VERDICT r11 item 1: the
+# r12 window must finish the artifact rotation — all of §2-B and §2-J plus
+# agg_global / agg_count_distinct / the python-datasource pair are r01/r03
+# vintage, and the four §2-F/G/I keys below are r06 vintage).  A key ranks
+# in the "due" tier (after never-verified and source-stale keys, before the
+# general oldest-vintage rotation) while its newest clean driver row is
+# OLDER than its due round; once the driver samples it the boost
+# self-disables, so a consumed entry is inert rather than tech debt.
+ROTATION_DUE: dict[str, int] = {
+    k: 12
+    for k in (
+        # r01 vintage
+        "source_python_datasource source_python_stream "
+        "agg_global agg_count_distinct "
+        # r03 vintage — §2-B
+        "project_select project_cast project_case_when filter_simple "
+        "filter_compound filter_in_between filter_like filter_null "
+        "distinct_rows "
+        # r03 vintage — §2-J
+        "udf_python udf_pandas_scalar udaf_pandas_grouped_agg "
+        "udtf_grouped_map udtf_map_in_pandas udtf_python sql_udf_register "
+        # r06 vintage
+        "set_intersect set_except win_time_sliding win_time_session"
+    ).split()
+}
+
+# Streaming keys are due a driver re-sample EVERY OTHER ROUND (VERDICT r10
+# item 8 / r11 item 4: streaming is where session-conf drift bites silently,
+# and r11's 50-key window dropped the 16 streaming keys because nothing
+# encoded the cadence — this constant is that rule, so window arithmetic
+# can't silently drop it again).  A streaming key whose newest clean row is
+# >= STREAMING_CADENCE rounds older than the upcoming round ranks in the
+# due tier automatically.
+STREAMING_CADENCE = 2
+
+
+def is_streaming_key(key: str) -> bool:
+    """True for keys with streaming semantics: registered from the
+    ``streaming`` package (``source_stream_*``, ``sink_stream_*``, ...) or
+    named ``stream_*`` (the admission/restart twins live in operator
+    modules but are still Structured Streaming under the hood)."""
+    fn = QUERIES.get(key)
+    mod = getattr(fn, "__module__", "") or ""
+    return key.startswith("stream_") or ".streaming." in mod
+
+
 def driver_verified_keys() -> set[str]:
     """Keys with a clean row in any driver ``CORRECTNESS_r*.json`` so far:
     hash-green, or rows-only that ran without error.  Unreadable files are
@@ -271,15 +317,18 @@ def driver_order(
 ) -> dict[str, Any]:
     """Reorder a registry dict for the driver's truncated per-round run.
 
-    Self-rotating across rounds, four tiers:
+    Self-rotating across rounds, five tiers:
       0. never driver-verified SURVEY §2 contract keys
       1. never driver-verified extras
       2. verified but STALE — the builder/oracle source changed since the
          hash recorded at verification time (a green row certifies only
          the source that produced it; VERDICT r05 item 2)
-      3. verified and unchanged
+      3. verified but DUE — named in ROTATION_DUE with a vintage older
+         than the due round, or a streaming key >= STREAMING_CADENCE
+         rounds stale (VERDICT r11 items 1 and 4)
+      4. verified and unchanged
     so each round's ~50-key budget lands on fresh-or-changed keys with no
-    manual reshuffling.  Within tiers 2-3 keys sort by the round of their
+    manual reshuffling.  Within tiers 2-4 keys sort by the round of their
     NEWEST clean driver row ascending (oldest vintage first — VERDICT r10
     item 1: a green row ages as the engine under it changes, so the
     rotation must resample the stalest vintages, not a fixed priority
@@ -289,19 +338,28 @@ def driver_order(
     verified = driver_verified_keys()
     recorded = _verified_hashes(_hash_file)
     vintage = driver_latest_round()
+    upcoming = max(vintage.values(), default=0) + 1
     prio = {k: i for i, k in enumerate(DRIVER_PRIORITY)}
 
     def stale(k: str) -> bool:
         rec = recorded.get(k)
         return rec is None or rec != source_hash(k)
 
+    def due(k: str) -> bool:
+        rnd = vintage.get(k, 0)
+        if k in ROTATION_DUE and rnd < ROTATION_DUE[k]:
+            return True
+        return is_streaming_key(k) and rnd <= upcoming - STREAMING_CADENCE
+
     def rank(k: str):
         if k not in verified:
             tier = 0 if k in CONTRACT_KEYS else 1
         elif stale(k):
             tier = 2
-        else:
+        elif due(k):
             tier = 3
+        else:
+            tier = 4
         rnd = vintage.get(k, 0) if tier >= 2 else 0
         return (tier, rnd, prio.get(k, len(prio)))
 
