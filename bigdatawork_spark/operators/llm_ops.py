@@ -687,7 +687,7 @@ df AS (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT t.doc_id, t.word,
-         ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+         FLOOR(t.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS score
   FROM tf t JOIN df ON t.word = df.word CROSS JOIN n
 )
 SELECT doc_id, word, score, rn FROM (
@@ -790,7 +790,16 @@ def tfidf_keywords(spark, sf_dir):
         )
         scored = tf.join(dfw, "word").withColumn(
             "score",
-            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6),
+            # floor-based half-up in plain double arithmetic — the SAME
+            # IEEE operations as the pandas path's np.floor and the
+            # oracle's FLOOR, so all three round identically even when a
+            # score lands exactly on a 5 at the 7th decimal (ADVICE r11:
+            # F.round is decimal HALF_UP, np.round is half-to-even — the
+            # two could flip a top-3 tiebreak on such a score).
+            F.floor(
+                F.col("tf") * F.log(F.lit(n_docs) / F.col("df")) * 1e6 + 0.5
+            )
+            / 1e6,
         )
         w = Window.partitionBy("doc_id").orderBy(
             F.desc("score"), F.asc("word")
@@ -817,8 +826,11 @@ def tfidf_keywords(spark, sf_dir):
             g = s.groupby([s.index, s.values]).size().reset_index()
             g.columns = ["doc_id", "word", "tf"]
             idf = np.log(n_docs / g["word"].map(dfd).to_numpy(dtype=np.float64))
-            g["score"] = np.round(
-                g["tf"].to_numpy(dtype=np.float64) * idf, 6
+            # identical IEEE ops to the fallback path's F.floor expression
+            # and the oracle's FLOOR — see the fallback comment (ADVICE r11)
+            g["score"] = (
+                np.floor(g["tf"].to_numpy(dtype=np.float64) * idf * 1e6 + 0.5)
+                / 1e6
             )
             g = g.sort_values(
                 ["doc_id", "score", "word"],

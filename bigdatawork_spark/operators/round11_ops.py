@@ -33,12 +33,28 @@ from ..registry import register
 from ..sources.io_ops import _tmp
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Collision-free tmp-layout tag for a corpus directory: basename for
+    readability plus a hash of the FULL normalized path (ADVICE r11 — two
+    corpora sharing a basename, e.g. tmp fixtures both named ``sf0.01``,
+    must not silently reuse each other's materialized fact/dim layout;
+    the _SPLIT_CACHE pattern, applied to on-disk layouts)."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    return (
+        (os.path.basename(norm) or "sf")
+        + "_"
+        + hashlib.sha256(norm.encode()).hexdigest()[:12]
+    )
+
+
 def _partitioned_events_path(spark, sf_dir: str) -> str:
     """Write events Hive-partitioned by event_date once per (process, SF);
     later calls reuse the layout.  Mirrors the ``sink_partitioned_parquet``
     production layout (sources/io_ops.py) — 30 ``event_date=YYYY-MM-DD/``
     directories at every test SF."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     path = _tmp(f"dpp_events_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load(spark, sf_dir, "events").withColumn(
@@ -60,7 +76,7 @@ def _date_dim_path(spark, sf_dir: str) -> str:
     column, so a filter on it cannot be statically rewritten onto the join
     key — exactly the production star-schema situation where dynamic
     partition pruning is the only mechanism that prunes the fact scan."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     path = _tmp(f"dpp_datedim_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dim = (

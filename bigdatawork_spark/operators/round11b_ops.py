@@ -34,12 +34,13 @@ from ..registry import register
 # global_row_index
 # ---------------------------------------------------------------------------
 
-# Bounded-lifetime cache for the range-partitioned relation: it feeds both
-# the per-partition count pass and the final projection, and
-# repartitionByRange's sampled boundaries are not guaranteed stable across
-# re-executions — the cache pins one placement.  Returned-lazy DFs can't
-# unpersist in-function, so each call evicts the previous call's relation
-# (the minhash_pairs / tfidf_keywords lifetime pattern, ADVICE r10).
+# Bounded-lifetime cache for the range-id-assigned relation: it feeds both
+# the per-range count pass and the final projection.  Since ADVICE r11 the
+# range id is a deterministic expression over literal boundaries, so the
+# cache is purely a scan-sharing optimisation — an eviction-forced
+# recompute yields identical placement.  Returned-lazy DFs can't unpersist
+# in-function, so each call evicts the previous call's relation (the
+# minhash_pairs / tfidf_keywords lifetime pattern, ADVICE r10).
 _ROWIDX_STAGED_LAST = None
 
 _ROWIDX_PARTITIONS = 16
@@ -65,39 +66,54 @@ def global_row_index(spark, sf_dir):
     single-partition Window — one task sorts and numbers 100 TB.  The
     scalable plan, built here:
 
-      1. ``repartitionByRange`` on the unique order key → partitions hold
-         disjoint, ordered key ranges; sortWithinPartitions orders rows
-         inside each (one range shuffle — the unavoidable cost of a
-         total order).
-      2. One tiny counting aggregate: rows per partition id (≤ #partitions
-         rows ever reach the driver — bounded by cluster layout, not data).
+      1. Range boundaries from ``approxQuantile``, embedded as LITERALS;
+         each row's range id (pid) is a deterministic map-side expression
+         over them (count of boundaries exceeded) — re-executing the plan
+         reproduces identical placement, unlike ``repartitionByRange``'s
+         per-execution boundary sampling (ADVICE r11).
+      2. One tiny counting aggregate: rows per range id (≤ #ranges rows
+         ever reach the driver — bounded by cluster layout, not data).
       3. Running-sum offsets broadcast back as a two-column dim; local
-         ``row_number`` partitioned BY PHYSICAL PARTITION (every pid group
-         is independent → fully parallel) + offset = exact global index.
+         ``row_number`` partitioned BY RANGE ID (every pid group is
+         independent → fully parallel, one hash shuffle — the unavoidable
+         cost of a total order) + offset = exact global index.
 
-    Partition-boundary placement is sampled and arbitrary, but the final
-    index is invariant to it: ranges are disjoint and the sort key
-    (l_orderkey, l_linenumber) is unique.  Output is thinned to every
-    97th index so the driver compare stays compact while still covering
-    the whole table's numbering."""
+    Boundary placement is sampled and arbitrary, but the final index is
+    invariant to it: ranges are disjoint and the sort key (l_orderkey,
+    l_linenumber) is unique.  Output is thinned to every 97th index so
+    the driver compare stays compact while still covering the whole
+    table's numbering."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    rng = (
-        li.repartitionByRange(_ROWIDX_PARTITIONS, "l_orderkey", "l_linenumber")
-        .sortWithinPartitions("l_orderkey", "l_linenumber")
-        .withColumn("pid", F.spark_partition_id())
-    )
+
+    # Deterministic range placement (ADVICE r11): the partition id is a
+    # map-side expression over LITERAL boundaries collected once here, so
+    # any re-execution of the returned plan reproduces the exact same
+    # placement — correctness no longer depends on a cached relation
+    # pinning repartitionByRange's sampled boundaries.  approxQuantile's
+    # sampling only affects WHERE the ranges split, never the final index
+    # (ranges stay disjoint; the sort key is unique).
+    qs = [i / _ROWIDX_PARTITIONS for i in range(1, _ROWIDX_PARTITIONS)]
+    bounds = sorted(set(li.stat.approxQuantile("l_orderkey", qs, 0.01)))
+    pid_expr = sum(
+        F.when(F.col("l_orderkey") > F.lit(int(b)), 1).otherwise(0)
+        for b in bounds
+    ).alias("pid")
+    rng = li.select("l_orderkey", "l_linenumber", pid_expr)
+
     global _ROWIDX_STAGED_LAST
     if _ROWIDX_STAGED_LAST is not None:
         try:
             _ROWIDX_STAGED_LAST.unpersist(blocking=False)
         except Exception:
             pass  # the old relation's session may already be stopped
+    # Cache is a pure optimisation now (two consumers: counts + final
+    # projection) — an eviction-forced recompute yields identical pids.
     rng = rng.cache()
     _ROWIDX_STAGED_LAST = rng
 
     counts = rng.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).orderBy("pid")
     offsets, acc = [], 0
-    for r in counts.collect():  # ≤ _ROWIDX_PARTITIONS rows — bounded
+    for r in counts.collect():  # ≤ len(bounds)+1 rows — bounded
         offsets.append((r["pid"], acc))
         acc += r["cnt"]
     off = spark.createDataFrame(offsets, "pid int, offset long")
@@ -390,7 +406,7 @@ _KFOLD_K = 5
 WITH ranked AS (
   SELECT doc_id, lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 assigned AS (
   SELECT lang, CAST((rk - 1) % {_KFOLD_K} AS INTEGER) AS fold, n_chars
@@ -416,8 +432,13 @@ def kfold_stratified(spark, sf_dir):
     map-side, no window — balance within sqrt(n) noise; the engine-side
     test pins that variant's balance), keeping this exact-balance form
     for bounded strata.  Output is the per-(stratum, fold) audit the
-    split publisher ships alongside the assignment."""
-    d = load(spark, sf_dir, "documents")
+    split publisher ships alongside the assignment.
+
+    NULL text is filtered on BOTH engines before ranking (ADVICE r11:
+    Spark windows default NULLS FIRST, DuckDB NULLS LAST — one NULL doc
+    would shift every row_number in its stratum and silently break the
+    cross-engine match)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
     assigned = d.select(
         "lang",

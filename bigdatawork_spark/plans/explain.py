@@ -44,13 +44,23 @@ def count_operator(df: DataFrame, name: str) -> int:
     return plan_string(df).count(name)
 
 
-def executed_scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+def executed_scan_metrics(df) -> list[dict[str, int]]:
     """Materialize the DataFrame, then return each FileSourceScan's SQL
     metrics dict from the AQE-finalized executed plan (e.g. ``numFiles``,
     ``numPartitions``, ``staticFilesNum``, ``pruningTime``).  The
     partitions-read metrics are the ground truth for dynamic-partition-
     pruning assertions — the pre-execution plan text only shows the
-    pruning EXPRESSION, not what it actually pruned."""
+    pruning EXPRESSION, not what it actually pruned.
+
+    Accepts a zero-arg BUILDER (preferred) or a DataFrame.  SQLMetrics
+    accumulate across executions of one QueryExecution (ADVICE r11: a
+    DataFrame the caller already materialized reports numPartitions 8
+    where one execution reads 4, spuriously failing — or worse, passing —
+    pruning assertions), so a passed DataFrame must be freshly built and
+    never previously executed; a builder sidesteps the hazard by
+    constructing the plan here, guaranteeing exactly one execution."""
+    if callable(df) and not isinstance(df, DataFrame):
+        df = df()
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
     if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":

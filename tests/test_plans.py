@@ -150,8 +150,14 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     plan = formatted_plan(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_date" in pf[0], plan[:2000]
+    # builder, not the already-used df — SQLMetrics accumulate per
+    # QueryExecution (ADVICE r11)
     scan = next(
-        m for m in executed_scan_metrics(df) if "numPartitions" in m
+        m
+        for m in executed_scan_metrics(
+            lambda: QUERIES["sink_partitioned_parquet"](spark, sf_dir)
+        )
+        if "numPartitions" in m
     )
     assert scan["numPartitions"] == 3, scan
 
@@ -397,7 +403,7 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     fact_pf = next(l for l in pf if "dynamicpruningexpression" in l)
     assert "date_format" not in fact_pf and "2024-01" not in fact_pf, fact_pf
 
-    metrics = executed_scan_metrics(df)
+    metrics = executed_scan_metrics(lambda: _q(spark, sf_dir, "join_dpp_partitioned"))
     fact = next(m for m in metrics if "staticFilesNum" in m and m["staticFilesNum"] > 1)
     assert fact["staticFilesNum"] == 30, fact
     assert fact["numPartitions"] == 4, fact
