@@ -401,6 +401,133 @@ def stream_index_admission(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# stream_index_admission_wm — the BOUNDED-STATE admission ledger
+# ---------------------------------------------------------------------------
+
+# Event-time layout for the watermarked ledger: four source files drained
+# one per trigger, each stamped inside a distinct hour so the 30-minute
+# watermark finalizes (emits + EVICTS) each admission window as the next
+# one arrives.  Listed here so the engine test can rebuild the expected
+# relation from the same constants.
+_WM_BASE = "2024-03-01 00:10:00"
+_WM_PLANT_TS = "2024-03-01 00:30:00"  # same hour window as _WM_BASE
+_WM_W2_TS = "2024-03-01 03:10:00"  # advances watermark past window 1
+_WM_FLUSH_TS = "2024-03-01 06:10:00"  # advances watermark past window 2
+_WM_W2_SHIFT = 2000000
+_WM_W2_SUFFIX = " w2marker"
+
+# q.recentProgress of the last stream_index_admission_wm run — the engine
+# test reads the per-micro-batch state-store numRowsTotal trace from here
+# to pin EVICTION (the metric drops after the horizon passes), the same
+# runtime-evidence pattern as join_dpp_partitioned's partitions-read pin.
+_WM_LAST_PROGRESS: list = []
+
+
+@register("stream_index_admission_wm")  # rows-only: wall-clock source lifecycle
+def stream_index_admission_wm(spark, sf_dir):
+    """Bounded-state streaming admission (VERDICT r11 item 5): the
+    admission ledger of ``stream_index_admission`` with a RE-ARRIVAL
+    HORIZON — a 30-minute event-time watermark over 1-hour admission
+    windows, append mode — so per-hash state is EVICTED once the horizon
+    passes instead of accumulating forever (the unbounded-ledger caveat
+    that key's docstring conceded).
+
+    Semantics: a replica arriving within its window's horizon MERGES
+    (same min-doc_id/count ledger as the unbounded twin — window 1's
+    emitted relation is pinned ≡ ``stream_index_admission``'s full
+    ledger); a "re-arrival" past the horizon would be a NEW admission
+    decision made against the persisted index, which at production scale
+    has absorbed the earlier window's hashes by then (the index-update
+    stage ``dedup_index_persisted`` demonstrates) — exactly the contract
+    a continuous pipeline wants, with state bounded by arrival-rate ×
+    horizon instead of corpus size.
+
+    Source lifecycle (one file per trigger): file 1 the natural batch at
+    00:10; file 2 all replica plants at 00:30 (inside window 1's horizon
+    → must merge/drop via state); file 3 a later batch of NEW documents
+    at 03:10 (watermark 02:40 > window-1 end 01:00 → window 1 is emitted
+    and its state EVICTED); file 4 a single far-future sentinel at 06:10
+    (flushes window 2 the same way; the default no-data micro-batch then
+    performs the final emit).  The engine test pins both the emitted
+    survivor relations AND the state-store ``numRowsTotal`` trace
+    (rises, then DROPS after each horizon passes — bounded state as a
+    runtime metric, not prose) from ``_WM_LAST_PROGRESS``."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    from ..streaming.stream_ops import _fresh_dir, _read_stream
+
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    src = _fresh_dir("src-admwm")
+    nat = batch.select("doc_id", "text").withColumn(
+        "event_ts", F.lit(_WM_BASE).cast("timestamp")
+    )
+    nat.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)  # distinct mtimes → deterministic file order
+    plants = (
+        batch.filter(F.col("doc_id") % 50 == 7)
+        .select((F.col("doc_id") + 1000010).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000007).alias("doc_id"), "text"
+            )
+        )
+        .withColumn("event_ts", F.lit(_WM_PLANT_TS).cast("timestamp"))
+    )
+    plants.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)
+    w2 = batch.select(
+        (F.col("doc_id") + _WM_W2_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_WM_W2_SUFFIX)).alias("text"),
+    ).withColumn("event_ts", F.lit(_WM_W2_TS).cast("timestamp"))
+    w2.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)
+    sentinel = spark.createDataFrame(
+        [(-1, "wm flush sentinel 5f2a")], "doc_id long, text string"
+    ).withColumn("event_ts", F.lit(_WM_FLUSH_TS).cast("timestamp"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    idx = corpus.select("h").distinct()
+    sdf = (
+        _read_stream(spark, src, max_files=1)
+        .withColumn("h", F.sha2("text", 256))
+        .withWatermark("event_ts", "30 minutes")
+        .join(idx, "h", "left_anti")
+        .groupBy(
+            F.window("event_ts", "1 hour").alias("win"),
+            F.col("h").alias("text_hash"),
+        )
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "doc_id",
+            "text_hash",
+            "n_batch_copies",
+        )
+    )
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits a window only once finalized
+        .option("checkpointLocation", _fresh_dir("chk-admwm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _WM_LAST_PROGRESS.clear()
+    for p in q.recentProgress:
+        _WM_LAST_PROGRESS.append(
+            _json.loads(p.json) if hasattr(p, "json") else p
+        )
+    return spark.table(name).orderBy("window_start", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # dedup_index_persisted — the persisted-index admission, plan-pinned
 # ---------------------------------------------------------------------------
 

@@ -61,6 +61,24 @@ def test_bpe_matches_pure_python_reference(spark, sf_dir):
     assert got == want
 
 
+def test_bpe_first_k_matches_pure_python_reference(spark, sf_dir):
+    """bpe_first_k_merges (VERDICT r11 item 6) returns the trainer's first
+    8 rules; the independent pure-Python reference must agree — the DuckDB
+    side of the same claim is the driver's hash check over the unrolled
+    CTE oracle."""
+    from bigdatawork_spark.operators.corpus_ops import _BPE_K
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = _reference_bpe([t for t in texts if t is not None], n_merges=_BPE_K)
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in QUERIES["bpe_first_k_merges"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
 def test_chunks_reconstruct_documents(spark, sf_dir):
     """Stride-24 windows of size 32: chunk 0 plus tokens 9..32 of every
     later chunk (dropping the 8-token overlap) must rebuild each doc."""

@@ -175,6 +175,73 @@ def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
     assert got == want
 
 
+def test_stream_index_admission_wm_bounded_state_and_survivors(spark, sf_dir):
+    """VERDICT r11 item 5: the watermarked admission ledger must (a) emit
+    window 1's survivor relation ≡ the unbounded ledger's full relation
+    (replicas arriving inside the horizon merged by state, index hits
+    dropped), (b) emit window 2's new-document admissions, and (c) show
+    state-store EVICTION as a runtime metric: numRowsTotal RISES while
+    windows accumulate, then DROPS after each horizon passes — bounded
+    state pinned the way join_dpp_partitioned pins partitions-read."""
+    from bigdatawork_spark.operators import round11c_ops as r11c
+
+    rows = QUERIES["stream_index_admission_wm"](spark, sf_dir).collect()
+    w1_start = r11c._WM_BASE[:13]  # "2024-03-01 00"
+    w2_start = r11c._WM_W2_TS[:13]  # "2024-03-01 03"
+    got_w1 = {
+        (r.doc_id, r.text_hash, r.n_batch_copies)
+        for r in rows
+        if str(r.window_start).startswith(w1_start)
+    }
+    got_w2 = {
+        (r.doc_id, r.text_hash, r.n_batch_copies)
+        for r in rows
+        if str(r.window_start).startswith(w2_start)
+    }
+    assert {str(r.window_start)[:13] for r in rows} == {w1_start, w2_start}
+
+    # (a) window 1 ≡ the unbounded ledger (itself ≡ dedup_incremental_exact)
+    want_w1 = {
+        (r.doc_id, r.text_hash, r.n_batch_copies)
+        for r in QUERIES["stream_index_admission"](spark, sf_dir).collect()
+    }
+    assert got_w1 == want_w1
+
+    # (b) window 2 ≡ the batch-computed admission of the shifted documents
+    batch, corpus = r11c._split(spark, sf_dir, augmented=False)
+    w2 = batch.select(
+        (F.col("doc_id") + r11c._WM_W2_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(r11c._WM_W2_SUFFIX)).alias("text"),
+    ).withColumn("h", F.sha2("text", 256))
+    idx = corpus.select("h").distinct()
+    want_w2 = {
+        (r.doc_id, r.h, r.n_batch_copies)
+        for r in (
+            w2.groupBy("h")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+            )
+            .join(idx, "h", "left_anti")
+            .collect()
+        )
+    }
+    assert got_w2 == want_w2 and got_w2
+
+    # (c) bounded state: the numRowsTotal trace must rise then fall —
+    # final state is ONLY the pending sentinel window (1 row), strictly
+    # below the peak, so eviction provably happened.
+    trace = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in r11c._WM_LAST_PROGRESS
+        if p.get("stateOperators")
+    ]
+    assert trace, "no state-operator progress recorded"
+    assert max(trace) >= len(got_w1) + len(got_w2)
+    assert trace[-1] == 1, trace  # everything but the sentinel evicted
+    assert trace[-1] < max(trace)
+
+
 # --- randomized differential: admission vs a hashlib walk -------------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
