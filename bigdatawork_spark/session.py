@@ -95,6 +95,17 @@ def get_spark(app_name: str = "bigdatawork-spark", cpus: int | str | None = None
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # STATIC conf (builder-only; a driver-owned pre-existing session
+        # keeps its default — harmless, it only re-pays compilation).  The
+        # generated-class cache defaults to 100 entries; a 10-query batch
+        # cycles WELL over 100 codegen stages, so every return to a query
+        # shape evicted-and-recompiled its Janino classes — measured r12:
+        # the "~2× first-run-after-switch penalty" (r10) was this cache
+        # thrashing, not JIT warm-up.  At 5000 entries the first-run
+        # penalty on the headline batch collapses from ~1.9× to ~1.02-1.14×
+        # (BASELINE.md r12); a long-lived cluster session wants the same —
+        # recurring shapes should never recompile.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
