@@ -94,9 +94,14 @@ def global_row_index(spark, sf_dir):
     # (ranges stay disjoint; the sort key is unique).
     qs = [i / _ROWIDX_PARTITIONS for i in range(1, _ROWIDX_PARTITIONS)]
     bounds = sorted(set(li.stat.approxQuantile("l_orderkey", qs, 0.01)))
+    # F.lit(0) start value: on an empty/tiny relation approxQuantile
+    # returns no boundaries and a bare sum() would be the int 0
     pid_expr = sum(
-        F.when(F.col("l_orderkey") > F.lit(int(b)), 1).otherwise(0)
-        for b in bounds
+        (
+            F.when(F.col("l_orderkey") > F.lit(int(b)), 1).otherwise(0)
+            for b in bounds
+        ),
+        F.lit(0),
     ).alias("pid")
     rng = li.select("l_orderkey", "l_linenumber", pid_expr)
 
