@@ -516,7 +516,7 @@ def _bpe_first_k_oracle(k: int) -> str:
 
 @register("bpe_first_k_merges", oracle=_bpe_first_k_oracle(_BPE_K))
 def bpe_first_k_merges(spark, sf_dir):
-    """The BPE trainer's first {k} merge rules, cross-engine hash-checked
+    """The BPE trainer's first ``_BPE_K`` (= 8) merge rules, cross-engine hash-checked
     (VERDICT r11 item 6: ``bpe_first_merge`` covers round 0; this key
     extends the oracle through the recurrence — each round's argmax
     depends on the previous round's merged vocabulary — making the

@@ -182,12 +182,18 @@ STREAMING_CADENCE = 2
 
 def is_streaming_key(key: str) -> bool:
     """True for keys with streaming semantics: registered from the
-    ``streaming`` package (``source_stream_*``, ``sink_stream_*``, ...) or
-    named ``stream_*`` (the admission/restart twins live in operator
-    modules but are still Structured Streaming under the hood)."""
+    ``streaming`` package, or carrying ``stream`` anywhere in the key name
+    (the admission/restart twins, the table-format stream read/sink, and
+    the python-datasource stream live in operator/source modules but are
+    still Structured Streaming under the hood — a name-prefix-only rule
+    silently dropped three of them from the cadence, code-review r12).
+    ``tests/test_driver_contract.py`` sweeps every builder's source for
+    readStream/writeStream and asserts this predicate flags it, so a
+    future streaming key in an operator module can't dodge the cadence
+    by its name."""
     fn = QUERIES.get(key)
     mod = getattr(fn, "__module__", "") or ""
-    return key.startswith("stream_") or ".streaming." in mod
+    return "stream" in key or ".streaming." in mod
 
 
 def driver_verified_keys() -> set[str]:

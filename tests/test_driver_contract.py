@@ -205,6 +205,27 @@ def test_streaming_cadence_floats_stale_streaming_keys():
     )
 
 
+def test_streaming_predicate_covers_every_readstream_builder():
+    """code-review r12: a name-prefix-only streaming predicate silently
+    excluded three Structured Streaming keys from the cadence rule.  Sweep
+    every builder's SOURCE for readStream/writeStream usage — any builder
+    that drives a stream must be flagged by is_streaming_key, whatever its
+    name or module."""
+    import inspect
+
+    from bigdatawork_spark.registry import is_streaming_key
+
+    missed = []
+    for k, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if ("readStream" in src or "writeStream" in src) and not is_streaming_key(k):
+            missed.append(k)
+    assert not missed, f"streaming builders outside the cadence: {missed}"
+
+
 def test_rotation_due_well_formed_and_self_disabling():
     from bigdatawork_spark.registry import ROTATION_DUE, driver_latest_round
 
