@@ -533,6 +533,85 @@ def stream_index_admission_wm(spark, sf_dir):
 
 
 @register(
+    "dedup_index_update_idempotent",
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx0 AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h),
+surv AS (
+  SELECT g.h FROM grp g
+  WHERE NOT EXISTS (SELECT 1 FROM idx0 i WHERE i.h = g.h)
+),
+idx1 AS (SELECT h FROM idx0 UNION SELECT h FROM surv),
+readmit AS (
+  SELECT g.h FROM grp g
+  WHERE NOT EXISTS (SELECT 1 FROM idx1 i WHERE i.h = g.h)
+)
+SELECT phase, n FROM (
+  SELECT 'admitted_first' AS phase, CAST(COUNT(*) AS BIGINT) AS n FROM surv
+  UNION ALL
+  SELECT 'admitted_after_update', CAST(COUNT(*) AS BIGINT) FROM readmit
+  UNION ALL
+  SELECT 'index_size_before', CAST(COUNT(*) AS BIGINT) FROM idx0
+  UNION ALL
+  SELECT 'index_size_after', CAST(COUNT(*) AS BIGINT) FROM idx1
+) ORDER BY phase
+""",
+)
+def dedup_index_update_idempotent(spark, sf_dir):
+    """Index MAINTENANCE — the stage that closes the continuous-admission
+    loop the §11c family demonstrates (build → admit → UPDATE → re-admit):
+    after a batch's survivors are admitted, their hashes are APPENDED to
+    the persisted index (new parquet files under the same path — O(batch)
+    writes, the standing corpus index is never rewritten or rescanned),
+    and re-admitting the SAME batch against the updated index must admit
+    ZERO documents.  That idempotence is what makes the pipeline safe to
+    re-run after a partial failure (at-least-once delivery upstream) —
+    the same guarantee stream_restart_checkpoint pins for streaming
+    state, here for the batch index.
+
+    Output: the four-phase audit (admitted_first / admitted_after_update
+    / index_size_before / index_size_after) — admitted_after_update is
+    pinned 0 and index growth equals the first admission's survivor
+    count.  At 100 TB every step is O(batch) plus one anti-join probe of
+    the 64 B/doc index; compaction of the appended files is ordinary
+    table maintenance."""
+    from ..streaming.stream_ops import _fresh_dir
+
+    batch, corpus = _split(spark, sf_dir, augmented=False, cache=False)
+    idx_path = _fresh_dir("hashidx-upd")
+    corpus.select("h").distinct().write.mode("overwrite").parquet(idx_path)
+
+    grp = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+
+    surv = grp.join(spark.read.parquet(idx_path), "h", "left_anti")
+    n_before = spark.read.parquet(idx_path).count()
+    n_first = surv.count()
+    # the UPDATE: append only the survivors' hashes — new files, no rewrite
+    surv.select("h").write.mode("append").parquet(idx_path)
+
+    idx1 = spark.read.parquet(idx_path)
+    n_after = idx1.distinct().count()
+    n_re = grp.join(idx1, "h", "left_anti").count()
+
+    return spark.createDataFrame(
+        [
+            ("admitted_after_update", n_re),
+            ("admitted_first", n_first),
+            ("index_size_after", n_after),
+            ("index_size_before", n_before),
+        ],
+        "phase string, n long",
+    ).orderBy("phase")
+
+
+@register(
     "dedup_index_persisted",
     oracle=f"""
 WITH batch AS (

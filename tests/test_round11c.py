@@ -175,6 +175,20 @@ def test_stream_index_admission_equals_batch_survivors(spark, sf_dir):
     assert got == want
 
 
+def test_index_update_idempotent_and_nonvacuous(spark, sf_dir):
+    """The maintenance key's claims, pinned non-vacuously: the first
+    admission admits >0 docs (so the idempotence branch is exercised on
+    real survivors), the re-admission after the index append admits
+    EXACTLY zero, and index growth equals the survivor count."""
+    rows = {
+        r.phase: r.n
+        for r in QUERIES["dedup_index_update_idempotent"](spark, sf_dir).collect()
+    }
+    assert rows["admitted_first"] > 0
+    assert rows["admitted_after_update"] == 0
+    assert rows["index_size_after"] - rows["index_size_before"] == rows["admitted_first"]
+
+
 def test_stream_index_admission_wm_bounded_state_and_survivors(spark, sf_dir):
     """VERDICT r11 item 5: the watermarked admission ledger must (a) emit
     window 1's survivor relation ≡ the unbounded ledger's full relation
