@@ -343,6 +343,32 @@ def test_random_incremental_admission_vs_walk(spark, tmp_path_factory, rows):
     assert audit == want_audit, f"rows={rows!r}"
 
 
+@given(rows=_fuzz_docs)
+@settings(**_SETTINGS)
+def test_random_index_update_idempotent_vs_walk(spark, tmp_path_factory, rows):
+    """Random dup-heavy corpora through the maintenance key: the phase
+    audit must match an independent hashlib walk of the natural split
+    (survivors = batch-unique hashes outside the corpus index; index
+    grows by exactly that count; re-admission always zero — including on
+    empty corpora and batches that are all index hits)."""
+    d = _write_docs(tmp_path_factory, rows)
+    got = {
+        r.phase: r.n
+        for r in QUERIES["dedup_index_update_idempotent"](spark, d).collect()
+    }
+    h = [hashlib.sha256(t.encode()).hexdigest() for t, _ in rows]
+    batch_h = {h[i] for i in range(len(rows)) if i % 10 == 7}
+    idx0 = {h[i] for i in range(len(rows)) if i % 10 != 7}
+    surv = batch_h - idx0
+    want = {
+        "admitted_first": len(surv),
+        "admitted_after_update": 0,
+        "index_size_before": len(idx0),
+        "index_size_after": len(idx0) + len(surv),
+    }
+    assert got == want, f"rows={rows!r}"
+
+
 def test_persisted_index_admission_plan_and_values(spark, tmp_path_factory):
     """The §11c claim as a plan property: the ADMISSION query scans
     documents.parquet exactly once (the batch slice) and reads corpus
