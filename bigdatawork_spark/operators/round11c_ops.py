@@ -353,8 +353,10 @@ def stream_index_admission(spark, sf_dir):
     The final ledger therefore equals ``dedup_incremental_exact``'s
     full (doc_id, text_hash, n_batch_copies) survivor relation (pinned
     in tests/test_round11c.py).  Production note: unbounded per-hash
-    state wants a watermark once a re-arrival horizon exists; the index
-    side stays a plain batch relation re-read per micro-batch, i.e. the
+    state wants a watermark once a re-arrival horizon exists — that
+    bounded-state variant is ``stream_index_admission_wm`` (r12), which
+    pins the state-store eviction as a runtime metric; the index side
+    stays a plain batch relation re-read per micro-batch, i.e. the
     persisted-index shape."""
     import time as _time
     import uuid as _uuid
