@@ -16,7 +16,7 @@ import os
 import re
 
 HEADLINE_NOTES = {
-    "agg_groupby_q1": "partial+final HashAggregate; date filter pushed to scan; 7-column ReadSchema from a 11-column table",
+    "agg_groupby_q1": "partial+final HashAggregate; date filter pushed to scan; 7-column ReadSchema from a 11-column table; the five scaled-long measures are generated columns materialized in the bench cache layout (io._DERIVED_COLS, r12) — shown here computed on the fly (cache off), identical values",
     "limit_topk_q3": "TakeOrderedAndProject (per-partition heaps, no global sort); dim side broadcast",
     "join_multiway_q5": "6-table chain: facts-first (lineitem⋈orders co-partitioned "
     "SHJ off the clustered cache), constant dims broadcast, SF-growing sides to AQE",
@@ -34,6 +34,8 @@ EXTRA_NOTES = {
     "join_dpp_partitioned": "dynamic partition pruning over the Hive-partitioned events layout: dynamicpruningexpression on the fact scan's PartitionFilters (NO static date predicate — the dim attribute is a materialized scan column), executed partitions-read metric 4 of 30 (tests/test_plans.py)",
     "join_skew_aqe": "70%-hot-key fact⋈dim; registered path is UNHINTED (AQE broadcasts at this scale, skew-handled SMJ at cluster scale) — the skew=true runtime pin runs under SPARK_GRAFT_SKEW_FORCE_SMJ with corpus-scaled thresholds (tests/test_plans.py)",
     "bpe_first_merge": "BPE round 0: vocab aggregate (shuffle carries distinct words + freqs, never documents), zip_with adjacent pairs exploded off the VOCAB not the corpus, single argmax row to the driver",
+    "bpe_first_k_merges": "BPE rounds 0-7 (shown: the materialized final createDataFrame of the learned rules — the per-round plan is bpe_first_merge's vocab-aggregate shape, re-planned per merge with localCheckpoint keeping it flat)",
+    "dedup_index_update_idempotent": "index maintenance audit (shown: the four-phase result relation; the admission probes are dedup_index_persisted's anti-join shape and the update is an O(batch) parquet append — no corpus rescan, no index rewrite)",
     "dedup_ladder_exact_stage": "exact-dup pre-pass of the production ladder: sha256 group keys shuffle (64-byte keys, not documents), min-id representative window, deterministic replica injection for non-vacuous oracle",
     "winnow_fingerprint": "MOSS winnowing in ONE Window pass: repartition(doc_id) BEFORE the 27M-gram explode (spreads md5 hashing AND pre-satisfies the window partitioning — no exploded-row exchange), six lag/leads + rightmost-min reach predicate, no per-window expansion",
     "dedup_winnow_pairs": "winnowing stage 2: cached 16-byte fp rows, capped rare-fp bucket self-join (df in [2, min(4% docs, 64)]) — bounded pair fan-out per bucket, n_docs via 1-row broadcast fold",
