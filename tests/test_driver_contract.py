@@ -226,6 +226,53 @@ def test_streaming_predicate_covers_every_readstream_builder():
     assert not missed, f"streaming builders outside the cadence: {missed}"
 
 
+def test_codegen_class_cache_sized_for_the_batch(spark):
+    """The generated-class cache must stay sized above the headline batch's
+    codegen-stage count (r12: the default 100 entries thrashed — every
+    return to a query shape recompiled its Janino classes, read as a ~2x
+    'switch penalty' for two rounds).  Static conf, so this pins the
+    builder in session.get_spark, which created this session."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 5000
+
+
+def test_driver_window_covers_priority_tiers_when_they_fit():
+    """Permanent rotation invariant (the r11 window-arithmetic lesson):
+    whenever the union of never-verified, source-stale, rotation-due, and
+    cadence-overdue-streaming keys fits in the driver's ~50-key window,
+    the first 50 of driver_order must contain ALL of them — no priority
+    key may be crowded out by fresh verified keys."""
+    from bigdatawork_spark.registry import (
+        ROTATION_DUE,
+        STREAMING_CADENCE,
+        _verified_hashes,
+        driver_latest_round,
+        is_streaming_key,
+        source_hash,
+    )
+
+    vintage = driver_latest_round()
+    if not vintage:
+        pytest.skip("no CORRECTNESS_r*.json present")
+    verified = driver_verified_keys()
+    recorded = _verified_hashes()
+    upcoming = max(vintage.values()) + 1
+    need = set()
+    for k in QUERIES:
+        if k not in verified:
+            need.add(k)
+        elif recorded.get(k) != source_hash(k):
+            need.add(k)
+        elif k in ROTATION_DUE and vintage.get(k, 0) < ROTATION_DUE[k]:
+            need.add(k)
+        elif is_streaming_key(k) and vintage.get(k, 0) <= upcoming - STREAMING_CADENCE:
+            need.add(k)
+    if len(need) > 50:
+        pytest.skip(f"priority tiers exceed the window ({len(need)} keys)")
+    window = set(list(driver_order(QUERIES))[:50])
+    missing = sorted(need - window)
+    assert not missing, f"priority keys crowded out of the 50-key window: {missing}"
+
+
 def test_rotation_due_well_formed_and_self_disabling():
     from bigdatawork_spark.registry import ROTATION_DUE, driver_latest_round
 
