@@ -372,7 +372,9 @@ WITH stats AS (
 ),
 scored AS (
   SELECT e.event_type, e.value,
-         (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+         CASE WHEN sq / n - (s / n) * (s / n) > 0
+              THEN (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n))
+         END AS z
   FROM events e JOIN stats USING (event_type)
 )
 SELECT event_type,
@@ -390,7 +392,15 @@ def anomaly_zscore(spark, sf_dir):
     and count |z| > 2.5 outliers.  Two passes over events — the stats
     aggregate broadcasts back onto the scan (no row explosion) — the
     standard streaming-friendly shape for 100 TB anomaly sweeps; MAX of
-    a deterministic double is order-independent."""
+    a deterministic double is order-independent.
+
+    Degenerate groups (std = 0: single-event or constant-valued types)
+    score NULL, not NaN (fuzz finding, r12): float cancellation makes
+    the variance term go slightly negative there, sqrt gives NaN, and
+    Spark SQL's non-IEEE ordering treats NaN as LARGER than any number —
+    so `abs(NaN) > 2.5` is TRUE and every row of a constant-valued type
+    would be counted an anomaly.  The std > 0 guard nulls the score on
+    both engines instead (no flag, max_abs_z NULL)."""
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy(F.col("event_type").alias("et")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -401,8 +411,10 @@ def anomaly_zscore(spark, sf_dir):
     )
     mean = F.col("s") / F.col("n")
     std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    var = F.col("sq") / F.col("n") - mean * mean
     scored = ev.join(F.broadcast(stats), ev.event_type == F.col("et")).select(
-        "event_type", ((F.col("value") - mean) / std).alias("z")
+        "event_type",
+        F.when(var > 0, (F.col("value") - mean) / std).alias("z"),
     )
     return (
         scored.groupBy("event_type")

@@ -467,3 +467,99 @@ def test_random_running_distinct_vs_walk(spark, tmp_path_factory, rows):
             seen.add(u)
             want[(et, eid)] = len(seen)
     assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_strict_seq_pattern_vs_walk(spark, tmp_path_factory, rows):
+    """pattern_match_strict_seq vs a pure-Python strict-contiguity walk:
+    immediate-next-event semantics (not any-subsequence), the EXACT
+    30-minute step boundary (<=, generator plants 30/31-minute offsets),
+    and the (ts, event_id) tie order that decides which event is 'next'
+    when timestamps collide."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.user_id: (r.n_view_click, r.n_view_click_purchase)
+        for r in QUERIES["pattern_match_strict_seq"](spark, d).collect()
+    }
+    half = datetime.timedelta(minutes=30)
+    want: dict[int, list[int]] = {}
+    for u, seq in _by_user(evs).items():
+        n1 = n2 = 0
+        for i, (ts, _eid, et, _v) in enumerate(seq):
+            if et != "view" or i + 1 >= len(seq):
+                continue
+            ts1, _, t1, _ = seq[i + 1]
+            if t1 == "click" and ts1 <= ts + half:
+                n1 += 1
+                if i + 2 < len(seq):
+                    ts2, _, t2, _ = seq[i + 2]
+                    if t2 == "purchase" and ts2 <= ts1 + half:
+                        n2 += 1
+        if n1 > 0:
+            want[u] = [n1, n2]
+    assert got == {u: tuple(v) for u, v in want.items()}, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_latest_by_key_vs_walk(spark, tmp_path_factory, rows):
+    """dedup_latest_by_key vs a pure-Python argmax: the (ts DESC,
+    event_id DESC) tie-break decides the survivor when a user's events
+    share a timestamp — the generator's dense minute ties make that the
+    common case, which the fixed corpus never exercises."""
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.user_id: (r.event_id, r.ts, r.event_type)
+        for r in QUERIES["dedup_latest_by_key"](spark, d).collect()
+    }
+    want = {}
+    for u, seq in _by_user(evs).items():
+        ts, eid, et, _v = max(seq, key=lambda e: (e[0], e[1]))
+        want[u] = (eid, ts, et)
+    assert got == want, f"rows={rows!r}"
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_random_anomaly_zscore_vs_walk(spark, tmp_path_factory, rows):
+    """anomaly_zscore vs an IEEE-replicated walk (numpy float64, same op
+    order: decimal-exact sums → double moments → per-value z).  Random
+    tiny groups reach what the corpus can't: single-event and
+    constant-valued types, where the variance term cancels to <= 0 and
+    the operator must score NULL (no flag, NULL max) — the r12 fuzz
+    finding: unguarded, Spark's non-IEEE NaN ordering counted every row
+    of a constant-valued type as an anomaly."""
+    import numpy as np
+
+    d, evs = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.event_type: (r.n_events, r.n_anomalies, r.max_abs_z)
+        for r in QUERIES["anomaly_zscore"](spark, d).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    cents: dict[str, list[int]] = {}
+    for _eid, _u, _ts, et, v in evs:
+        vals.setdefault(et, []).append(np.float64(v))
+        cents.setdefault(et, []).append(round(v * 100))
+    assert set(got) == set(vals)
+    for et, vs in vals.items():
+        n = len(vs)
+        # decimal-exact sums cast to double, like the builder
+        s = np.float64(sum(cents[et])) / np.float64(100.0)
+        sq = np.float64(sum(c * c for c in cents[et])) / np.float64(10000.0)
+        mean = s / np.float64(n)
+        var = sq / np.float64(n) - mean * mean
+        if var > 0:
+            std = np.sqrt(var)
+            zs = [(v - mean) / std for v in vs]
+        else:
+            zs = []  # degenerate group: operator scores NULL
+        n_anom = sum(1 for z in zs if abs(z) > 2.5)
+        g_n, g_anom, g_max = got[et]
+        assert g_n == n and g_anom == n_anom, f"rows={rows!r}"
+        if not zs:
+            assert g_max is None, f"rows={rows!r}"
+        else:
+            want_max = max(abs(z) for z in zs)
+            assert abs(g_max - round(float(want_max), 6)) <= 3e-6, f"rows={rows!r}"
