@@ -374,3 +374,37 @@ def test_q5_dims_first_never_exchanges_lineitem(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_Q5_SHAPE", "dims_first")
     plan = plan_string(QUERIES["join_multiway_q5"](spark, sf_dir))
     assert "hashpartitioning(l_orderkey" not in plan, plan
+
+
+def test_triangle_count_matches_itertools_reference(spark, sf_dir):
+    """graph_triangle_count vs an independent per-node count: collect the
+    (small, nation-level) undirected edge set and count each node's
+    triangles with set intersections — independent of the wedge-join +
+    semi-probe formulation, so a shared-misconception bug in the join
+    chain (double-counted corners, missed a<b<c canonicalization) can't
+    pass both."""
+    from bigdatawork_spark.operators.graph_ops import _trade_edges
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r.node: r.n_triangles
+        for r in QUERIES["graph_triangle_count"](spark, sf_dir).collect()
+    }
+    edges = {
+        tuple(sorted((r.src, r.dst)))
+        for r in _trade_edges(spark, sf_dir).collect()
+        if r.src != r.dst
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[str, int] = {}
+    for node, nbrs in adj.items():
+        t = 0
+        for u in nbrs:
+            t += len(nbrs & adj[u])
+        t //= 2  # each triangle counted once per ordered neighbor pair
+        if t:
+            want[node] = t
+    assert got == want

@@ -1123,3 +1123,59 @@ def test_random_range_frame_vs_scan(spark, tmp_path_factory, vals):
         for i, v in enumerate(vals)
     }
     assert got == want, f"vals={vals!r}"
+
+
+# --- merge_upsert vs a pure-Python dict merge --------------------------------
+
+_cust_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # custkey pool: dense % 7/97 hits
+        st.integers(min_value=-5000, max_value=5000),  # acctbal cents
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda r: r[0],  # custkey is a key
+)
+
+_mu_seq = [0]
+
+
+@given(rows=_cust_rows)
+@settings(**_SETTINGS)
+def test_random_merge_upsert_vs_dict_merge(spark, tmp_path_factory, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    """merge_upsert vs an independent dict-based MERGE walk: update /
+    insert / keep classification, the coalesce column semantics, and the
+    key-shifted insert branch — on random key sets where %7 and %97 hits
+    (and the empty table) are common, unlike the fixed corpus where both
+    branches always fire."""
+    _mu_seq[0] += 1
+    d = tmp_path_factory.mktemp(f"mu{_mu_seq[0]}")
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([f"Customer#{r[0]}" for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[0] % 25 for r in rows], pa.int32()),
+            "c_acctbal": pa.array([r[1] / 100.0 for r in rows], pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * len(rows), pa.string()),
+        }),
+        str(d / "customer.parquet"),
+    )
+    got = {
+        r.c_custkey: (r.c_name, r.c_acctbal, r.action)
+        for r in QUERIES["merge_upsert"](spark, str(d)).collect()
+    }
+    want = {}
+    for k, cents in rows:
+        name, bal = f"Customer#{k}", cents / 100.0
+        if k % 7 == 0:
+            want[k] = (name, bal + 100.0, "update")
+        else:
+            want[k] = (name, bal, "keep")
+        if k % 97 == 0:
+            want[k + 1000000] = (f"new:{name}", 0.0, "insert")
+    assert got == want, f"rows={rows!r}"
