@@ -408,3 +408,50 @@ def test_triangle_count_matches_itertools_reference(spark, sf_dir):
         if t:
             want[node] = t
     assert got == want
+
+
+def test_shortest_path_matches_python_bfs(spark, sf_dir):
+    """graph_shortest_path vs a plain-Python BFS over the same sparsified
+    edge list: hop counts, the 4-hop cap, and the revisit-collapsing MIN
+    — independent of the iterative-join formulation, so a frontier
+    off-by-one or a missed revisit can't pass both."""
+    from collections import deque
+
+    from bigdatawork_spark.operators.graph_ops import (
+        _BFS_MAX_HOPS,
+        _trade_edges,
+    )
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r.node: r.hops
+        for r in QUERIES["graph_shortest_path"](spark, sf_dir).collect()
+    }
+    edges0 = _trade_edges(spark, sf_dir).collect()
+    # same source-relative sparsification rule, recomputed independently
+    from collections import defaultdict
+
+    tot = defaultdict(lambda: [0, 0])
+    for r in edges0:
+        tot[r.src][0] += r.w
+        tot[r.src][1] += 1
+    adj = defaultdict(set)
+    for r in edges0:
+        if float(r.w) > tot[r.src][0] / tot[r.src][1]:
+            adj[r.src].add(r.dst)
+    from bigdatawork_spark.io import load as _load
+
+    seed = min(
+        x.n_name for x in _load(spark, sf_dir, "nation").select("n_name").collect()
+    )
+    want = {seed: 0}
+    q = deque([(seed, 0)])
+    while q:
+        node, h = q.popleft()
+        if h >= _BFS_MAX_HOPS:
+            continue
+        for nxt in adj[node]:
+            if nxt not in want:
+                want[nxt] = h + 1
+                q.append((nxt, h + 1))
+    assert got == want
