@@ -455,3 +455,117 @@ def test_shortest_path_matches_python_bfs(spark, sf_dir):
                 want[nxt] = h + 1
                 q.append((nxt, h + 1))
     assert got == want
+
+
+def test_cluster_cc_matches_union_find(spark, sf_dir):
+    """dedup_cluster_cc vs an independent union-find: trigram-Jaccard
+    edges (>= 0.45, doc_id < 60) recomputed in plain Python, components
+    via union-find with min-label output — independent of both the
+    Spark min-label propagation loop and the oracle's recursive CTE."""
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r.doc_id: r.component
+        for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: {t[i : i + 3] for i in range(len(t) - 2)}
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if d < 60 and t is not None
+    }
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            if inter and inter / (len(docs[a]) + len(docs[b]) - inter) >= 0.45:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in ids}
+    assert got == want
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """graph_pagerank vs a plain-Python power iteration replicating the
+    builder's exact arithmetic (per-edge pr·p rounded to decimal(18,16)
+    half-up, exact decimal sum, per-round round-half-up to 12 dp, final
+    8 dp) — independent of the join formulation, so a dangling-node or
+    transition-normalization bug can't pass both."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdatawork_spark.operators.graph_ops import _PR_ITERS, _trade_edges
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r.node: r.pagerank
+        for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    edges = _trade_edges(spark, sf_dir).collect()
+    outw: dict[str, int] = {}
+    for e in edges:
+        outw[e.src] = outw.get(e.src, 0) + e.w
+    trans = [(e.src, e.dst, float(e.w) / float(outw[e.src])) for e in edges]
+    nodes = sorted({e.src for e in edges} | {e.dst for e in edges})
+    n = float(len(nodes))
+
+    def rnd(x: float, places: int) -> float:
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    pr = {v: 1.0 / n for v in nodes}
+    q16 = Decimal(1).scaleb(-16)
+    for _ in range(_PR_ITERS):
+        contrib: dict[str, Decimal] = {}
+        for s, d, p in trans:
+            term = Decimal(repr(pr[s] * p)).quantize(q16, rounding=ROUND_HALF_UP)
+            contrib[d] = contrib.get(d, Decimal(0)) + term
+        pr = {
+            v: rnd(0.15 / n + 0.85 * float(contrib.get(v, Decimal(0))), 12)
+            for v in nodes
+        }
+    want = {v: rnd(pr[v], 8) for v in nodes}
+    assert got == want
+
+
+def test_pii_scrub_matches_python_re(spark, sf_dir):
+    """text_pii_scrub vs Python's re module — a THIRD regex engine (the
+    oracle already compares Java vs DuckDB): email then long-number
+    masking must produce identical scrubbed strings on every row,
+    including the replacement-order interaction (the email mask runs
+    first, so an address's digits never half-match the number rule)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
+    got = {
+        r.c_custkey: r.scrubbed
+        for r in QUERIES["text_pii_scrub"](spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    want = {}
+    for k, name, seg in zip(
+        tbl["c_custkey"].to_pylist(),
+        tbl["c_name"].to_pylist(),
+        tbl["c_mktsegment"].to_pylist(),
+    ):
+        contact = f"{name} <{seg.lower()}{k}@example.com> id {1000000 + k}"
+        s = re.sub(r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "[EMAIL]", contact)
+        s = re.sub(r"[0-9]{4,}", "[NUM]", s)
+        want[k] = s
+    assert got == want
