@@ -410,8 +410,8 @@ def anomaly_zscore(spark, sf_dir):
         .alias("sq"),
     )
     mean = F.col("s") / F.col("n")
-    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
     var = F.col("sq") / F.col("n") - mean * mean
+    std = F.sqrt(var)
     scored = ev.join(F.broadcast(stats), ev.event_type == F.col("et")).select(
         "event_type",
         F.when(var > 0, (F.col("value") - mean) / std).alias("z"),

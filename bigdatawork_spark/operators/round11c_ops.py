@@ -592,7 +592,14 @@ def dedup_index_update_idempotent(spark, sf_dir):
 
     grp = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
 
-    surv = grp.join(spark.read.parquet(idx_path), "h", "left_anti")
+    # localCheckpoint: the survivor relation feeds both the count and the
+    # append write, and the append targets the SAME path its plan reads —
+    # materializing it evaluates the anti-join once and severs the
+    # self-read-while-appending lineage (code-review r12) instead of
+    # leaning on the read-time file-listing snapshot.
+    surv = grp.join(
+        spark.read.parquet(idx_path), "h", "left_anti"
+    ).localCheckpoint()
     n_before = spark.read.parquet(idx_path).count()
     n_first = surv.count()
     # the UPDATE: append only the survivors' hashes — new files, no rewrite

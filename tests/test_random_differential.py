@@ -1143,16 +1143,16 @@ _mu_seq = [0]
 @given(rows=_cust_rows)
 @settings(**_SETTINGS)
 def test_random_merge_upsert_vs_dict_merge(spark, tmp_path_factory, rows):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from bigdatawork_spark.registry import QUERIES
-
     """merge_upsert vs an independent dict-based MERGE walk: update /
     insert / keep classification, the coalesce column semantics, and the
     key-shifted insert branch — on random key sets where %7 and %97 hits
     (and the empty table) are common, unlike the fixed corpus where both
     branches always fire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import QUERIES
+
     _mu_seq[0] += 1
     d = tmp_path_factory.mktemp(f"mu{_mu_seq[0]}")
     pq.write_table(
