@@ -274,30 +274,170 @@ def driver_latest_round() -> dict[str, int]:
     return latest
 
 
+def _stable_repr(v) -> str:
+    """Deterministic repr for module-level constants entering the closure
+    fingerprint.  Sets sort their element reprs (plain ``repr`` iterates in
+    PYTHONHASHSEED-dependent order, which would mark every caller of a
+    set-constant permanently stale across processes); containers recurse;
+    non-value leaves (functions, sessions, …) degrade to their type name so
+    an address-bearing ``repr`` can never enter the hash."""
+    if isinstance(v, (set, frozenset)):
+        return "{" + ", ".join(sorted(_stable_repr(x) for x in v)) + "}"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{_stable_repr(k)}: {_stable_repr(x)}" for k, x in v.items()
+            )
+            + "}"
+        )
+    if isinstance(v, (list, tuple)):
+        inner = ", ".join(_stable_repr(x) for x in v)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return repr(v)
+    return f"<{type(v).__module__}.{type(v).__name__}>"
+
+
+_CONST_SRC_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _const_srcs(mod_name: str) -> dict[str, str]:
+    """name → top-level assignment SOURCE TEXT for a module's constants.
+
+    The closure fingerprints a referenced constant by the text that
+    defines it, not its runtime value: values computed at import time from
+    the environment (``_TMP_ROOT = …os.getpid()…``) differ per process and
+    would mark their callers permanently stale.  The assignment text is
+    exactly what an edit changes.  Names bound by ``from x import Y``
+    (no top-level assignment here) fall back to ``_stable_repr`` of the
+    value in ``closure_sources``."""
+    import ast
+    import inspect
+    import sys
+
+    cached = _CONST_SRC_CACHE.get(mod_name)
+    if cached is not None:
+        return cached
+    out: dict[str, str] = {}
+    m = sys.modules.get(mod_name)
+    if m is not None:
+        try:
+            src = inspect.getsource(m)
+            for node in ast.parse(src).body:
+                if isinstance(node, ast.Assign):
+                    names = [
+                        t.id for t in node.targets if isinstance(t, ast.Name)
+                    ]
+                elif isinstance(
+                    node, (ast.AnnAssign, ast.AugAssign)
+                ) and isinstance(node.target, ast.Name):
+                    names = [node.target.id]
+                else:
+                    continue
+                seg = ast.get_source_segment(src, node) or ""
+                for n in names:
+                    out[n] = seg
+        except (OSError, TypeError, SyntaxError):
+            pass
+    _CONST_SRC_CACHE[mod_name] = out
+    return out
+
+
+def closure_sources(fn) -> dict[str, str]:
+    """tag → source text (or constant repr) for ``fn`` plus every
+    package-local helper it transitively references by name.
+
+    Closes the r11-documented blind spot (VERDICT r12 item 3): the old
+    fingerprint hashed only the builder's own text, so an edit to a shared
+    helper (``llm_ops.minhash_pairs``, ``io.load``'s derived columns, …)
+    did not mark its callers stale and tier-2 rotation could miss real
+    changes.  Traversal: every identifier in the function's source that
+    resolves in its global namespace to a function/class defined inside
+    this package recurses; names resolving to plain-value constants (e.g.
+    ``_DERIVED_COLS``) contribute their ``_stable_repr``.  The registry
+    module itself is EXCLUDED — ``register`` appears in every decorator
+    line, and rotation-bookkeeping edits must not mark all 287 operators
+    stale.  Identifier matching is textual, so a helper named inside a SQL
+    string over-includes — harmless: overreach only adds sensitivity,
+    never hides an edit."""
+    import inspect
+    import re
+    import sys
+
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    value_types = (str, bytes, int, float, bool, tuple, list, dict, set,
+                   frozenset)
+    pkg = __name__.split(".")[0]
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        mod = getattr(f, "__module__", "") or ""
+        tag = f"{mod}.{getattr(f, '__qualname__', getattr(f, '__name__', '?'))}"
+        if tag in seen:
+            continue
+        seen.add(tag)
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):  # builtins / exec'd code — fall back
+            src = repr(f)
+        out[tag] = src
+        g = getattr(f, "__globals__", None)
+        if g is None:  # classes carry no __globals__: use their module dict
+            m = sys.modules.get(mod)
+            g = vars(m) if m is not None else {}
+        for name in sorted(set(ident.findall(src))):
+            obj = g.get(name)
+            if obj is None or obj is f:
+                continue
+            if inspect.isfunction(obj) or inspect.isclass(obj):
+                omod = getattr(obj, "__module__", "") or ""
+                if omod.startswith(pkg) and omod != __name__:
+                    stack.append(obj)
+            elif isinstance(obj, value_types):
+                cmod = g.get("__name__", mod)
+                ctag = f"const:{cmod}.{name}"
+                if ctag not in seen:
+                    seen.add(ctag)
+                    # assignment text when the module defines it here;
+                    # value repr for names bound by import (see _const_srcs)
+                    out[ctag] = _const_srcs(cmod).get(name) or _stable_repr(obj)
+    return out
+
+
+_SOURCE_HASH_CACHE: dict[str, str] = {}
+
+
 def source_hash(key: str) -> str:
     """Stable fingerprint of a key's implementation: sha256 over the
-    builder's source text plus its oracle SQL.  Used to detect keys whose
-    code changed AFTER their last driver-green row (VERDICT r05 item 2 /
-    r06 item 5): a green row only certifies the source that produced it.
-
-    Known blind spot (documented r11): the hash covers the BUILDER
-    function's text only — an edit to a shared helper it calls (e.g.
-    ``llm_ops.minhash_pairs``) does not mark its callers stale.  The
-    per-round FULL local driver simulation (tools/drive_driver.py, all
-    keys — COVERAGE.md round bullets) is the compensating control: every
-    key re-verifies against DuckDB on the current tree each round
-    regardless of staleness bookkeeping."""
+    builder's source text, its oracle SQL, and the TRANSITIVE CLOSURE of
+    package-local helpers/constants it references (``closure_sources``).
+    Used to detect keys whose code changed AFTER their last driver-green
+    row (VERDICT r05 item 2 / r06 item 5 / r12 item 3): a green row only
+    certifies the source that produced it — including the helpers it ran
+    through.  Memoized per process (source files cannot change under a
+    running interpreter's inspect view; the cache makes driver_order's
+    287-key sweep cheap)."""
     import hashlib
-    import inspect
 
+    cached = _SOURCE_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
     fn = QUERIES[key]
-    try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):  # builtins / exec'd code — fall back
-        src = repr(fn)
-    return hashlib.sha256(
-        (src + "\x00" + ORACLES.get(key, "")).encode()
-    ).hexdigest()
+    parts = closure_sources(fn)
+    mod = getattr(fn, "__module__", "") or ""
+    root = f"{mod}.{getattr(fn, '__qualname__', getattr(fn, '__name__', '?'))}"
+    h = hashlib.sha256()
+    h.update(parts.get(root, repr(fn)).encode())
+    h.update(b"\x00")
+    h.update(ORACLES.get(key, "").encode())
+    for tag in sorted(t for t in parts if t != root):
+        h.update(b"\x01" + tag.encode() + b"\x02" + parts[tag].encode())
+    digest = h.hexdigest()
+    _SOURCE_HASH_CACHE[key] = digest
+    return digest
 
 
 def _verified_hashes(path: str | None = None) -> dict[str, str]:

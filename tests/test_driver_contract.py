@@ -314,6 +314,106 @@ def test_driver_order_floats_stale_keys_ahead_of_fresh(tmp_path):
     assert set(real) <= set(QUERIES)
 
 
+def _load_probe_module(path, source):
+    """Load ``source`` from ``path`` as a package-namespaced module (the
+    closure walk only recurses into ``bigdatawork_spark.*`` callables)."""
+    import importlib.util
+    import sys
+
+    path.write_text(source)
+    name = "bigdatawork_spark._closure_probe"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod  # _const_srcs resolves via sys.modules
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_PROBE_V1 = '''\
+_CAP = 4
+
+def helper(x):
+    return x + 1
+
+def caller_a(v):
+    return helper(v) * _CAP
+
+def caller_b(v):
+    return helper(v) - 1
+'''
+
+
+def test_helper_edit_marks_every_caller_stale(tmp_path):
+    """VERDICT r12 item 3: ``source_hash`` must cover the transitive
+    closure — an edit to a SHARED HELPER (or a referenced module constant)
+    changes the fingerprint of every caller, even though the callers' own
+    text is byte-identical.  Combined with
+    ``test_driver_order_floats_stale_keys_ahead_of_fresh`` (hash mismatch
+    ⇒ tier 2) this pins the full chain: helper edit ⇒ every caller ranks
+    tier-2 stale in driver_order."""
+    import sys
+
+    from bigdatawork_spark import registry
+
+    key_a, key_b = "__closure_probe_a", "__closure_probe_b"
+    try:
+        mod = _load_probe_module(tmp_path / "probe_v1.py", _PROBE_V1)
+        registry.QUERIES[key_a] = mod.caller_a
+        registry.QUERIES[key_b] = mod.caller_b
+        h1 = {k: registry.source_hash(k) for k in (key_a, key_b)}
+        # the closure actually contains the helper and the constant
+        cs = registry.closure_sources(mod.caller_a)
+        assert any(t.endswith(".helper") for t in cs), sorted(cs)
+        assert any(t.endswith("._CAP") for t in cs), sorted(cs)
+
+        # v2: ONLY the shared helper's body changes (new filename so
+        # linecache can't serve stale lines; same module name)
+        mod2 = _load_probe_module(
+            tmp_path / "probe_v2.py",
+            _PROBE_V1.replace("return x + 1", "return x + 2"),
+        )
+        registry.QUERIES[key_a] = mod2.caller_a
+        registry.QUERIES[key_b] = mod2.caller_b
+        for k in (key_a, key_b):
+            registry._SOURCE_HASH_CACHE.pop(k, None)
+        h2 = {k: registry.source_hash(k) for k in (key_a, key_b)}
+        assert h1[key_a] != h2[key_a], "caller_a blind to helper edit"
+        assert h1[key_b] != h2[key_b], "caller_b blind to helper edit"
+
+        # v3: only the CONSTANT changes — callers referencing it go stale
+        mod3 = _load_probe_module(
+            tmp_path / "probe_v3.py", _PROBE_V1.replace("_CAP = 4", "_CAP = 5")
+        )
+        registry.QUERIES[key_a] = mod3.caller_a
+        registry._SOURCE_HASH_CACHE.pop(key_a, None)
+        registry._CONST_SRC_CACHE.pop("bigdatawork_spark._closure_probe", None)
+        assert registry.source_hash(key_a) != h2[key_a], (
+            "caller_a blind to constant edit"
+        )
+    finally:
+        for k in (key_a, key_b):
+            registry.QUERIES.pop(k, None)
+            registry._SOURCE_HASH_CACHE.pop(k, None)
+        registry._CONST_SRC_CACHE.pop("bigdatawork_spark._closure_probe", None)
+        sys.modules.pop("bigdatawork_spark._closure_probe", None)
+
+
+def test_closure_constant_fingerprint_is_process_independent():
+    """Constants enter the closure by ASSIGNMENT TEXT, not runtime value:
+    ``io_ops._TMP_ROOT`` embeds ``os.getpid()``, which differed per process
+    and would have marked the scan/sink family permanently stale (found
+    while building the closure hash — a value-based fingerprint broke
+    cross-process determinism)."""
+    from bigdatawork_spark.registry import _const_srcs, closure_sources
+    from bigdatawork_spark.registry import QUERIES
+
+    srcs = _const_srcs("bigdatawork_spark.sources.io_ops")
+    assert "_TMP_ROOT" in srcs and "getpid" in srcs["_TMP_ROOT"]
+    cs = closure_sources(QUERIES["scan_csv"])
+    tag = "const:bigdatawork_spark.sources.io_ops._TMP_ROOT"
+    assert cs.get(tag) == srcs["_TMP_ROOT"]
+
+
 def test_driver_order_rotates_on_round1_results():
     # With CORRECTNESS_r01.json committed, its green keys (e.g. str_funcs,
     # agg_groupby_q1) must sit BEHIND every not-yet-verified key.
