@@ -144,30 +144,86 @@ CONTRACT_KEYS: frozenset[str] = frozenset(
 )
 
 
-# Keys owed a fresh driver row by a named round (VERDICT r11 item 1: the
-# r12 window must finish the artifact rotation — all of §2-B and §2-J plus
-# agg_global / agg_count_distinct / the python-datasource pair are r01/r03
-# vintage, and the four §2-F/G/I keys below are r06 vintage).  A key ranks
-# in the "due" tier (after never-verified and source-stale keys, before the
-# general oldest-vintage rotation) while its newest clean driver row is
-# OLDER than its due round; once the driver samples it the boost
-# self-disables, so a consumed entry is inert rather than tech debt.
+# Keys owed a fresh driver row by a named round.  A key ranks in the "due"
+# tier (after never-verified and source-stale keys, before the general
+# oldest-vintage rotation) while its newest clean driver row is OLDER than
+# its due round; once the driver samples it the boost self-disables, so a
+# consumed entry is inert rather than tech debt.  An entry whose due round
+# passes un-sampled (window overflow) STAYS due the next round — the
+# seeding self-heals, so over-seeding is safe.
+#
+# r13 seeding (VERDICT r12 item 1): 132 live keys carry r≤7-vintage driver
+# rows (19 r03 / 43 r04 / 49 r05 / 21 r07 — the engine under them gained
+# the non-ANSI flip r08, clustered caches r10, codegen-cache fix r12 since
+# their last row).  Burn-down schedule: all r03 + the 24 alphabetically
+# first r04 keys due r13; the remaining r04 + all r05 due r14; r07 due
+# r15.  The r12 entries below were all consumed (every key sampled green
+# in CORRECTNESS_r12) and are dropped.
 ROTATION_DUE: dict[str, int] = {
-    k: 12
-    for k in (
-        # r01 vintage
-        "source_python_datasource source_python_stream "
-        "agg_global agg_count_distinct "
-        # r03 vintage — §2-B
-        "project_select project_cast project_case_when filter_simple "
-        "filter_compound filter_in_between filter_like filter_null "
-        "distinct_rows "
-        # r03 vintage — §2-J
-        "udf_python udf_pandas_scalar udaf_pandas_grouped_agg "
-        "udtf_grouped_map udtf_map_in_pandas udtf_python sql_udf_register "
-        # r06 vintage
-        "set_intersect set_except win_time_sliding win_time_session"
-    ).split()
+    **{
+        k: 13
+        for k in (
+            # r03 vintage (19)
+            "agg_bitmap_distinct agg_heavy_hitters agg_hll_sketch agg_mode "
+            "basket_pairs cdc_scd2 event_transitions funnel_conversion "
+            "join_interval_bucketed merge_upsert pandas_api_bridge "
+            "pattern_match_strict_seq quality_filter_gopher retention_cohort "
+            "sample_hash_deterministic sample_stratified session_paths "
+            "stats_winsorized text_pii_scrub "
+            # r04 vintage, first 24 of 43 alphabetically
+            "agg_approx_percentile agg_histogram bpe_train_merges "
+            "chunk_documents dedup_cluster_cc dedup_keep_representative "
+            "dedup_latest_by_key dedup_simhash doc_fingerprint "
+            "dq_referential_audit dq_rule_checks embedding_centroid "
+            "embedding_norm_stats fuzzy_match_levenshtein graph_pagerank "
+            "graph_shortest_path graph_triangle_count html_strip_tags "
+            "incremental_agg_merge incremental_join_maintenance "
+            "join_asof_nearest join_interval_left join_lateral_topn "
+            "join_salted_skew"
+        ).split()
+    },
+    **{
+        k: 14
+        for k in (
+            # r04 vintage, remaining 19
+            "kmeans_iterative ngram_lm_train repetition_ngram_ratio "
+            "sample_negative_pairs sim_ann_ivf split_train_holdout "
+            "table_diff text_entropy_filter text_langid text_normalize "
+            "text_quality_score text_unigram_logprob token_count "
+            "ts_hypertable_rollup ts_interpolate_linear ts_resample_ffill "
+            "vector_quantize vocab_build zorder_cluster "
+            # r05 vintage (49)
+            "ab_test_lift agg_pivot bm25_rank contamination_ngram "
+            "dq_skew_profile gen_explode_outer inverted_index "
+            "join_bucketed_colocated ks_test_drift mixture_resample "
+            "ngram_topk observe_metrics pack_sequences parquet_layout_audit "
+            "pipeline_curate_corpus privacy_k_anonymity q10_returned_items "
+            "q11_important_stock q12_late_lines_priority "
+            "q13_cust_order_distribution q14_promo_share q15_top_supplier "
+            "q16_supplier_part_counts q19_disjunctive q20_dominant_suppliers "
+            "q21_waiting_suppliers q22_dormant_customers q2_min_cost_supplier "
+            "q6_forecast_revenue q7_volume_shipping q8_market_share "
+            "q9_product_profit reshape_unpivot set_union_schema_evolve "
+            "skyline_pareto sort_range_partitioned sql_catalog_api "
+            "sql_interface stats_linear_regression subquery_exists_q4 "
+            "subquery_in_q18 subquery_scalar_q17 ts_period_over_period "
+            "ts_time_weighted_avg udtf_cogrouped_map udtf_map_in_arrow "
+            "win_gaps_islands win_running_distinct win_time_range_frame"
+        ).split()
+    },
+    **{
+        k: 15
+        for k in (
+            # r07 vintage (21)
+            "char_ngram_profile coreset_sample_kcenter decontaminate_exact "
+            "dedup_containment dsir_importance_resample embedding_pca_gram "
+            "knn_classify_ivf mixture_epoch_plan nearest_centroid_classify "
+            "pack_bins_greedy privacy_dp_count profile_table "
+            "quality_classifier_nb semdedup_prune sim_ann_hyperplane "
+            "table_format_vacuum ts_downsample_lttb ts_outlier_mad "
+            "ts_seasonal_decompose win_moving_zscore win_rolling_median"
+        ).split()
+    },
 }
 
 # Streaming keys are due a driver re-sample EVERY OTHER ROUND (VERDICT r10
@@ -493,7 +549,11 @@ def driver_order(
 
     def due(k: str) -> bool:
         rnd = vintage.get(k, 0)
-        if k in ROTATION_DUE and rnd < ROTATION_DUE[k]:
+        # Active only once the upcoming round REACHES the entry's due round
+        # (r13: the burn-down schedule seeds due-14/15 cohorts in advance —
+        # without the upcoming gate they'd flood the current window and
+        # push the current cohort out of the 50-key budget).
+        if k in ROTATION_DUE and upcoming >= ROTATION_DUE[k] > rnd:
             return True
         return is_streaming_key(k) and rnd <= upcoming - STREAMING_CADENCE
 

@@ -132,7 +132,7 @@ def _mirror_tier(k, verified, recorded, vintage, upcoming):
     if recorded.get(k) != source_hash(k):
         return 2
     rnd = vintage.get(k, 0)
-    if k in ROTATION_DUE and rnd < ROTATION_DUE[k]:
+    if k in ROTATION_DUE and upcoming >= ROTATION_DUE[k] > rnd:
         return 3
     if is_streaming_key(k) and rnd <= upcoming - STREAMING_CADENCE:
         return 3
@@ -262,7 +262,7 @@ def test_driver_window_covers_priority_tiers_when_they_fit():
             need.add(k)
         elif recorded.get(k) != source_hash(k):
             need.add(k)
-        elif k in ROTATION_DUE and vintage.get(k, 0) < ROTATION_DUE[k]:
+        elif k in ROTATION_DUE and upcoming >= ROTATION_DUE[k] > vintage.get(k, 0):
             need.add(k)
         elif is_streaming_key(k) and vintage.get(k, 0) <= upcoming - STREAMING_CADENCE:
             need.add(k)
