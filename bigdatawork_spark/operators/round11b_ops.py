@@ -479,7 +479,7 @@ def kfold_hash_assign(spark, sf_dir, k: int = _KFOLD_K):
 # ---------------------------------------------------------------------------
 
 
-@register("stream_restart_checkpoint")
+@register("stream_restart_checkpoint", streaming=True)
 def stream_restart_checkpoint(spark, sf_dir):
     """Exactly-once across a planned restart: a per-user purchase count
     stream runs against file batch 1, STOPS, the source gains batch 2,

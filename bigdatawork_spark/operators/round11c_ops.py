@@ -330,7 +330,7 @@ def dedup_incremental_minhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("stream_index_admission")  # rows-only: wall-clock source lifecycle
+@register("stream_index_admission", streaming=True)  # rows-only: wall-clock source lifecycle
 def stream_index_admission(spark, sf_dir):
     """Continuous admission as a STREAM: arriving documents are probed
     against the static corpus hash index (stream-static left_anti join —
@@ -425,7 +425,7 @@ _WM_W2_SUFFIX = " w2marker"
 _WM_LAST_PROGRESS: list = []
 
 
-@register("stream_index_admission_wm")  # rows-only: wall-clock source lifecycle
+@register("stream_index_admission_wm", streaming=True)  # rows-only: wall-clock source lifecycle
 def stream_index_admission_wm(spark, sf_dir):
     """Bounded-state streaming admission (VERDICT r11 item 5): the
     admission ledger of ``stream_index_admission`` with a RE-ARRIVAL

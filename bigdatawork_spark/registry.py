@@ -238,18 +238,20 @@ STREAMING_CADENCE = 2
 
 def is_streaming_key(key: str) -> bool:
     """True for keys with streaming semantics: registered from the
-    ``streaming`` package, or carrying ``stream`` anywhere in the key name
-    (the admission/restart twins, the table-format stream read/sink, and
-    the python-datasource stream live in operator/source modules but are
-    still Structured Streaming under the hood — a name-prefix-only rule
-    silently dropped three of them from the cadence, code-review r12).
-    ``tests/test_driver_contract.py`` sweeps every builder's source for
-    readStream/writeStream and asserts this predicate flags it, so a
-    future streaming key in an operator module can't dodge the cadence
-    by its name."""
+    ``streaming`` package, or explicitly flagged ``streaming=True`` at
+    their ``@register`` site (the admission/restart twins, the
+    table-format stream read/sink, and the python-datasource stream live
+    in operator/source modules but are still Structured Streaming under
+    the hood).  The r12 predicate matched ``"stream" in key`` as a
+    fallback, which would false-positive any future non-streaming key
+    containing the substring (ADVICE r12) — the explicit flag replaces
+    it.  ``tests/test_driver_contract.py`` sweeps every builder's source
+    for readStream/writeStream and asserts this predicate flags it, so a
+    streaming key in an operator module can't dodge the cadence by
+    forgetting the flag."""
     fn = QUERIES.get(key)
     mod = getattr(fn, "__module__", "") or ""
-    return "stream" in key or ".streaming." in mod
+    return getattr(fn, "drives_stream", False) or ".streaming." in mod
 
 
 def driver_verified_keys() -> set[str]:
@@ -573,12 +575,14 @@ def driver_order(
     return {k: d[k] for k in sorted(d, key=rank)}
 
 
-def register(key: str, oracle: str | None = None):
+def register(key: str, oracle: str | None = None, *, streaming: bool = False):
     """Register a query builder under ``key``; optionally its oracle SQL.
 
     Oracle SQL must alias every computed column identically to the Spark
     builder (SURVEY.md §5.3.1) and round floats on both sides (§5.3.2).
-    """
+    ``streaming=True`` marks a builder that drives Structured Streaming
+    from OUTSIDE the ``streaming`` package, putting it on the
+    every-other-round driver re-sample cadence (``is_streaming_key``)."""
 
     def deco(fn):
         if key in QUERIES:
@@ -587,6 +591,8 @@ def register(key: str, oracle: str | None = None):
         if oracle is not None:
             ORACLES[key] = oracle.strip()
         fn.query_key = key
+        if streaming:
+            fn.drives_stream = True
         return fn
 
     return deco

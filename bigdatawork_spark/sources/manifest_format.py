@@ -447,6 +447,7 @@ def scan_schema_evolution(spark, sf_dir):
 
 @register(
     "table_format_stream_read",
+    streaming=True,
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -518,6 +519,7 @@ def table_format_stream_read(spark, sf_dir):
 
 @register(
     "table_format_stream_sink",
+    streaming=True,
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -126,6 +126,7 @@ def source_python_datasource(spark, sf_dir):
 
 @register(
     "source_python_stream",
+    streaming=True,
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
