@@ -93,12 +93,17 @@ def global_row_index(spark, sf_dir):
     # sampling only affects WHERE the ranges split, never the final index
     # (ranges stay disjoint; the sort key is unique).
     qs = [i / _ROWIDX_PARTITIONS for i in range(1, _ROWIDX_PARTITIONS)]
-    bounds = sorted(set(li.stat.approxQuantile("l_orderkey", qs, 0.01)))
+    # dedupe AFTER the int cast the pid expression applies (ADVICE r12):
+    # two distinct float quantiles like 5.2 and 5.9 both truncate to
+    # '> 5', and float-level dedup kept both as redundant WHEN branches
+    # (result unchanged — pid gaps are absorbed by the counts pass — but
+    # the expression carried dead branches)
+    bounds = sorted({int(b) for b in li.stat.approxQuantile("l_orderkey", qs, 0.01)})
     # F.lit(0) start value: on an empty/tiny relation approxQuantile
     # returns no boundaries and a bare sum() would be the int 0
     pid_expr = sum(
         (
-            F.when(F.col("l_orderkey") > F.lit(int(b)), 1).otherwise(0)
+            F.when(F.col("l_orderkey") > F.lit(b), 1).otherwise(0)
             for b in bounds
         ),
         F.lit(0),

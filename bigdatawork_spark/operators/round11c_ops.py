@@ -358,16 +358,16 @@ def stream_index_admission(spark, sf_dir):
     pins the state-store eviction as a runtime metric; the index side
     stays a plain batch relation re-read per micro-batch, i.e. the
     persisted-index shape."""
-    import time as _time
     import uuid as _uuid
 
-    from ..streaming.stream_ops import _fresh_dir, _read_stream
+    from ..streaming.stream_ops import _fresh_dir, _read_stream, stamp_mtimes
 
     batch, corpus = _split(spark, sf_dir, augmented=False)
     src = _fresh_dir("src-adm")
     nat = batch.select("doc_id", "text")
     nat.coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(0.05)  # distinct mtimes → deterministic file order
+    stamped: set = set()
+    stamp_mtimes(src, 0, stamped)  # explicit mtime order (ADVICE r12)
     plants = nat.filter(F.col("doc_id") % 50 == 7).select(
         (F.col("doc_id") + 1000010).alias("doc_id"), "text"
     ).unionByName(
@@ -376,6 +376,7 @@ def stream_index_admission(spark, sf_dir):
         )
     )
     plants.coalesce(1).write.mode("append").parquet(src)
+    stamp_mtimes(src, 1, stamped)
 
     idx = corpus.select("h").distinct()
     sdf = (
@@ -454,19 +455,38 @@ def stream_index_admission_wm(spark, sf_dir):
     survivor relations AND the state-store ``numRowsTotal`` trace
     (rises, then DROPS after each horizon passes — bounded state as a
     runtime metric, not prose) from ``_WM_LAST_PROGRESS``."""
+    import glob as _glob
     import json as _json
-    import time as _time
+    import os as _os
     import uuid as _uuid
 
     from ..streaming.stream_ops import _fresh_dir, _read_stream
 
     batch, corpus = _split(spark, sf_dir, augmented=False)
     src = _fresh_dir("src-admwm")
+
+    stamped: set = set()
+
+    def _stamp(order: int) -> None:
+        """Pin the four per-trigger files to strictly-increasing mtimes.
+        FileStreamSource processes files in modification-time order; the
+        50 ms sleeps this previously relied on can TIE on a filesystem
+        with coarse mtime granularity, letting the 03:10 file process
+        before 00:10/00:30's — window-1 events then arrive behind a
+        02:40 watermark and are late-dropped (ADVICE r12).  Explicit
+        ``os.utime`` makes the order a property of the data, not of
+        host timing."""
+        t = 1_700_000_000.0 + 60.0 * order
+        for f in _glob.glob(_os.path.join(src, "*.parquet")):
+            if f not in stamped:
+                stamped.add(f)
+                _os.utime(f, (t, t))
+
     nat = batch.select("doc_id", "text").withColumn(
         "event_ts", F.lit(_WM_BASE).cast("timestamp")
     )
     nat.coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(0.05)  # distinct mtimes → deterministic file order
+    _stamp(1)
     plants = (
         batch.filter(F.col("doc_id") % 50 == 7)
         .select((F.col("doc_id") + 1000010).alias("doc_id"), "text")
@@ -478,17 +498,18 @@ def stream_index_admission_wm(spark, sf_dir):
         .withColumn("event_ts", F.lit(_WM_PLANT_TS).cast("timestamp"))
     )
     plants.coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(0.05)
+    _stamp(2)
     w2 = batch.select(
         (F.col("doc_id") + _WM_W2_SHIFT).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_WM_W2_SUFFIX)).alias("text"),
     ).withColumn("event_ts", F.lit(_WM_W2_TS).cast("timestamp"))
     w2.coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(0.05)
+    _stamp(3)
     sentinel = spark.createDataFrame(
         [(-1, "wm flush sentinel 5f2a")], "doc_id long, text string"
     ).withColumn("event_ts", F.lit(_WM_FLUSH_TS).cast("timestamp"))
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    _stamp(4)
 
     idx = corpus.select("h").distinct()
     sdf = (

@@ -13,6 +13,7 @@ reruns never resume stale state.  At scale: same code with a real source
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
@@ -34,15 +35,33 @@ def _fresh_dir(tag: str) -> str:
     return path
 
 
+def stamp_mtimes(src: str, order: int, stamped: set) -> None:
+    """Pin the parquet files a write just added under ``src`` to a
+    strictly-increasing synthetic mtime (``order`` minutes past a fixed
+    epoch), recording them in ``stamped``.  FileStreamSource processes
+    files in modification-time order; the 50 ms sleeps the per-trigger
+    writers previously relied on can TIE on a filesystem with coarse
+    mtime granularity, reordering triggers — under a watermark that
+    late-drops earlier windows' events (ADVICE r12,
+    ``stream_index_admission_wm``).  Explicit ``os.utime`` makes trigger
+    order a property of the data, not of host timing."""
+    t = 1_700_000_000.0 + 60.0 * order
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        if f not in stamped:
+            stamped.add(f)
+            os.utime(f, (t, t))
+
+
 def _events_source_dir(spark, sf_dir, chunks: list | None = None) -> str:
     """Write events (µs timestamps — streaming reader also rejects ns) into
     a fresh dir as one file per chunk predicate, in order."""
     src = _fresh_dir("src")
     ev = load(spark, sf_dir, "events")
     preds = chunks or [F.lit(True)]
+    stamped: set = set()
     for i, pred in enumerate(preds):
         ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(0.05)  # distinct mtimes → deterministic file order
+        stamp_mtimes(src, i, stamped)
     return src
 
 
@@ -330,14 +349,16 @@ def stream_stream_left_join(spark, sf_dir):
     src = _fresh_dir("src")
     ev = load(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("append").parquet(src)
+    stamped: set = set()
+    stamp_mtimes(src, 0, stamped)
     for i, day in enumerate((15, 16)):
-        time.sleep(0.05)  # distinct mtimes -> deterministic file order
         spark.sql(
             f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
             f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
             " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
             " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
         ).coalesce(1).write.mode("append").parquet(src)
+        stamp_mtimes(src, i + 1, stamped)
     left = (
         _read_stream(spark, src, max_files=1)
         .select(
@@ -480,14 +501,16 @@ def stream_session(spark, sf_dir):
     src = _fresh_dir("src")
     ev = load(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("append").parquet(src)
+    stamped: set = set()
+    stamp_mtimes(src, 0, stamped)
     for i, day in enumerate((15, 16)):
-        time.sleep(0.05)  # distinct mtimes -> deterministic file order
         spark.sql(
             f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
             f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
             " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
             " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
         ).coalesce(1).write.mode("append").parquet(src)
+        stamp_mtimes(src, i + 1, stamped)
     sdf = (
         _read_stream(spark, src, max_files=1)
         .withWatermark("ts", "10 minutes")
@@ -636,9 +659,10 @@ def stream_curate_to_table(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     src = _fresh_dir("curate-src")
     replayed = (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
-    for pred in (F.col("doc_id") % 2 == 0, replayed):
+    stamped: set = set()
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0, replayed)):
         d.filter(pred).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(0.05)
+        stamp_mtimes(src, i, stamped)
 
     path = _tmp(f"stream_curate_{_uuid.uuid4().hex[:8]}")
     t = ManifestTable(spark, path)
