@@ -426,6 +426,83 @@ _WM_W2_SUFFIX = " w2marker"
 _WM_LAST_PROGRESS: list = []
 
 
+def _wm_source_dir(spark, sf_dir) -> str:
+    """Write the four-trigger admission source (see the builder docstring
+    for the timeline) into a fresh dir, one file per trigger, with
+    explicit strictly-increasing mtimes (ADVICE r12: the 50 ms sleeps this
+    relied on can tie on coarse-mtime filesystems, letting the 03:10 file
+    process first and late-drop window 1 behind the 02:40 watermark).
+    Shared by the builder and the kill/restart recovery test so both
+    drive the identical source lifecycle."""
+    from ..streaming.stream_ops import _fresh_dir, stamp_mtimes
+
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    src = _fresh_dir("src-admwm")
+    stamped: set = set()
+
+    nat = batch.select("doc_id", "text").withColumn(
+        "event_ts", F.lit(_WM_BASE).cast("timestamp")
+    )
+    nat.coalesce(1).write.mode("append").parquet(src)
+    stamp_mtimes(src, 1, stamped)
+    plants = (
+        batch.filter(F.col("doc_id") % 50 == 7)
+        .select((F.col("doc_id") + 1000010).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000007).alias("doc_id"), "text"
+            )
+        )
+        .withColumn("event_ts", F.lit(_WM_PLANT_TS).cast("timestamp"))
+    )
+    plants.coalesce(1).write.mode("append").parquet(src)
+    stamp_mtimes(src, 2, stamped)
+    w2 = batch.select(
+        (F.col("doc_id") + _WM_W2_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_WM_W2_SUFFIX)).alias("text"),
+    ).withColumn("event_ts", F.lit(_WM_W2_TS).cast("timestamp"))
+    w2.coalesce(1).write.mode("append").parquet(src)
+    stamp_mtimes(src, 3, stamped)
+    sentinel = spark.createDataFrame(
+        [(-1, "wm flush sentinel 5f2a")], "doc_id long, text string"
+    ).withColumn("event_ts", F.lit(_WM_FLUSH_TS).cast("timestamp"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stamp_mtimes(src, 4, stamped)
+    return src
+
+
+def _wm_admission_stream(spark, sf_dir, src):
+    """The watermarked admission streaming DataFrame over ``src`` —
+    one-file-per-trigger read, anti-join against the corpus hash index,
+    1-hour admission windows under a 30-minute watermark, append-mode
+    finalized output.  Extracted so the checkpoint kill/restart test
+    runs the EXACT pipeline the registered key runs."""
+    from ..streaming.stream_ops import _read_stream
+
+    _, corpus = _split(spark, sf_dir, augmented=False)
+    idx = corpus.select("h").distinct()
+    return (
+        _read_stream(spark, src, max_files=1)
+        .withColumn("h", F.sha2("text", 256))
+        .withWatermark("event_ts", "30 minutes")
+        .join(idx, "h", "left_anti")
+        .groupBy(
+            F.window("event_ts", "1 hour").alias("win"),
+            F.col("h").alias("text_hash"),
+        )
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "doc_id",
+            "text_hash",
+            "n_batch_copies",
+        )
+    )
+
+
 @register("stream_index_admission_wm", streaming=True)  # rows-only: wall-clock source lifecycle
 def stream_index_admission_wm(spark, sf_dir):
     """Bounded-state streaming admission (VERDICT r11 item 5): the
@@ -455,83 +532,13 @@ def stream_index_admission_wm(spark, sf_dir):
     survivor relations AND the state-store ``numRowsTotal`` trace
     (rises, then DROPS after each horizon passes — bounded state as a
     runtime metric, not prose) from ``_WM_LAST_PROGRESS``."""
-    import glob as _glob
     import json as _json
-    import os as _os
     import uuid as _uuid
 
-    from ..streaming.stream_ops import _fresh_dir, _read_stream
+    from ..streaming.stream_ops import _fresh_dir
 
-    batch, corpus = _split(spark, sf_dir, augmented=False)
-    src = _fresh_dir("src-admwm")
-
-    stamped: set = set()
-
-    def _stamp(order: int) -> None:
-        """Pin the four per-trigger files to strictly-increasing mtimes.
-        FileStreamSource processes files in modification-time order; the
-        50 ms sleeps this previously relied on can TIE on a filesystem
-        with coarse mtime granularity, letting the 03:10 file process
-        before 00:10/00:30's — window-1 events then arrive behind a
-        02:40 watermark and are late-dropped (ADVICE r12).  Explicit
-        ``os.utime`` makes the order a property of the data, not of
-        host timing."""
-        t = 1_700_000_000.0 + 60.0 * order
-        for f in _glob.glob(_os.path.join(src, "*.parquet")):
-            if f not in stamped:
-                stamped.add(f)
-                _os.utime(f, (t, t))
-
-    nat = batch.select("doc_id", "text").withColumn(
-        "event_ts", F.lit(_WM_BASE).cast("timestamp")
-    )
-    nat.coalesce(1).write.mode("append").parquet(src)
-    _stamp(1)
-    plants = (
-        batch.filter(F.col("doc_id") % 50 == 7)
-        .select((F.col("doc_id") + 1000010).alias("doc_id"), "text")
-        .unionByName(
-            corpus.filter(F.col("doc_id") % 50 == 0).select(
-                (F.col("doc_id") + 1000007).alias("doc_id"), "text"
-            )
-        )
-        .withColumn("event_ts", F.lit(_WM_PLANT_TS).cast("timestamp"))
-    )
-    plants.coalesce(1).write.mode("append").parquet(src)
-    _stamp(2)
-    w2 = batch.select(
-        (F.col("doc_id") + _WM_W2_SHIFT).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_WM_W2_SUFFIX)).alias("text"),
-    ).withColumn("event_ts", F.lit(_WM_W2_TS).cast("timestamp"))
-    w2.coalesce(1).write.mode("append").parquet(src)
-    _stamp(3)
-    sentinel = spark.createDataFrame(
-        [(-1, "wm flush sentinel 5f2a")], "doc_id long, text string"
-    ).withColumn("event_ts", F.lit(_WM_FLUSH_TS).cast("timestamp"))
-    sentinel.coalesce(1).write.mode("append").parquet(src)
-    _stamp(4)
-
-    idx = corpus.select("h").distinct()
-    sdf = (
-        _read_stream(spark, src, max_files=1)
-        .withColumn("h", F.sha2("text", 256))
-        .withWatermark("event_ts", "30 minutes")
-        .join(idx, "h", "left_anti")
-        .groupBy(
-            F.window("event_ts", "1 hour").alias("win"),
-            F.col("h").alias("text_hash"),
-        )
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            "doc_id",
-            "text_hash",
-            "n_batch_copies",
-        )
-    )
+    src = _wm_source_dir(spark, sf_dir)
+    sdf = _wm_admission_stream(spark, sf_dir, src)
     name = f"t_{_uuid.uuid4().hex[:8]}"
     q = (
         sdf.writeStream.format("memory")

@@ -205,3 +205,182 @@ def test_stateful_checkpoint_recovery_per_provider(provider, spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want], (
         f"{provider}: recovered state diverges from the batch twin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-stream KILL → restart-from-checkpoint equivalence (VERDICT r12 item 4)
+# ---------------------------------------------------------------------------
+#
+# The tests above cover PLANNED restarts (the query drains to completion,
+# then new data lands).  The stronger durability claim is an UNPLANNED stop
+# mid-stream: the query is killed after ≥1 committed micro-batch with
+# triggers still pending, restarted from the same checkpoint, and the final
+# result must equal an uninterrupted run's.  Output accumulates through an
+# IDEMPOTENT foreachBatch sink (overwrite into a batch_id=N partition dir —
+# the documented exactly-once pattern for a sink that may see a replayed
+# batch after a crash), so a batch abandoned between sink write and offset
+# commit re-runs without duplication.
+
+
+def _drain_idempotent(spark, sdf, chk, out, *, stop_after_first_commit=False,
+                      output_mode="append"):
+    """Run ``sdf`` (availableNow) into ``out`` via idempotent per-batch-id
+    overwrite; optionally stop the query as soon as one micro-batch with
+    input rows has committed (progress events are only published for
+    committed batches).  Returns the number of committed batches seen."""
+    import json as _json
+
+    def write_batch(bdf, bid):
+        bdf.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if stop_after_first_commit:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(
+                _json.loads(p.json).get("numInputRows", 0) > 0
+                for p in q.recentProgress
+            ):
+                break
+            time.sleep(0.02)
+        q.stop()  # mid-stream: pending triggers stay unprocessed
+    q.awaitTermination()
+    return len(q.recentProgress)
+
+
+def _read_out(spark, out):
+    return spark.read.parquet(out).drop("batch_id")
+
+
+def test_wm_admission_kill_restart_equals_uninterrupted(spark, sf_dir):
+    """Kill the watermarked admission ledger (stream_index_admission_wm's
+    exact pipeline — shared helpers) after its first committed trigger,
+    restart from the same checkpoint, and assert the union of emitted
+    finalized windows equals an uninterrupted run over the same source
+    files: restored watermark + window state, no lost or duplicated
+    admissions."""
+    import pytest
+
+    from bigdatawork_spark.operators.round11c_ops import (
+        _wm_admission_stream,
+        _wm_source_dir,
+    )
+
+    src = _wm_source_dir(spark, sf_dir)
+
+    # interrupted run: ≥1 committed batch, then killed with work pending
+    chk1, out1 = _fresh_dir("wmk-chk"), _fresh_dir("wmk-out")
+    n1 = _drain_idempotent(
+        spark,
+        _wm_admission_stream(spark, sf_dir, src),
+        chk1,
+        out1,
+        stop_after_first_commit=True,
+    )
+    assert n1 >= 1, "the kill must land AFTER at least one committed batch"
+    if n1 >= 5:
+        pytest.skip("stop raced past every trigger — nothing left to recover")
+    # restart from the SAME checkpoint; drain the pending triggers
+    n2 = _drain_idempotent(
+        spark, _wm_admission_stream(spark, sf_dir, src), chk1, out1
+    )
+    assert n2 >= 1, "the restart processed nothing — the kill was not mid-stream"
+
+    # uninterrupted reference run over the same source files
+    chk2, out2 = _fresh_dir("wmu-chk"), _fresh_dir("wmu-out")
+    _drain_idempotent(
+        spark, _wm_admission_stream(spark, sf_dir, src), chk2, out2
+    )
+
+    got = {tuple(r) for r in _read_out(spark, out1).collect()}
+    want = {tuple(r) for r in _read_out(spark, out2).collect()}
+    assert got == want, (
+        f"kill/restart diverged: {len(got - want)} extra, "
+        f"{len(want - got)} missing vs the uninterrupted run"
+    )
+    assert len(want) > 0  # non-vacuous: windows actually finalized
+
+
+def test_stateful_tws_kill_restart_equals_batch_twin(spark, sf_dir):
+    """Kill the per-user running-count stateful stream (the
+    stream_stateful_tws / stream_stateful_count semantics) after its first
+    committed micro-batch, restart from the same checkpoint, and assert
+    the LAST emission per user equals the batch groupBy count over the
+    full table — the restored value state must carry the killed run's
+    counts forward, exactly once."""
+    import json as _json
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatawork_spark.streaming.stream_ops import stamp_mtimes
+
+    ev = load(spark, sf_dir, "events")
+    src = _fresh_dir("twsk-src")
+    stamped: set = set()
+    # three files → three update-mode micro-batches (maxFilesPerTrigger=1)
+    for i, pred in enumerate(
+        (
+            F.col("event_id") % 3 == 0,
+            F.col("event_id") % 3 == 1,
+            F.col("event_id") % 3 == 2,
+        )
+    ):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        stamp_mtimes(src, i, stamped)
+
+    def count_events(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def stream():
+        return (
+            _read_stream(spark, src, max_files=1)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                count_events,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    chk, out = _fresh_dir("twsk-chk"), _fresh_dir("twsk-out")
+    n1 = _drain_idempotent(
+        spark, stream(), chk, out,
+        stop_after_first_commit=True, output_mode="update",
+    )
+    assert n1 >= 1
+    if n1 >= 3:
+        pytest.skip("stop raced past every trigger — nothing left to recover")
+    n2 = _drain_idempotent(spark, stream(), chk, out, output_mode="update")
+    assert n2 >= 1, "the restart processed nothing — the kill was not mid-stream"
+
+    # update mode emits a user's running count each batch it changes in;
+    # after the last batch, each user's newest emission IS the final state
+    got = spark.read.parquet(out)  # batch_id is the partition column
+    w_latest = (
+        got.groupBy("user_id")
+        .agg(F.max_by("n_events", "batch_id").alias("n_events"))
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    diff = (
+        w_latest.join(want, "user_id")
+        .filter(w_latest["n_events"] != want["n_events"])
+        .count()
+    )
+    assert diff == 0, f"{diff} users' recovered counts diverge from the batch twin"
+    assert w_latest.count() == want.count()  # every user emitted at least once
