@@ -96,6 +96,59 @@ SF1_DIR = "/tmp/sfsynth/sf1.0"
 SF1_REPLICAS = 10
 
 
+# ADVICE r12: Q1's five scaled-long measures are GENERATED COLUMNS in the
+# Spark cache layout (io._DERIVED_COLS, materialized at the untimed cache
+# fill), but the DuckDB denominator computed the FLOOR(x·10^s + 0.5)
+# arithmetic inline in the timed oracle — an asymmetric comparison
+# (disclosed in BASELINE.md r12).  The interleaved phase now gives DuckDB
+# the SAME warm layout: a native table materializing the identical
+# generated-column expressions at the untimed fill, and a timed Q1 that
+# reads them — both denominators run the identical scan→sum workload.
+# The rewrite is used ONLY after an untimed hash-fold check proves it
+# row-identical to the contract oracle (else the contract oracle stays).
+_Q1_BENCH_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(__q1_qty) / 100.0 AS DOUBLE) AS sum_qty,
+  CAST(SUM(__q1_bp) / 100.0 AS DOUBLE) AS sum_base_price,
+  CAST(SUM(__q1_dp) / 10000.0 AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(__q1_ch) / 1000000.0 AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(__q1_qty) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(__q1_bp) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(__q1_disc) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem_bench
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _duckdb_q1_warm_layout(con, data_dir: str = SF1_DIR) -> str | None:
+    """Build DuckDB's Q1 warm table (lineitem + the five generated
+    columns) and return the symmetric timed SQL — or None if the rewrite
+    fails its row-identity check against the contract oracle, in which
+    case the caller keeps the contract oracle (one-sided but correct).
+    The Spark-side derived expressions spell the double literal ``0.5D``;
+    DuckDB spells it ``0.5::DOUBLE``."""
+    from bigdatawork_spark.io import _DERIVED_COLS
+    from bigdatawork_spark.registry import ORACLES
+
+    derived = ", ".join(
+        f"{expr.replace('0.5D', '0.5::DOUBLE')} AS {name}"
+        for name, expr in _DERIVED_COLS["lineitem"]
+    )
+    con.execute(
+        f"CREATE TABLE lineitem_bench AS SELECT *, {derived} "
+        f"FROM read_parquet('{data_dir}/lineitem.parquet')"
+    )
+    fold = "SELECT bit_xor(hash(q)) FROM ({}) q"
+    a = con.execute(fold.format(ORACLES["agg_groupby_q1"])).fetchone()
+    b = con.execute(fold.format(_Q1_BENCH_SQL)).fetchone()
+    return _Q1_BENCH_SQL if a == b else None
+
+
 def _sf1_complete(want_lineitem_rows: int) -> bool:
     """All ten tables present AND the success marker records the expected
     lineitem row count — guards against reusing a torn replica set from a
@@ -237,8 +290,16 @@ def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF1_DIR}/{t}.parquet')"
             )
+        # symmetric Q1 warm layout (ADVICE r12 — see _duckdb_q1_warm_layout)
+        timed_sql = {k: ORACLES[k] for k in keys}
+        q1_symmetric = False
+        if "agg_groupby_q1" in timed_sql:
+            sym = _duckdb_q1_warm_layout(con)
+            if sym is not None:
+                timed_sql["agg_groupby_q1"] = sym
+                q1_symmetric = True
         wrapped = {
-            k: f"SELECT bit_xor(hash(q)) FROM ({ORACLES[k]}) q" for k in keys
+            k: f"SELECT bit_xor(hash(q)) FROM ({timed_sql[k]}) q" for k in keys
         }
         # One untimed warm run per key per engine (DuckDB buffer pool /
         # Spark codegen+broadcast build are one-time costs the BASELINE
@@ -290,6 +351,7 @@ def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
         duck_q = {k: round(_median(v), 4) for k, v in duck_t.items()}
         spark_q = {k: round(_median(v), 4) for k, v in spark_t.items()}
         return {
+            "q1_layout_symmetric": q1_symmetric,
             "passes": passes,
             "pass_ratios": pass_ratios,
             "ratio_vs_duckdb": _median(pass_ratios),
@@ -335,6 +397,51 @@ def _drop_cache(spark, sf_dir) -> None:
     from bigdatawork_spark.io import drop_tables
 
     drop_tables(spark, sf_dir)
+
+
+def _compact_summary_line(payload: dict) -> str:
+    """One compact JSON line carrying everything the adjudication needs —
+    emitted as the FINAL stdout line (VERDICT r12 item 2: the grading
+    driver records only the last ~2000 chars of stdout, and the full
+    payload line above can exceed that on its own, which left
+    BENCH_r12.json's ``parsed`` null and its sf0.1 section truncated
+    away).  Guaranteed under 1900 chars: if the per-query maps push it
+    over, they are dropped first — the headline totals and both regime
+    ratios always survive."""
+    sf1 = payload.get("sf1_0") or {}
+    compact = {
+        "bench_summary": {
+            "sf": payload.get("sf"),
+            "metric": payload.get("metric"),
+            "headline_sec": payload.get("value"),
+            "queries": payload.get("queries"),
+            "sf1_0": {
+                k: sf1[k]
+                for k in (
+                    "ratio_vs_duckdb",
+                    "ratio_vs_duckdb_allruns",
+                    "pass_ratios",
+                    "pass_ratios_allruns",
+                    "passes",
+                    "q1_layout_symmetric",
+                    "spark_sec",
+                    "duckdb_sec",
+                    "spark_queries",
+                    "duckdb_queries",
+                    "interleaved_error",
+                )
+                if k in sf1
+            },
+        }
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("duckdb_queries", "spark_queries", "queries"):
+        if len(line) <= 1900:
+            break
+        compact["bench_summary"]["sf1_0"].pop(drop, None)
+        compact["bench_summary"].pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -439,7 +546,13 @@ def main() -> None:
                         " override was re-A/B'd and REMOVED in r10 (it"
                         " predated the r08 key-clustered caches and shredded"
                         " their co-partitioned joins, ~35%% on the batch;"
-                        " BASELINE.md r10)" % passes
+                        " BASELINE.md r10); Q1's five scaled-long measures"
+                        " are materialized in BOTH warm layouts — Spark's"
+                        " cached derived columns AND a DuckDB native table"
+                        " built untimed with the identical expressions, the"
+                        " rewrite used only after an untimed hash-fold"
+                        " identity check vs the contract oracle"
+                        " (q1_layout_symmetric; ADVICE r12)" % passes
                     )
                 else:
                     # DuckDB/oracle unavailable, or the interleaved phase
@@ -476,6 +589,7 @@ def main() -> None:
         payload["extended_queries"] = ext
         payload["extended_total"] = round(sum(ext.values()), 4)
     print(json.dumps(payload))
+    print(_compact_summary_line(payload))
     spark.stop()
 
 

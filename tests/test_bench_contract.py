@@ -43,3 +43,71 @@ def test_median_helper():
     assert bench._median([4.0, 1.0, 3.0]) == 3.0
     assert bench._median([4.0, 1.0]) == 2.5
     assert bench._median([1.0, 9.0, 2.0, 8.0]) == 5.0
+
+
+def test_compact_summary_line_fits_driver_tail():
+    """VERDICT r12 item 2: the driver records only the last ~2000 chars of
+    bench stdout; the compact FINAL line must always fit and parse, with
+    both regimes' ratios surviving even when per-query maps are dropped."""
+    import json
+
+    qmap = {f"query_{i:02d}": 0.1234 for i in range(10)}
+    payload = {
+        "metric": "headline_batch_wall_clock",
+        "value": 2.64,
+        "sf": 0.1,
+        "queries": qmap,
+        "sf1_0": {
+            "passes": 5,
+            "ratio_vs_duckdb": 1.304,
+            "ratio_vs_duckdb_allruns": 1.302,
+            "pass_ratios": [1.5, 1.19, 1.3, 1.32, 1.28],
+            "pass_ratios_allruns": [1.52, 1.19, 1.3, 1.31, 1.29],
+            "q1_layout_symmetric": True,
+            "spark_sec": 3.1,
+            "duckdb_sec": 2.4,
+            "spark_queries": qmap,
+            "duckdb_queries": qmap,
+            "protocol": "x" * 3000,  # prose must never leak into the line
+        },
+    }
+    line = bench._compact_summary_line(payload)
+    assert len(line) <= 1900
+    d = json.loads(line)["bench_summary"]
+    assert d["headline_sec"] == 2.64 and d["sf"] == 0.1
+    assert d["sf1_0"]["ratio_vs_duckdb"] == 1.304
+    assert d["sf1_0"]["ratio_vs_duckdb_allruns"] == 1.302
+    assert "protocol" not in d["sf1_0"]
+
+    # pathological: enormous per-query maps still cannot sink the ratios
+    big = {f"very_long_query_name_{i:04d}": 0.123456 for i in range(200)}
+    payload["queries"] = big
+    payload["sf1_0"]["spark_queries"] = big
+    payload["sf1_0"]["duckdb_queries"] = big
+    line = bench._compact_summary_line(payload)
+    assert len(line) <= 1900
+    d = json.loads(line)["bench_summary"]
+    assert d["sf1_0"]["ratio_vs_duckdb"] == 1.304
+
+
+def test_duckdb_q1_warm_layout_is_row_identical():
+    """ADVICE r12: the symmetric Q1 (pre-materialized generated columns in
+    a DuckDB native table) must be ROW-IDENTICAL to the contract oracle —
+    the helper itself enforces this with an untimed hash-fold check and
+    returns None on mismatch, so a non-None return IS the proof.  Run it
+    against real sf0.01 parquet."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/lineitem.parquet')"
+        )
+        sym = bench._duckdb_q1_warm_layout(con, data_dir=SF_DIR)
+        assert sym is not None, "symmetric Q1 diverged from the contract oracle"
+        assert "lineitem_bench" in sym and "__q1_qty" in sym
+    finally:
+        con.close()
