@@ -234,7 +234,7 @@ def dedup_near_minhash(spark, sf_dir):
     Banding is parameterized in ``minhash_pairs`` (r10); this registry key
     pins the default (5 tables, 0.2) configuration."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    guard_twin_size(
+    d = guard_twin_size(
         d, "dedup_near_minhash", "dedup_ladder",
         reason="a single-stage LSH self-join verification twin — without "
                "dedup_ladder's exact pre-pass, replica-heavy corpora "
@@ -248,19 +248,40 @@ def dedup_near_minhash(spark, sf_dir):
 #: small corpora; pointing one at a real corpus would be an O(n^2) blowup.
 TWIN_MAX_ROWS = 50_000
 
+#: Audit-mode switch (VERDICT r12 item 5): when this env var is set,
+#: ``guard_twin_size`` CAPS an oversize input to ``limit`` rows instead of
+#: raising, recording the cap in ``TWIN_CAPS_APPLIED`` so the scale audit
+#: can disclose it per key — the full-registry sf1.0 audit then completes
+#: 287/287 with the twins timed at their declared ceiling, instead of
+#: carrying 3 standing timeouts.  Never set in normal runtime: users
+#: pointing a twin at a real corpus still fail fast with the production
+#: key named.
+TWIN_AUDIT_ENV = "SPARK_GRAFT_TWIN_AUDIT_CAP"
+
+#: key → (actual_rows, capped_to), written by guard_twin_size under
+#: audit mode; cleared/read by tools/scale_audit.py around each key.
+TWIN_CAPS_APPLIED: dict[str, tuple[int, int]] = {}
+
 
 def guard_twin_size(df: DataFrame, key: str, production_key: str,
                     limit: int = TWIN_MAX_ROWS,
-                    reason: str | None = None) -> None:
-    """Raise if a verification twin is pointed at a corpus too large for
-    its plan.  Eager by design (one cheap ``count()`` of the input table
-    at build time — the table is footer-counted by parquet or already
-    cached in the bench/driver protocol): a user who hits the ceiling is
-    told the production key to use instead.  ``reason`` customizes the
-    explanation for twins whose hazard is not an all-pairs join (e.g. the
-    LSH bucket-saturation twin, VERDICT r08 item 3)."""
+                    reason: str | None = None) -> DataFrame:
+    """Return ``df`` if it is small enough for a verification twin's plan;
+    raise otherwise — or, under the audit-mode env (``TWIN_AUDIT_ENV``),
+    cap it to ``limit`` rows and record the cap.  Eager by design (one
+    cheap ``count()`` of the input table at build time — the table is
+    footer-counted by parquet or already cached in the bench/driver
+    protocol): a user who hits the ceiling is told the production key to
+    use instead.  ``reason`` customizes the explanation for twins whose
+    hazard is not an all-pairs join (e.g. the LSH bucket-saturation twin,
+    VERDICT r08 item 3)."""
+    import os
+
     n = df.count()
     if n > limit:
+        if os.environ.get(TWIN_AUDIT_ENV):
+            TWIN_CAPS_APPLIED[key] = (n, limit)
+            return df.limit(limit)
         reason = reason or (
             "an all-pairs ORACLE-PARITY twin for small-n verification"
         )
@@ -268,6 +289,7 @@ def guard_twin_size(df: DataFrame, key: str, production_key: str,
             f"{key} is {reason}; input has {n} rows (> {limit}).  Use the "
             f"production key '{production_key}' for real corpora."
         )
+    return df
 
 
 def _normed_vectors(spark, sf_dir) -> DataFrame:
@@ -560,7 +582,7 @@ def knn_classify(spark, sf_dir):
     unit-norm corpora; SCALE.md §9.)  Guarded: raises above
     ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
     n = _normed_vectors(spark, sf_dir)
-    guard_twin_size(n, "knn_classify", "knn_classify_ivf")
+    n = guard_twin_size(n, "knn_classify", "knn_classify_ivf")
     a = n.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )

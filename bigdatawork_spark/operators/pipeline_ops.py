@@ -273,7 +273,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     recall measurement of the clustered path.  Guarded: raises above
     ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
     n = _normed_vectors(spark, sf_dir)
-    guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
+    n = guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
     a = n.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )

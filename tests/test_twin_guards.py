@@ -122,3 +122,35 @@ def test_ngram_cap_binds_verifies_exact_and_audits(spark, tmp_path):
 
 def test_llm_ops_exports_guard():
     assert callable(llm_ops.guard_twin_size)
+
+
+def test_guard_audit_mode_caps_instead_of_raising(spark, sf_dir, monkeypatch):
+    """VERDICT r12 item 5: under the scale audit's env switch an oversize
+    twin input is CAPPED to the limit and the cap recorded, so the sf1.0
+    audit completes every key with the cap on the record; without the
+    switch the guard still raises (users keep the fail-fast)."""
+    from bigdatawork_spark.io import load
+    from bigdatawork_spark.operators.llm_ops import (
+        TWIN_AUDIT_ENV,
+        TWIN_CAPS_APPLIED,
+        guard_twin_size,
+    )
+
+    big = load(spark, sf_dir, "lineitem")
+    n = big.count()
+    assert n > 10
+
+    monkeypatch.delenv(TWIN_AUDIT_ENV, raising=False)
+    with pytest.raises(ValueError, match="production key"):
+        guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
+
+    monkeypatch.setenv(TWIN_AUDIT_ENV, "1")
+    TWIN_CAPS_APPLIED.clear()
+    capped = guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
+    assert capped.count() == 10
+    assert TWIN_CAPS_APPLIED["knn_classify"] == (n, 10)
+    # small inputs pass through untouched and record nothing
+    TWIN_CAPS_APPLIED.clear()
+    small = big.limit(5)
+    assert guard_twin_size(small, "k", "p", limit=10) is small
+    assert not TWIN_CAPS_APPLIED

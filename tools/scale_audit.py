@@ -24,15 +24,26 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth/sf1.0"
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 
 import bigdatawork_spark  # noqa: F401,E402
+from bigdatawork_spark.operators.llm_ops import (  # noqa: E402
+    TWIN_AUDIT_ENV,
+    TWIN_CAPS_APPLIED,
+)
 from bigdatawork_spark.registry import QUERIES  # noqa: E402
 from bigdatawork_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    # Audit mode (VERDICT r12 item 5): the declared quadratic twins run
+    # with their input CAPPED at guard_twin_size's ceiling instead of
+    # raising/timing out, and every applied cap is disclosed per key below
+    # — the audit completes all keys with the caps on the record, rather
+    # than carrying standing twin timeouts.  The env var scopes to this
+    # process only; normal runtime still fails fast on oversize twins.
+    os.environ[TWIN_AUDIT_ENV] = "1"
     spark = get_spark()
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     sc = spark.sparkContext
-    slow, timed_out, errors = [], [], []
+    slow, timed_out, errors, capped = [], [], [], []
     keys = sorted(QUERIES)
     for i, key in enumerate(keys, 1):
         group = f"audit-{key}"
@@ -46,6 +57,7 @@ def main() -> int:
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
         t0 = time.time()
+        TWIN_CAPS_APPLIED.clear()
         try:
             n = QUERIES[key](spark, SF_DIR).count()
             dt = time.time() - t0
@@ -54,7 +66,15 @@ def main() -> int:
                 status = "TIMEOUT"  # cancelled mid-count but count returned
             elif dt > BUDGET / 3:
                 slow.append((key, dt))
-            print(f"[{i}/{len(keys)}] {key}: {status} {n} rows {dt:.1f}s", flush=True)
+            cap = ""
+            if key in TWIN_CAPS_APPLIED:
+                rows, limit = TWIN_CAPS_APPLIED[key]
+                capped.append((key, rows, limit, dt))
+                cap = f" [INPUT CAPPED {rows}→{limit}]"
+            print(
+                f"[{i}/{len(keys)}] {key}: {status} {n} rows {dt:.1f}s{cap}",
+                flush=True,
+            )
         except Exception as ex:  # noqa: BLE001
             dt = time.time() - t0
             if dt >= BUDGET - 1 or "cancelled" in str(ex).lower():
@@ -69,8 +89,11 @@ def main() -> int:
 
     print(
         f"\n{len(keys)} keys: {len(keys) - len(timed_out) - len(errors)} ok, "
-        f"{len(timed_out)} timeout, {len(errors)} error"
+        f"{len(timed_out)} timeout, {len(errors)} error, "
+        f"{len(capped)} twin-capped"
     )
+    for key, rows, limit, dt in capped:
+        print(f"  TWIN CAP: {key} input {rows}→{limit} rows, {dt:.1f}s")
     for key, dt in sorted(slow, key=lambda x: -x[1]):
         print(f"  slow (> budget/3): {key} {dt:.1f}s")
     for key, dt in timed_out:
