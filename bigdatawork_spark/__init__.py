@@ -25,6 +25,7 @@ from .operators import (  # noqa: F401
     round11_ops,
     round11b_ops,
     round11c_ops,
+    round13_ops,
     search_ops,
     sorts_sets,
     stats_ops,

@@ -44,6 +44,7 @@ BNLJ_OK = {
     "dedup_ngram_jaccard",       # 1-row n_trunc_blocks audit fold (r08 cap)
     "quality_classifier_nb",    # vocab×|classes| model grid + 1-row folds (r7)
     "mixture_epoch_plan",       # 1-row weight-denominator fold (r7)
+    "rank_fusion_rrf",          # 1-row corpus-stats + 1-row query-vector folds
 }
 
 # Keys whose builders run Spark jobs at construction time (table-format
