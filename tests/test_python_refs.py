@@ -181,6 +181,45 @@ def test_lttb_picks_vs_python_reference(spark, sf_dir):
         assert abs(r["area"] - want) < 2e-6, (r, want)
 
 
+def test_hypertable_rollup_vs_python_walk(spark, sf_dir):
+    """All three rollup levels (hour cell, daily, grand total) recomputed
+    from one Python pass; grouping_id levels 0/1/3 must each match."""
+    ev = _read(sf_dir, "events")
+    cell: dict[tuple, list] = defaultdict(lambda: [0, 0.0])
+    for ts, v in zip(ev["ts"], ev["value"]):
+        day = str(ts.date())
+        # the op casts per-row values to decimal(18,4) before summing
+        v4 = round(v, 4)
+        for key in ((0, day, ts.hour), (1, day, None), (3, None, None)):
+            cell[key][0] += 1
+            cell[key][1] += v4
+    rows = QUERIES["ts_hypertable_rollup"](spark, sf_dir).collect()
+    assert len(rows) == len(cell)
+    for r in rows:
+        n, s = cell[(r["lvl"], r["day"], r["hod"])]
+        assert r["n_events"] == n, r
+        assert abs(r["sum_value"] - s) < 1e-6 * max(1.0, abs(s)), (r, s)
+
+
+def test_incremental_join_maintenance_vs_python_join(spark, sf_dir):
+    """The three-term delta-join identity's re-aggregated union ≡ a plain
+    Python hash join of the full relations (every (o, l) key pair counted
+    exactly once across the four terms)."""
+    o = _read(sf_dir, "orders")
+    li = _read(sf_dir, "lineitem")
+    price = dict(zip(o["o_orderkey"], o["o_totalprice"]))
+    n_pairs, sum_o, sum_l = 0, 0.0, 0.0
+    for k, ep in zip(li["l_orderkey"], li["l_extendedprice"]):
+        if k in price:
+            n_pairs += 1
+            sum_o += round(price[k], 2)
+            sum_l += round(ep, 2)
+    row = QUERIES["incremental_join_maintenance"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n_pairs
+    assert abs(row["sum_o"] - sum_o) < 1e-6 * max(1.0, abs(sum_o)), (row, sum_o)
+    assert abs(row["sum_l"] - sum_l) < 1e-6 * max(1.0, abs(sum_l)), (row, sum_l)
+
+
 def _bigram_model(docs: pd.DataFrame):
     """Add-k (k=0.5) bigram LM trained on the corpus itself."""
     vocab = set()
