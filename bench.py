@@ -249,7 +249,7 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
+def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR) -> dict | None:
     """Matched-scale adjudication as the median of ``passes`` full
     INTERLEAVED batch passes (VERDICT r08 item 1).
 
@@ -288,13 +288,13 @@ def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF1_DIR}/{t}.parquet')"
+                f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         # symmetric Q1 warm layout (ADVICE r12 — see _duckdb_q1_warm_layout)
         timed_sql = {k: ORACLES[k] for k in keys}
         q1_symmetric = False
         if "agg_groupby_q1" in timed_sql:
-            sym = _duckdb_q1_warm_layout(con)
+            sym = _duckdb_q1_warm_layout(con, sf_dir)
             if sym is not None:
                 timed_sql["agg_groupby_q1"] = sym
                 q1_symmetric = True
@@ -306,7 +306,7 @@ def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
         # protocol has always excluded on both sides).
         for k in keys:
             con.execute(wrapped[k]).fetchone()
-            _materialize(QUERIES[k](spark, SF1_DIR))
+            _materialize(QUERIES[k](spark, sf_dir))
 
         # Within a pass each key gets RUNS_IN_PASS consecutive timed runs
         # and contributes its median — applied IDENTICALLY to both engines.
@@ -339,7 +339,7 @@ def _sf1_interleaved(spark, keys, passes: int) -> dict | None:
                 ts = []
                 for _ in range(RUNS_IN_PASS):
                     t0 = time.perf_counter()
-                    _materialize(QUERIES[k](spark, SF1_DIR))
+                    _materialize(QUERIES[k](spark, sf_dir))
                     ts.append(time.perf_counter() - t0)
                 st = _median(ts)
                 spark_t[k].append(st)

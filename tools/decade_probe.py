@@ -1,0 +1,46 @@
+"""Second-decade scaling probe: run the FROZEN headline batch through
+bench.py's interleaved Spark-vs-DuckDB protocol at an arbitrary synthetic
+scale directory (built with tools/synth_scale.py), extending the
+SCALE.md §7 curve (sf0.1 → sf1.0) by another decade (sf1.0 → sf10).
+
+Usage:
+  python tools/synth_scale.py 100 /tmp/sfsynth/sf10     # 100× sf0.1
+  SPARK_GRAFT_DRIVER_MEM=48g python tools/decade_probe.py /tmp/sfsynth/sf10 [passes]
+
+Prints ONE JSON line with the same fields as bench.py's sf1_0 section
+plus the directory and per-table row counts — evidence of how the
+batch's wall-clock and the Spark/DuckDB ratio move with another 10× of
+data (the local stand-in for "would this survive a 100× scale-up").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from bigdatawork_spark.schemas import TABLES  # noqa: E402
+from bigdatawork_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth/sf10"
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    import pyarrow.parquet as pq
+
+    rows = {t: pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows for t in TABLES}
+    spark = get_spark("decade-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench._warmup(spark, bench.HEADLINE)
+    bench._fill_cache(spark, sf_dir)
+    try:
+        out = bench._sf1_interleaved(spark, bench.HEADLINE, passes, sf_dir)
+    finally:
+        bench._drop_cache(spark, sf_dir)
+    print(json.dumps({"decade_probe": {"sf_dir": sf_dir, "rows": rows, **(out or {})}}))
+
+
+if __name__ == "__main__":
+    main()

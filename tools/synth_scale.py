@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfsynth/sf1.0"
+DST = "/tmp/sfsynth/sf1.0"  # argv[2] overrides (e.g. /tmp/sfsynth/sf10)
 
 # table -> columns to shift by replica * (max+1) of the base column's family.
 # Shifting the full id family keeps every join 1:1 with the base data.
@@ -57,6 +57,9 @@ FAMILY = {
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    global DST
+    if len(sys.argv) > 2:
+        DST = sys.argv[2]
     os.makedirs(DST, exist_ok=True)
 
     strides: dict[tuple[str, str], int] = {}
