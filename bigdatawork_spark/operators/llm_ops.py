@@ -278,10 +278,22 @@ def guard_twin_size(df: DataFrame, key: str, production_key: str,
     import os
 
     n = df.count()
+    audit = os.environ.get(TWIN_AUDIT_ENV)
+    if audit:
+        # The env value IS the audit ceiling (an int).  The r12 cap-at-
+        # ``limit`` form never fired: sf1.0's corpora sit exactly AT the
+        # 50k ceiling, so the twins ran whole and still timed out — the
+        # audit needs a ceiling at which the quadratic plan finishes
+        # inside its budget, with the cap disclosed per key.
+        cap = min(limit, int(audit)) if audit.isdigit() and int(audit) > 1 else limit
+        if n > cap:
+            TWIN_CAPS_APPLIED[key] = (n, cap)
+            # limit() executes single-partition; the quadratic plan fed by
+            # it would run on ONE core — respread before returning
+            shp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            return df.limit(cap).repartition(shp)
+        return df
     if n > limit:
-        if os.environ.get(TWIN_AUDIT_ENV):
-            TWIN_CAPS_APPLIED[key] = (n, limit)
-            return df.limit(limit)
         reason = reason or (
             "an all-pairs ORACLE-PARITY twin for small-n verification"
         )

@@ -149,6 +149,22 @@ def test_guard_audit_mode_caps_instead_of_raising(spark, sf_dir, monkeypatch):
     capped = guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
     assert capped.count() == 10
     assert TWIN_CAPS_APPLIED["knn_classify"] == (n, 10)
+    # the env VALUE is the audit ceiling when below the fail-fast limit
+    # (r13: sf1.0 corpora sit exactly AT the 50k ceiling, so a bare flag
+    # capped nothing and the twins still timed out) — and the capped
+    # relation must be re-spread, not left on limit()'s single partition
+    monkeypatch.setenv(TWIN_AUDIT_ENV, "7")
+    TWIN_CAPS_APPLIED.clear()
+    capped = guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
+    assert capped.count() == 7
+    assert TWIN_CAPS_APPLIED["knn_classify"] == (n, 7)
+    assert capped.rdd.getNumPartitions() > 1
+    # a sized env never RAISES the builder's own limit
+    monkeypatch.setenv(TWIN_AUDIT_ENV, "1000000")
+    TWIN_CAPS_APPLIED.clear()
+    capped = guard_twin_size(big, "knn_classify", "knn_classify_ivf", limit=10)
+    assert capped.count() == 10
+    assert TWIN_CAPS_APPLIED["knn_classify"] == (n, 10)
     # small inputs pass through untouched and record nothing
     TWIN_CAPS_APPLIED.clear()
     small = big.limit(5)

@@ -39,7 +39,13 @@ def main() -> int:
     # — the audit completes all keys with the caps on the record, rather
     # than carrying standing twin timeouts.  The env var scopes to this
     # process only; normal runtime still fails fast on oversize twins.
-    os.environ[TWIN_AUDIT_ENV] = "1"
+    # The value is the audit ceiling: the declared quadratic twins cap
+    # their input to this many rows (disclosed per key below).  sf1.0's
+    # corpora sit exactly AT the twins' 50k fail-fast ceiling, so a bare
+    # flag ("1" → cap at the ceiling) changed nothing and the twins still
+    # timed out; 5k keeps each twin's all-pairs plan inside the budget
+    # (measured at sf1.0: knn 37 s, cosine 10 s, minhash 4 s).
+    os.environ[TWIN_AUDIT_ENV] = os.environ.get("SPARK_GRAFT_TWIN_AUDIT_CAP", "5000")
     spark = get_spark()
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     sc = spark.sparkContext
