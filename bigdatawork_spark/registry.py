@@ -179,7 +179,11 @@ ROTATION_DUE: dict[str, int] = {
             "graph_shortest_path graph_triangle_count html_strip_tags "
             "incremental_agg_merge incremental_join_maintenance "
             "join_asof_nearest join_interval_left join_lateral_topn "
-            "join_salted_skew"
+            "join_salted_skew "
+            # VERDICT r12 item 4 done-condition: the two stateful ledgers
+            # whose checkpoint-recovery equivalence was pinned this round
+            # get a fresh driver row THIS round, not on next cadence
+            "stream_index_admission_wm stream_stateful_tws"
         ).split()
     },
     **{
