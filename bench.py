@@ -89,6 +89,9 @@ EXTENDED = [
     "dedup_incremental_minhash",
     "stream_index_admission",
     "dedup_index_persisted",
+    # round-13 retrieval pair
+    "rank_fusion_rrf",
+    "join_bloom_prefilter",
 ]
 
 
