@@ -422,10 +422,21 @@ def closure_sources(fn) -> dict[str, str]:
     line, and rotation-bookkeeping edits must not mark all 287 operators
     stale.  Identifier matching is textual, so a helper named inside a SQL
     string over-includes — harmless: overreach only adds sensitivity,
-    never hides an edit."""
+    never hides an edit.
+
+    IN-FUNCTION imports (r13 review): ``from ..streaming.stream_ops
+    import stamp_mtimes`` inside a builder body binds locally and never
+    appears in ``__globals__``, so the global-namespace walk alone missed
+    those helpers (~19 sites: the streaming admission family's
+    stamp_mtimes/_read_stream, sql_api.sql, io.load, …).  The source is
+    additionally AST-walked for package-local ``from … import``
+    statements and the imported objects join the traversal."""
+    import ast
+    import importlib.util
     import inspect
     import re
     import sys
+    import textwrap
 
     ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
     value_types = (str, bytes, int, float, bool, tuple, list, dict, set,
@@ -466,6 +477,43 @@ def closure_sources(fn) -> dict[str, str]:
                     # assignment text when the module defines it here;
                     # value repr for names bound by import (see _const_srcs)
                     out[ctag] = _const_srcs(cmod).get(name) or _stable_repr(obj)
+        # in-function `from … import` targets never reach __globals__ —
+        # resolve them off the AST and traverse the imported objects too
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            tree = None
+        for node in ast.walk(tree) if tree is not None else ():
+            if not isinstance(node, ast.ImportFrom):
+                continue
+            try:
+                target = importlib.util.resolve_name(
+                    "." * node.level + (node.module or ""),
+                    mod.rpartition(".")[0],
+                ) if node.level else (node.module or "")
+            except (ImportError, ValueError):
+                continue
+            if not target.startswith(pkg) or target == __name__:
+                continue
+            m = sys.modules.get(target)
+            if m is None:
+                continue
+            for alias in node.names:
+                obj = getattr(m, alias.name, None)
+                if obj is None or obj is f:
+                    continue
+                if inspect.isfunction(obj) or inspect.isclass(obj):
+                    omod = getattr(obj, "__module__", "") or ""
+                    if omod.startswith(pkg) and omod != __name__:
+                        stack.append(obj)
+                elif isinstance(obj, value_types):
+                    ctag = f"const:{target}.{alias.name}"
+                    if ctag not in seen:
+                        seen.add(ctag)
+                        out[ctag] = (
+                            _const_srcs(target).get(alias.name)
+                            or _stable_repr(obj)
+                        )
     return out
 
 

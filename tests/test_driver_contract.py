@@ -398,6 +398,21 @@ def test_helper_edit_marks_every_caller_stale(tmp_path):
         sys.modules.pop("bigdatawork_spark._closure_probe", None)
 
 
+def test_closure_covers_in_function_imports():
+    """r13 review: helpers bound by an in-function ``from … import``
+    never reach ``__globals__``, so the global-namespace walk alone
+    missed them — the AST pass must pull them into the closure.  Pinned
+    on the real blind-spot cases the review named."""
+    from bigdatawork_spark import registry
+
+    cs = registry.closure_sources(registry.QUERIES["stream_index_admission"])
+    for helper in ("stamp_mtimes", "_read_stream", "_fresh_dir"):
+        assert any(t.endswith(f".{helper}") for t in cs), (helper, sorted(cs)[:20])
+    # absolute-form in-package import inside a body (sql_api.sql)
+    cs = registry.closure_sources(registry.QUERIES["sql_interface"])
+    assert any(".sql_api." in t for t in cs), sorted(cs)[:20]
+
+
 def test_closure_constant_fingerprint_is_process_independent():
     """Constants enter the closure by ASSIGNMENT TEXT, not runtime value:
     ``io_ops._TMP_ROOT`` embeds ``os.getpid()``, which differed per process
