@@ -142,14 +142,28 @@ def _duckdb_q1_warm_layout(con, data_dir: str = SF1_DIR) -> str | None:
         f"{expr.replace('0.5D', '0.5::DOUBLE')} AS {name}"
         for name, expr in _DERIVED_COLS["lineitem"]
     )
-    con.execute(
-        f"CREATE TABLE lineitem_bench AS SELECT *, {derived} "
-        f"FROM read_parquet('{data_dir}/lineitem.parquet')"
-    )
-    fold = "SELECT bit_xor(hash(q)) FROM ({}) q"
-    a = con.execute(fold.format(ORACLES["agg_groupby_q1"])).fetchone()
-    b = con.execute(fold.format(_Q1_BENCH_SQL)).fetchone()
-    return _Q1_BENCH_SQL if a == b else None
+    # Degrade to the contract oracle on ANY failure here, not just the
+    # identity mismatch (r13 review): a CTAS OOM at decade-probe scale
+    # previously propagated into _sf1_interleaved's catch-all and killed
+    # the whole phase; and a failed identity check must not leave the
+    # just-built native table occupying memory for the timed passes.
+    try:
+        con.execute(
+            f"CREATE TABLE lineitem_bench AS SELECT *, {derived} "
+            f"FROM read_parquet('{data_dir}/lineitem.parquet')"
+        )
+        fold = "SELECT bit_xor(hash(q)) FROM ({}) q"
+        a = con.execute(fold.format(ORACLES["agg_groupby_q1"])).fetchone()
+        b = con.execute(fold.format(_Q1_BENCH_SQL)).fetchone()
+        if a == b:
+            return _Q1_BENCH_SQL
+    except Exception:
+        pass
+    try:
+        con.execute("DROP TABLE IF EXISTS lineitem_bench")
+    except Exception:
+        pass
+    return None
 
 
 def _sf1_complete(want_lineitem_rows: int) -> bool:
@@ -438,7 +452,11 @@ def _compact_summary_line(payload: dict) -> str:
         }
     }
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("duckdb_queries", "spark_queries", "queries"):
+    # pass_ratios lists are droppable too (r13 review: a large
+    # SPARK_GRAFT_BENCH_PASSES made the two lists alone exceed the cap
+    # after all three maps were gone); the median scalars always survive
+    for drop in ("duckdb_queries", "spark_queries", "queries",
+                 "pass_ratios_allruns", "pass_ratios"):
         if len(line) <= 1900:
             break
         compact["bench_summary"]["sf1_0"].pop(drop, None)

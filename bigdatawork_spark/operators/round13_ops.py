@@ -286,6 +286,28 @@ def join_bloom_prefilter(spark, sf_dir):
     semantics-pinned form of what AQE's runtime Bloom-filter join
     injects; revenue uses the repo's scaled-long exact-sum discipline
     (2dp×2dp products are exactly 4dp)."""
+    pruned, dim = _bloom_pruned_facts(
+        spark, sf_dir, ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        pruned.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev) / 10000.0).cast("double").alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _bloom_pruned_facts(spark, sf_dir, fact_cols):
+    """(pruned lineitem projection, NATION_7 supplier-key dim) — ONE
+    construction shared by the registered key and the test diagnostic,
+    so a salt/hash/probe change cannot diverge between what ships and
+    what the no-false-negative test validates (r13 review)."""
     nat = load(spark, sf_dir, "nation").filter(
         F.col("n_name") == _BLOOM_DIM_NATION
     )
@@ -302,53 +324,20 @@ def join_bloom_prefilter(spark, sf_dir):
     # at ANY dim cardinality (the whole point of the shape)
     occ1 = dim.select(pos(F.col("s_suppkey"), 1).alias("p1")).distinct()
     occ2 = dim.select(pos(F.col("s_suppkey"), 2).alias("p2")).distinct()
-
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount"
-    )
+    li = load(spark, sf_dir, "lineitem").select(*fact_cols)
     pruned = (
         li.withColumn("p1", pos(F.col("l_suppkey"), 1))
         .join(F.broadcast(occ1), "p1", "left_semi")
         .withColumn("p2", pos(F.col("l_suppkey"), 2))
         .join(F.broadcast(occ2), "p2", "left_semi")
     )
-    rev = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-    ).cast("bigint")
-    return (
-        pruned.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            (F.sum(rev) / 10000.0).cast("double").alias("revenue"),
-        )
-        .orderBy("s_suppkey")
-    )
+    return pruned, dim
 
 
 def bloom_prefilter_pass_count(spark, sf_dir):
-    """Diagnostic (non-registry): how many lineitem rows survive the
+    """Diagnostic (non-registry): the lineitem rows surviving the
     two-probe Bloom prefilter alone — tests pin pass_count < total AND
-    pass_set ⊇ true-match set (no false negatives)."""
-    nat = load(spark, sf_dir, "nation").filter(
-        F.col("n_name") == _BLOOM_DIM_NATION
-    )
-    dim = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-
-    def pos(col, salt):
-        return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(_BLOOM_BITS))
-
-    occ1 = dim.select(pos(F.col("s_suppkey"), 1).alias("p1")).distinct()
-    occ2 = dim.select(pos(F.col("s_suppkey"), 2).alias("p2")).distinct()
-    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
-    return (
-        li.withColumn("p1", pos(F.col("l_suppkey"), 1))
-        .join(F.broadcast(occ1), "p1", "left_semi")
-        .withColumn("p2", pos(F.col("l_suppkey"), 2))
-        .join(F.broadcast(occ2), "p2", "left_semi")
-        .select("l_suppkey")
-    )
+    pass_set ⊇ true-match set (no false negatives), against the SAME
+    construction the registered key joins from."""
+    pruned, _dim = _bloom_pruned_facts(spark, sf_dir, ["l_suppkey"])
+    return pruned.select("l_suppkey")
