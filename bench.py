@@ -266,7 +266,8 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR) -> dict | None:
+def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR,
+                     native_tables: bool = False) -> dict | None:
     """Matched-scale adjudication as the median of ``passes`` full
     INTERLEAVED batch passes (VERDICT r08 item 1).
 
@@ -302,9 +303,15 @@ def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR) -> dict | 
 
     con = duckdb.connect()
     try:
+        # native_tables (decade probe): Spark's side reads its decoded
+        # in-memory clustered cache, so DuckDB gets decoded NATIVE tables
+        # rather than re-decoding parquet per query — the fully symmetric
+        # warm-layout protocol.  The per-round sf1.0 phase keeps views
+        # (the adjudicated protocol BASELINE.md's band history records).
+        rel = "TABLE" if native_tables else "VIEW"
         for t in TABLES:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"CREATE {rel} {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         # symmetric Q1 warm layout (ADVICE r12 — see _duckdb_q1_warm_layout)

@@ -41,7 +41,9 @@ def main() -> None:
     bench._warmup(spark, bench.HEADLINE)
     bench._fill_cache(spark, sf_dir)
     try:
-        out = bench._sf1_interleaved(spark, bench.HEADLINE, passes, sf_dir)
+        out = bench._sf1_interleaved(
+            spark, bench.HEADLINE, passes, sf_dir, native_tables=True
+        )
     finally:
         bench._drop_cache(spark, sf_dir)
     print(json.dumps({"decade_probe": {"sf_dir": sf_dir, "rows": rows, **(out or {})}}))
