@@ -125,21 +125,32 @@ def token_count(spark, sf_dir):
 @register(
     "doc_fingerprint",
     oracle="""
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
-         AS fingerprint,
-       COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
-           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')))
-         AS n_same
-FROM documents
+WITH fp AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE md5(COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(string_split(lower(text), ' '), w -> w <> ''))),
+                  ' '), '')) END AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+FROM fp
 ORDER BY doc_id
 """,
 )
 def doc_fingerprint(spark, sf_dir):
     """Order-normalized content fingerprint: md5 over the sorted distinct
     word set — catches shuffled/reordered duplicates that exact text hashing
-    misses.  n_same > 1 marks fingerprint collisions (= word-set dups)."""
+    misses.  n_same > 1 marks fingerprint collisions (= word-set dups).
+
+    Degenerate inputs (r13 edge-corpus differential): an EMPTY word set
+    (empty or all-whitespace text) fingerprints as md5('') — empty docs
+    are word-set duplicates of EACH OTHER — while NULL text stays NULL.
+    That is the builder's array_join semantics; DuckDB's array_to_string
+    returns NULL for an empty list, which silently lumped empty docs in
+    with NULL docs on the oracle side — hence the COALESCE + explicit
+    NULL guard there."""
     d = load(spark, sf_dir, "documents")
     fp = F.md5(
         F.array_join(
