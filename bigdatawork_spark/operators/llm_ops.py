@@ -394,7 +394,7 @@ pairs AS (
 ranked AS (
   SELECT probe_id, neighbor_id, cos_raw,
          row_number() OVER (PARTITION BY probe_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+                            ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id) AS rn
   FROM pairs
 )
 SELECT probe_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, rn
@@ -451,7 +451,18 @@ def sim_cosine_topk(spark, sf_dir):
                         f"sim_cosine_topk: zero-norm embedding(s) {bad} — "
                         "cosine undefined; filter degenerate vectors first"
                     )
-                sims = (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :])
+                # rank on the ROUNDED cosine (r13 edge-corpus finding):
+                # exact-duplicate vectors tie at cos 1.0, and raw-value
+                # ranking let a ~1e-15 BLAS-vs-fold sum-order difference
+                # break the tie differently from the oracle's exact
+                # arithmetic — invisible on corpora without duplicate
+                # vectors, rank-flipping on real ones.  round-then-rank
+                # (with the id tiebreak) is the same discipline as
+                # tfidf/bm25/rank_fusion; containment of the local top-k
+                # still holds under the (rounded desc, id asc) total order.
+                sims = np.round(
+                    (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :]), 6
+                )
                 out = []
                 for j in range(len(bpid)):
                     mask = cid != bpid[j]
@@ -477,7 +488,7 @@ def sim_cosine_topk(spark, sf_dir):
         "neighbor_id",
         "round(cos_raw, 6) as cos_sim",
         "row_number() over (partition by probe_id"
-        " order by cos_raw desc, neighbor_id) as rn",
+        " order by round(cos_raw, 6) desc, neighbor_id) as rn",
     ).where("rn <= 5")
 
 
@@ -514,8 +525,9 @@ def _sim_cosine_topk_expr(spark, sf_dir):
         "probe_id",
         "neighbor_id",
         "round(cos_raw, 6) as cos_sim",
+        # rounded rank — see the vectorized scorer's r13 note
         "row_number() over (partition by probe_id"
-        " order by cos_raw desc, neighbor_id) as rn",
+        " order by round(cos_raw, 6) desc, neighbor_id) as rn",
     ).where("rn <= 5")
 
 
