@@ -128,7 +128,9 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def _duckdb_q1_warm_layout(con, data_dir: str = SF1_DIR) -> str | None:
+def _duckdb_q1_warm_layout(
+    con, data_dir: str = SF1_DIR, from_native: bool = False
+) -> str | None:
     """Build DuckDB's Q1 warm table (lineitem + the five generated
     columns) and return the symmetric timed SQL — or None if the rewrite
     fails its row-identity check against the contract oracle, in which
@@ -147,10 +149,16 @@ def _duckdb_q1_warm_layout(con, data_dir: str = SF1_DIR) -> str | None:
     # previously propagated into _sf1_interleaved's catch-all and killed
     # the whole phase; and a failed identity check must not leave the
     # just-built native table occupying memory for the timed passes.
+    # from_native (decade probe): lineitem is already a decoded native
+    # table — build the derived layout from it instead of re-decoding
+    # (and double-holding) the parquet (r13 second review)
+    src = (
+        "lineitem" if from_native
+        else f"read_parquet('{data_dir}/lineitem.parquet')"
+    )
     try:
         con.execute(
-            f"CREATE TABLE lineitem_bench AS SELECT *, {derived} "
-            f"FROM read_parquet('{data_dir}/lineitem.parquet')"
+            f"CREATE TABLE lineitem_bench AS SELECT *, {derived} FROM {src}"
         )
         fold = "SELECT bit_xor(hash(q)) FROM ({}) q"
         a = con.execute(fold.format(ORACLES["agg_groupby_q1"])).fetchone()
@@ -318,7 +326,7 @@ def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR,
         timed_sql = {k: ORACLES[k] for k in keys}
         q1_symmetric = False
         if "agg_groupby_q1" in timed_sql:
-            sym = _duckdb_q1_warm_layout(con, sf_dir)
+            sym = _duckdb_q1_warm_layout(con, sf_dir, from_native=native_tables)
             if sym is not None:
                 timed_sql["agg_groupby_q1"] = sym
                 q1_symmetric = True

@@ -460,9 +460,14 @@ def sim_cosine_topk(spark, sf_dir):
                 # (with the id tiebreak) is the same discipline as
                 # tfidf/bm25/rank_fusion; containment of the local top-k
                 # still holds under the (rounded desc, id asc) total order.
-                sims = np.round(
-                    (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :]), 6
-                )
+                # Half AWAY FROM ZERO via sign-aware floor(|x|·1e6 + .5)
+                # — np.round is half-to-even, SQL ROUND is half-up; the
+                # tfidf scorer's rule (r13 second review), extended with
+                # copysign because cosines go negative.
+                raw = (C @ bP.T) / (cnrm[:, None] * bpnrm[None, :])
+                sims = np.copysign(
+                    np.floor(np.abs(raw) * 1e6 + 0.5), raw
+                ) / 1e6
                 out = []
                 for j in range(len(bpid)):
                     mask = cid != bpid[j]

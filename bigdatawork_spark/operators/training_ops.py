@@ -263,9 +263,10 @@ def mixture_resample(spark, sf_dir):
     oracle="""
 WITH d AS (
   SELECT doc_id, source,
-         md5(array_to_string(list_sort(list_distinct(
-             list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
-           AS fp,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE md5(COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(string_split(lower(text), ' '), w -> w <> ''))),
+                  ' '), '')) END AS fp,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
                 THEN 'train'
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'

@@ -34,6 +34,13 @@ EDGE_ROWS = [
     (10, "the quick brown fox jumps over the lazy dog", "en", "src5"),
     (11, "dog lazy the over jumps fox brown quick the", "en", "src5"),
     (12, "one two three four five six seven eight nine ten", "en", "src6"),
+    # doc_ids 44 and 49 hash into decontaminate_exact's held-out split
+    # (md5 prefix ≥ 'e666'): an EMPTY benchmark doc makes the empty
+    # train docs contaminated (the branch whose oracle lumping the
+    # second review caught), and a duplicate-content benchmark doc
+    # contaminates the train copies
+    (44, "", "en", "src7"),
+    (49, "the quick brown fox jumps over the lazy dog", "en", "src7"),
 ]
 
 # documents-only keys whose builders and oracles must agree on the edge
@@ -105,9 +112,28 @@ def test_edge_corpus_fingerprint_semantics(spark, edge_dir):
     md5_empty = "d41d8cd98f00b204e9800998ecf8427e"
     assert rows[1]["fingerprint"] == md5_empty
     assert rows[2]["fingerprint"] == md5_empty
-    assert rows[1]["n_same"] == 2  # the two empty-set docs, nothing else
+    assert rows[1]["n_same"] == 3  # docs 1, 2, 44 — the empty-set group
     assert rows[5]["fingerprint"] is None
     assert rows[5]["n_same"] == 1
     # the shuffled duplicate collapses with its source; exact hashing
     # (dedup_exact) would keep them apart — the reason this key exists
     assert rows[11]["fingerprint"] == rows[0]["fingerprint"]
+
+
+def test_edge_corpus_decontaminate_flags_empty_and_duplicate(spark, edge_dir):
+    """The second review's confirmed divergence, now pinned end-to-end:
+    the empty benchmark doc (44) contaminates the empty train docs
+    (md5('') identity), the duplicate-content benchmark doc (49)
+    contaminates the train copies, and NULL-text train docs stay clean
+    (a NULL fingerprint matches nothing on either engine)."""
+    rows = QUERIES["decontaminate_exact"](spark, edge_dir).collect()
+    by_src = {r["source"]: r for r in rows}
+    # src0: doc 0 (dup of benchmark 49) contaminated, doc 1 (empty ≡ 44) too
+    assert by_src["src0"]["n_contaminated"] == 2, by_src["src0"]
+    # src1: doc 2 (whitespace-only ≡ empty set) contaminated, doc 3 clean
+    assert by_src["src1"]["n_contaminated"] == 1, by_src["src1"]
+    # src2: doc 5 has NULL text — must be counted CLEAN, never matched
+    assert by_src["src2"]["n_contaminated"] == 0, by_src["src2"]
+    assert by_src["src2"]["n_clean"] == 2, by_src["src2"]
+    # src5: both the original and the shuffled variant match benchmark 49
+    assert by_src["src5"]["n_contaminated"] == 2, by_src["src5"]
