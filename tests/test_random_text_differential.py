@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
