@@ -130,11 +130,14 @@ ORDER BY l_returnflag, l_linestatus
 
 def _duckdb_q1_warm_layout(
     con, data_dir: str = SF1_DIR, from_native: bool = False
-) -> str | None:
+) -> tuple[str | None, str | None]:
     """Build DuckDB's Q1 warm table (lineitem + the five generated
-    columns) and return the symmetric timed SQL — or None if the rewrite
-    fails its row-identity check against the contract oracle, in which
-    case the caller keeps the contract oracle (one-sided but correct).
+    columns) and return ``(symmetric timed SQL, None)`` — or
+    ``(None, downgrade_reason)`` if the rewrite fails its row-identity
+    check against the contract oracle, in which case the caller keeps
+    the contract oracle (one-sided but correct).  The reason string goes
+    into the bench payload (ADVICE r13): a protocol downgrade caused by
+    a SQL regression must be distinguishable from an expected CTAS OOM.
     The Spark-side derived expressions spell the double literal ``0.5D``;
     DuckDB spells it ``0.5::DOUBLE``."""
     from bigdatawork_spark.io import _DERIVED_COLS
@@ -156,6 +159,7 @@ def _duckdb_q1_warm_layout(
         "lineitem" if from_native
         else f"read_parquet('{data_dir}/lineitem.parquet')"
     )
+    reason = None
     try:
         con.execute(
             f"CREATE TABLE lineitem_bench AS SELECT *, {derived} FROM {src}"
@@ -164,14 +168,15 @@ def _duckdb_q1_warm_layout(
         a = con.execute(fold.format(ORACLES["agg_groupby_q1"])).fetchone()
         b = con.execute(fold.format(_Q1_BENCH_SQL)).fetchone()
         if a == b:
-            return _Q1_BENCH_SQL
-    except Exception:
-        pass
+            return _Q1_BENCH_SQL, None
+        reason = "identity_mismatch: warm-layout SQL != contract oracle"
+    except Exception as ex:
+        reason = f"{type(ex).__name__}: {ex}"[:200]
     try:
         con.execute("DROP TABLE IF EXISTS lineitem_bench")
     except Exception:
         pass
-    return None
+    return None, reason
 
 
 def _sf1_complete(want_lineitem_rows: int) -> bool:
@@ -325,8 +330,11 @@ def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR,
         # symmetric Q1 warm layout (ADVICE r12 — see _duckdb_q1_warm_layout)
         timed_sql = {k: ORACLES[k] for k in keys}
         q1_symmetric = False
+        q1_downgrade = None
         if "agg_groupby_q1" in timed_sql:
-            sym = _duckdb_q1_warm_layout(con, sf_dir, from_native=native_tables)
+            sym, q1_downgrade = _duckdb_q1_warm_layout(
+                con, sf_dir, from_native=native_tables
+            )
             if sym is not None:
                 timed_sql["agg_groupby_q1"] = sym
                 q1_symmetric = True
@@ -384,6 +392,9 @@ def _sf1_interleaved(spark, keys, passes: int, sf_dir: str = SF1_DIR,
         spark_q = {k: round(_median(v), 4) for k, v in spark_t.items()}
         return {
             "q1_layout_symmetric": q1_symmetric,
+            # only present on a downgrade: the reason the symmetric
+            # warm-layout rewrite was rejected (ADVICE r13)
+            **({"q1_layout_downgrade": q1_downgrade} if q1_downgrade else {}),
             "passes": passes,
             "pass_ratios": pass_ratios,
             "ratio_vs_duckdb": _median(pass_ratios),
@@ -588,7 +599,16 @@ def main() -> None:
                         " built untimed with the identical expressions, the"
                         " rewrite used only after an untimed hash-fold"
                         " identity check vs the contract oracle"
-                        " (q1_layout_symmetric; ADVICE r12)" % passes
+                        " (q1_layout_symmetric; ADVICE r12); NOTE on Q1's"
+                        " per-query ratio under this symmetric layout:"
+                        " DuckDB's denominator is a ~20 ms 6-group bigint"
+                        " sum over its pre-materialized NATIVE table, so"
+                        " Q1 reads ~13x at sf1.0 while the Spark plan is"
+                        " the FINAL-adjudicated optimal partial/final"
+                        " shape (vectorized-escape A/B'd 3.3x slower, r08;"
+                        " residual is row-based vs vectorized aggregate"
+                        " CPU) — the batch-level ratio is the gate, not"
+                        " this row (VERDICT r13 item 4)" % passes
                     )
                 else:
                     # DuckDB/oracle unavailable, or the interleaved phase

@@ -378,7 +378,21 @@ def agg_median_percentile(spark, sf_dir):
     )
 
 
-@register("agg_approx_percentile")
+@register(
+    "agg_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound,
+       TRUE AS p99_in_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_approx_percentile(spark, sf_dir):
     """Approximate percentiles per group (Spark's percentile_approx — a
     Greenwald-Khanna-style quantile summary).  The accuracy knob (1000)
@@ -386,52 +400,95 @@ def agg_approx_percentile(spark, sf_dir):
     100 TB this replaces exact percentile's full-sort-per-group with
     mergeable map-side summaries, same shape as the HLL pattern.
 
-    rows-only: quantile-summary implementations are engine-specific
-    (DuckDB approx_quantile uses t-digest); tests/test_edge_cases.py
-    bounds each estimate against the exact percentile instead.
-
-    Output is projected to SCALAR p50/p90/p99 columns (not one array
-    column): the driver's canonicalizer sorts result frames column-wise
-    and cannot hash/factorize array cells (CORRECTNESS_r03 red row)."""
+    Previously rows-only (quantile-summary implementations are
+    engine-specific — DuckDB approx_quantile is a t-digest, so the raw
+    estimates never hash-match).  VERDICT r13 item 3 conversion: the
+    output now carries the EXACT percentiles (hash-checked against
+    DuckDB's quantile_cont — interpolation matches, same discipline as
+    agg_median_percentile) plus per-quantile booleans asserting the GK
+    estimate lands inside its guaranteed rank-error interval
+    [exact(q-0.02), exact(q+0.02)] — a 20× margin over the ε=1/accuracy
+    bound, the same interval tests/test_edge_cases.py has pinned since
+    r03.  The oracle spells the booleans TRUE: a sketch regression
+    breaking the guarantee now hash-MISMATCHES at the driver instead of
+    hiding behind a rows-only row.  The exact columns cost the
+    full-sort-per-group the sketch avoids — acceptable in a
+    verification key; the production estimate path remains the sketch."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice",
-                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-                F.lit(1000),
-            ).alias("pcts")
-        )
-        .select(
-            "l_returnflag",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-        )
-        .orderBy("l_returnflag")
+    qs = [0.5, 0.9, 0.99]
+    los = [0.48, 0.88, 0.97]
+    his = [0.52, 0.92, 1.0]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(1000)
+        ).alias("approx"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+        ).alias("exact"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in los])
+        ).alias("lo"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in his])
+        ).alias("hi"),
     )
-
-
-@register("agg_heavy_hitters")
-def agg_heavy_hitters(spark, sf_dir):
-    """Approximate frequent items (``df.stat.freqItems`` — the one-pass
-    Karp/Shenker/Papadimitriou counter): every value with frequency above
-    the support threshold is guaranteed present (no false negatives;
-    false positives possible).  One pass, constant memory per counter —
-    the heavy-hitter primitive for skew detection at 100 TB (find the
-    hot keys BEFORE deciding to salt them; see join_salted_skew).
-
-    rows-only: the false-positive set is engine/ordering-specific;
-    tests/test_edge_cases.py asserts the no-false-negative guarantee
-    against exact frequencies."""
-    ev = load(spark, sf_dir, "events")
-    hits = ev.select("event_type").stat.freqItems(["event_type"], 0.15)
-    # Stringified (not array-typed) so the driver canonicalizer can hash it.
-    return hits.select(
-        F.concat_ws(",", F.sort_array(F.col("event_type_freqItems"))).alias(
-            "frequent_types"
+    cols = [F.col("l_returnflag")]
+    for i, name in enumerate(("p50", "p90", "p99")):
+        cols.append(F.round(F.col("exact")[i], 6).alias(f"{name}_exact"))
+    for i, name in enumerate(("p50", "p90", "p99")):
+        cols.append(
+            (
+                (F.col("approx")[i] >= F.col("lo")[i])
+                & (F.col("approx")[i] <= F.col("hi")[i])
+            ).alias(f"{name}_in_bound")
         )
+    return agg.select(*cols).orderBy("l_returnflag")
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) > 0.15 * (SELECT COUNT(*) FROM events)
+ORDER BY event_type
+""",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Two-pass heavy hitters — the textbook sketch-then-verify shape:
+
+    * **Pass 1** (``df.stat.freqItems``, the one-pass Karp/Shenker/
+      Papadimitriou counter): constant memory per counter, guaranteed to
+      return a SUPERSET of every value with frequency above the support
+      threshold (no false negatives; false positives possible).
+    * **Pass 2**: exact counts restricted to the sketch's candidate set
+      (an `isin` filter pushed to the scan, then a few-group aggregate),
+      dropping the false positives.
+
+    The output is therefore EXACTLY the above-threshold frequency
+    relation — deterministic and DuckDB-expressible (VERDICT r13 item 3:
+    previously rows-only on the raw sketch output, whose false-positive
+    set is engine-specific).  At 100 TB this is how skew detection is
+    actually run: the sketch finds candidate hot keys in one cheap pass,
+    and only the |candidates|-key exact count pays a (tiny) shuffle —
+    see join_salted_skew for the consumer."""
+    ev = load(spark, sf_dir, "events")
+    # bounded collect: freqItems returns ONE row whose array holds at most
+    # ~1/support ≈ 7 candidate values
+    candidates = (
+        ev.select("event_type")
+        .stat.freqItems(["event_type"], 0.15)
+        .collect()[0]["event_type_freqItems"]
+    )
+    total = ev.count()
+    return (
+        ev.filter(F.col("event_type").isin(list(candidates)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.15 * total)
+        .orderBy("event_type")
     )
 
 

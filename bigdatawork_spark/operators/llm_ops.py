@@ -285,7 +285,18 @@ def guard_twin_size(df: DataFrame, key: str, production_key: str,
         # 50k ceiling, so the twins ran whole and still timed out — the
         # audit needs a ceiling at which the quadratic plan finishes
         # inside its budget, with the cap disclosed per key.
-        cap = min(limit, int(audit)) if audit.isdigit() and int(audit) > 1 else limit
+        # A malformed value must NOT silently degrade to ``limit`` — that
+        # reproduces the at-the-ceiling timeout the env exists to avoid
+        # (ADVICE r13).  '1' is the documented bare-flag spelling: audit
+        # mode on, ceiling = ``limit`` (a 1-row cap is not expressible).
+        audit = audit.strip()
+        if not (audit.isdigit() and int(audit) >= 1):
+            raise ValueError(
+                f"{TWIN_AUDIT_ENV}={audit!r} is not a positive integer; "
+                f"set it to the audit row ceiling, or to '1' for bare-flag "
+                f"mode (ceiling = the key's declared limit, {limit})."
+            )
+        cap = min(limit, int(audit)) if int(audit) > 1 else limit
         if n > cap:
             TWIN_CAPS_APPLIED[key] = (n, cap)
             # limit() executes single-partition; the quadratic plan fed by

@@ -423,9 +423,10 @@ def _decode_wav(payload: bytes):
     oracle="""
 WITH audio AS (
   SELECT doc_id,
-         CAST(64 + doc_id % 97 AS BIGINT) AS n,
-         list_transform(range(0, CAST(64 + doc_id % 97 AS INTEGER)),
-                        i -> (doc_id * 13 + i * 11) % 65536 - 32768) AS s
+         CAST(64 + ((doc_id % 97) + 97) % 97 AS BIGINT) AS n,
+         list_transform(range(0, CAST(64 + ((doc_id % 97) + 97) % 97 AS INTEGER)),
+                        i -> ((doc_id * 13 + i * 11) % 65536 + 65536) % 65536
+                             - 32768) AS s
   FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
@@ -668,8 +669,8 @@ def _resize_nn(img, max_side: int):
     oracle="""
 WITH geo AS (
   SELECT doc_id,
-         CAST(4 + (doc_id * 37) % 29 AS BIGINT) AS w,
-         CAST(3 + (doc_id * 53) % 23 AS BIGINT) AS h
+         CAST(4 + ((doc_id * 37) % 29 + 29) % 29 AS BIGINT) AS w,
+         CAST(3 + ((doc_id * 53) % 23 + 23) % 23 AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL
 ), t AS (
   SELECT doc_id, w, h,
@@ -683,9 +684,9 @@ SELECT doc_id, w AS width, h AS height, tw AS target_w, th AS target_h,
        CAST(list_sum(flatten(flatten(list_transform(range(0, th), y ->
               list_transform(range(0, tw), x ->
                 list_transform([0, 1, 2], k ->
-                  (doc_id * 31
-                   + 7 * ((((y * h) // th) * w + (x * w) // tw) * 3 + k))
-                  % 256)))))) AS BIGINT) AS pix_checksum
+                  ((doc_id * 31
+                    + 7 * ((((y * h) // th) * w + (x * w) // tw) * 3 + k))
+                   % 256 + 256) % 256)))))) AS BIGINT) AS pix_checksum
 FROM t ORDER BY doc_id
 """,
 )
@@ -713,11 +714,15 @@ def multimodal_image_resize(spark, sf_dir):
     import pandas as pd
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # pmod, not %: doc_ids in the wild are hash-derived and negative half
+    # the time; Spark's % keeps the dividend's sign, which would produce
+    # negative widths here and diverge from the Python/numpy encode stage
+    # (whose % IS pmod) — (r14 edge-corpus campaign).
     docs = d.select(
         "doc_id",
         F.struct(
-            (4 + (F.col("doc_id") * 37) % 29).cast("long").alias("width"),
-            (3 + (F.col("doc_id") * 53) % 23).cast("long").alias("height"),
+            (4 + F.pmod(F.col("doc_id") * 37, F.lit(29))).cast("long").alias("width"),
+            (3 + F.pmod(F.col("doc_id") * 53, F.lit(23))).cast("long").alias("height"),
             F.lit("ppm").alias("format"),
         ).alias("meta"),
     )
@@ -910,9 +915,9 @@ def embedding_norm_stats(spark, sf_dir):
     oracle="""
 WITH media AS (
   SELECT doc_id,
-         CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
-         CAST(4 + doc_id % 5 AS BIGINT) AS w,
-         CAST(3 + doc_id % 4 AS BIGINT) AS h
+         CAST(3 + ((doc_id % 5) + 5) % 5 AS BIGINT) AS n_frames,
+         CAST(4 + ((doc_id % 5) + 5) % 5 AS BIGINT) AS w,
+         CAST(3 + ((doc_id % 4) + 4) % 4 AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL
 ),
 f AS (
@@ -926,7 +931,8 @@ SELECT doc_id, frame_idx,
        CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
        w AS frame_w, h AS frame_h,
        CAST(list_sum(list_transform(range(0, CAST(w * h * 3 AS INTEGER)),
-              i -> (doc_id * 31 + frame_idx * 17 + 11 * i) % 256))
+              i -> ((doc_id * 31 + frame_idx * 17 + 11 * i) % 256 + 256)
+                   % 256))
             AS BIGINT) AS frame_checksum
 FROM f
 WHERE frame_idx % 2 = 0
@@ -1152,8 +1158,8 @@ def _png_decode(payload: bytes):
     oracle="""
 WITH geo AS (
   SELECT doc_id,
-         CAST(4 + (doc_id * 37) % 29 AS BIGINT) AS w,
-         CAST(3 + (doc_id * 53) % 23 AS BIGINT) AS h
+         CAST(4 + ((doc_id * 37) % 29 + 29) % 29 AS BIGINT) AS w,
+         CAST(3 + ((doc_id * 53) % 23 + 23) % 23 AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, w AS width, h AS height,
@@ -1162,7 +1168,8 @@ SELECT doc_id, w AS width, h AS height,
               AS BIGINT)
          AS filter_type_sum,
        CAST(list_sum(list_transform(range(0, w * h * 3), i ->
-              (doc_id * 31 + 7 * i) % 256)) AS BIGINT) AS pix_checksum
+              ((doc_id * 31 + 7 * i) % 256 + 256) % 256))
+            AS BIGINT) AS pix_checksum
 FROM geo ORDER BY doc_id
 """,
 )
@@ -1190,11 +1197,13 @@ def multimodal_png_decode(spark, sf_dir):
     import pandas as pd
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # pmod for hash-derived (possibly negative) doc_ids — see
+    # multimodal_image_resize (r14 edge-corpus campaign)
     docs = d.select(
         "doc_id",
         F.struct(
-            (4 + (F.col("doc_id") * 37) % 29).cast("long").alias("width"),
-            (3 + (F.col("doc_id") * 53) % 23).cast("long").alias("height"),
+            (4 + F.pmod(F.col("doc_id") * 37, F.lit(29))).cast("long").alias("width"),
+            (3 + F.pmod(F.col("doc_id") * 53, F.lit(23))).cast("long").alias("height"),
             F.lit("png").alias("format"),
         ).alias("meta"),
     )

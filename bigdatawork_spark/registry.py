@@ -484,12 +484,37 @@ def closure_sources(fn) -> dict[str, str]:
         except SyntaxError:
             tree = None
         for node in ast.walk(tree) if tree is not None else ():
+            # plain `import pkg.mod [as x]` (ADVICE r13): the bound name is
+            # a module, so the identifier scan above never traverses it —
+            # fold the whole module's source into the fingerprint (coarse
+            # but safe: any edit to that module marks the key stale).
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if not alias.name.startswith(pkg) or alias.name == __name__:
+                        continue
+                    mtag = f"module:{alias.name}"
+                    if mtag in seen:
+                        continue
+                    seen.add(mtag)
+                    try:
+                        im = sys.modules.get(alias.name) or importlib.import_module(
+                            alias.name
+                        )
+                        out[mtag] = inspect.getsource(im)
+                    except Exception:
+                        out[mtag] = f"<unresolvable {alias.name}>"
+                continue
             if not isinstance(node, ast.ImportFrom):
                 continue
             try:
+                # resolve relative imports against the module's __package__
+                # (ADVICE r13): for a package __init__ module,
+                # mod.rpartition('.') strips the package ITSELF and
+                # mis-resolves level-1 imports one level too high.
+                owner = sys.modules.get(mod)
+                base = getattr(owner, "__package__", None) or mod.rpartition(".")[0]
                 target = importlib.util.resolve_name(
-                    "." * node.level + (node.module or ""),
-                    mod.rpartition(".")[0],
+                    "." * node.level + (node.module or ""), base
                 ) if node.level else (node.module or "")
             except (ImportError, ValueError):
                 continue
@@ -497,7 +522,12 @@ def closure_sources(fn) -> dict[str, str]:
                 continue
             m = sys.modules.get(target)
             if m is None:
-                continue
+                # not yet imported (ADVICE r13): import it (guarded) rather
+                # than silently leaving the subtree out of the fingerprint
+                try:
+                    m = importlib.import_module(target)
+                except Exception:
+                    continue
             for alias in node.names:
                 obj = getattr(m, alias.name, None)
                 if obj is None or obj is f:

@@ -106,8 +106,26 @@ def test_duckdb_q1_warm_layout_is_row_identical():
             "CREATE VIEW lineitem AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/lineitem.parquet')"
         )
-        sym = bench._duckdb_q1_warm_layout(con, data_dir=SF_DIR)
-        assert sym is not None, "symmetric Q1 diverged from the contract oracle"
+        sym, reason = bench._duckdb_q1_warm_layout(con, data_dir=SF_DIR)
+        assert sym is not None, f"symmetric Q1 downgraded: {reason}"
+        assert reason is None
         assert "lineitem_bench" in sym and "__q1_qty" in sym
+    finally:
+        con.close()
+
+
+def test_duckdb_q1_warm_layout_records_downgrade_reason():
+    """ADVICE r13: a failure inside the warm-layout build must surface its
+    message in the returned payload, not silently downgrade — here a
+    nonexistent parquet path."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        sym, reason = bench._duckdb_q1_warm_layout(
+            con, data_dir="/nonexistent/sfX"
+        )
+        assert sym is None
+        assert reason and "Error" in reason
     finally:
         con.close()

@@ -503,3 +503,29 @@ def test_every_key_has_semantics_docstring(key):
     its semantics and scale behavior."""
     doc = QUERIES[key].__doc__ or ""
     assert len(doc.strip()) >= 40, f"{key} lacks a meaningful docstring"
+
+
+def test_closure_sources_walks_plain_imports_and_unimported_modules():
+    """ADVICE r13: the AST pass must see in-function `import pkg.mod`
+    statements (bound name is a module — the identifier scan never
+    traverses it) and must import_module (guarded) targets absent from
+    sys.modules instead of silently skipping them."""
+    import sys
+
+    from bigdatawork_spark.registry import closure_sources
+
+    def uses_plain_import(spark, sf_dir):
+        import bigdatawork_spark.session
+        return bigdatawork_spark.session
+
+    parts = closure_sources(uses_plain_import)
+    assert "module:bigdatawork_spark.session" in parts
+
+    sys.modules.pop("bigdatawork_spark.plans.explain", None)
+
+    def uses_unimported(spark, sf_dir):
+        from bigdatawork_spark.plans.explain import formatted_plan
+        return formatted_plan
+
+    parts = closure_sources(uses_unimported)
+    assert any("formatted_plan" in t for t in parts), sorted(parts)

@@ -170,3 +170,29 @@ def test_guard_audit_mode_caps_instead_of_raising(spark, sf_dir, monkeypatch):
     small = big.limit(5)
     assert guard_twin_size(small, "k", "p", limit=10) is small
     assert not TWIN_CAPS_APPLIED
+
+
+def test_audit_cap_env_rejects_malformed_values(spark, monkeypatch):
+    """ADVICE r13: a typo'd audit env ('5k', '5_000', ' -3') must raise,
+    not silently degrade to the 50k ceiling — that reproduces exactly the
+    at-the-ceiling timeout audit mode exists to avoid."""
+    df = spark.range(100)
+    # "" is falsy → audit mode simply OFF (unset-equivalent), so it is
+    # not in this list; "  " is truthy and must raise.
+    for bad in ("5k", "5_000", "-3", "0", "  "):
+        monkeypatch.setenv(llm_ops.TWIN_AUDIT_ENV, bad)
+        with pytest.raises(ValueError, match="not a positive integer"):
+            guard_twin_size(df, "k", "prod", limit=10)
+
+
+def test_audit_cap_env_accepts_padded_int_and_bare_flag(spark, monkeypatch):
+    """' 5 ' (whitespace-padded) is a valid ceiling; '1' is the documented
+    bare-flag spelling (audit on, ceiling = the declared limit)."""
+    df = spark.range(100)
+    llm_ops.TWIN_CAPS_APPLIED.clear()
+    monkeypatch.setenv(llm_ops.TWIN_AUDIT_ENV, " 5 ")
+    out = guard_twin_size(df, "k_pad", "prod", limit=10)
+    assert out.count() == 5 and llm_ops.TWIN_CAPS_APPLIED["k_pad"] == (100, 5)
+    monkeypatch.setenv(llm_ops.TWIN_AUDIT_ENV, "1")
+    out = guard_twin_size(df, "k_flag", "prod", limit=10)
+    assert out.count() == 10 and llm_ops.TWIN_CAPS_APPLIED["k_flag"] == (100, 10)

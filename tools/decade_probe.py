@@ -35,8 +35,10 @@ def main() -> None:
     # Same warm-cache protocol as bench.main (r13 review: without this,
     # _fill_cache was a no-op — io.load only caches under the env flag —
     # and the probe timed an uncached Spark side against DuckDB's warm
-    # Q1 table, skewing the ratio against Spark).
-    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
+    # Q1 table, skewing the ratio against Spark).  Set UNCONDITIONALLY
+    # (ADVICE r13): an inherited '0'/'true' would silently revert to the
+    # uncached protocol; the warm cache is a stated precondition here.
+    os.environ["SPARK_GRAFT_CACHE"] = "1"
     spark = get_spark("decade-probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench._warmup(spark, bench.HEADLINE)
     bench._fill_cache(spark, sf_dir)
