@@ -444,7 +444,7 @@ WITH grams AS (
          unnest(list_distinct(list_transform(
            generate_series(1, length(text) - 2),
            i -> substr(text, i, 3)))) AS g
-  FROM documents WHERE doc_id < 60
+  FROM documents WHERE doc_id < 60 AND length(text) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 pairs AS (
@@ -458,7 +458,7 @@ edges AS (
   WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.45
 ),
 sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-nodes AS (SELECT DISTINCT doc_id AS id FROM grams),
+nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
 reach AS (
   WITH RECURSIVE r(id, v) AS (
     SELECT id, id FROM nodes
@@ -485,7 +485,13 @@ def dedup_cluster_cc(spark, sf_dir):
     Beyond", SoCC'14) to bound per-round shuffle; the driver-side loop is
     control flow only — all data movement stays distributed."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    grams = d.select(
+    # length >= 3 guard (r14 edge-corpus campaign): Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
+    # generate_series(1, 0) is empty — a <3-char doc would fabricate
+    # grams here and none in the oracle.  Gram-less docs still get a
+    # component (their own) via `labels`, which is built from d, and the
+    # oracle's nodes CTE now matches (all docs, not just grammed ones).
+    grams = d.filter(F.length("text") >= 3).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -598,7 +604,7 @@ WITH grams AS (
          unnest(list_distinct(list_transform(
            generate_series(1, length(text) - 2),
            i -> substr(text, i, 3)))) AS g
-  FROM documents WHERE doc_id < 60
+  FROM documents WHERE doc_id < 60 AND length(text) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 pairs AS (
@@ -612,7 +618,7 @@ edges AS (
   WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.45
 ),
 sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-nodes AS (SELECT DISTINCT doc_id AS id FROM grams),
+nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
 reach AS (
   WITH RECURSIVE r(id, v) AS (
     SELECT id, id FROM nodes

@@ -235,3 +235,84 @@ def test_manifest_random_histories_with_vacuum(spark):
             if f.endswith(".parquet")
         }
         assert physical == referenced, trial
+
+
+# ---------------------------------------------------------------------------
+# r14 edge-corpus campaign (VERDICT r13 item 5): degenerate table states —
+# empty snapshots, merge into an empty table, compaction of a single file,
+# and vacuum over an empty-append history.
+
+
+def test_empty_append_roundtrip_and_compact(spark, sf_dir):
+    """An EMPTY commit is a legal snapshot: it must read back as 0 rows
+    with the right schema, remain time-travelable after a real append,
+    and compaction of the empty version must not die on zero input."""
+    t, _ = _fresh(spark, "mt_empty")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    v1 = t.append(ev.filter(F.lit(False)))
+    assert v1 == 1
+    assert t.read(1).count() == 0
+    assert t.read(1).columns == ["event_id", "value"]
+    v2 = t.append(ev.limit(10))
+    assert t.read(v2).count() == 10
+    assert t.read(1).count() == 0  # the empty snapshot is still pinned
+    v3 = t.compact(n_files=1)
+    assert t.read(v3).count() == 10
+
+
+def test_merge_into_empty_table(spark, sf_dir):
+    """MERGE where the base snapshot is EMPTY: every upsert row is an
+    insert — the full-outer-join merge shape must degrade to the batch
+    itself, not drop rows or null out columns."""
+    t, _ = _fresh(spark, "mt_merge_empty")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.append(ev.filter(F.lit(False)))
+    upd = ev.limit(50).select(
+        F.col("event_id").alias("u_id"),
+        F.col("event_type").alias("u_type"),
+        (F.col("value") + 100.0).alias("u_value"),
+    )
+    base = t.read()
+    merged = base.join(upd, base.event_id == upd.u_id, "full_outer").select(
+        F.coalesce("u_id", "event_id").alias("event_id"),
+        F.coalesce("u_type", "event_type").alias("event_type"),
+        F.coalesce("u_value", "value").alias("value"),
+    )
+    files = t._write_data(merged, "merge-2", 2)
+    t._write_manifest(2, files, 1, "merge")
+    out = t.read(2)
+    assert out.count() == 50
+    assert out.filter(F.col("event_type").isNull()).count() == 0
+
+
+def test_compact_single_file_is_stable(spark, sf_dir):
+    """Compacting a table that is already ONE file must be an identity on
+    content (and still a new, time-travelable version)."""
+    t, _ = _fresh(spark, "mt_compact1")
+    ev = load(spark, sf_dir, "events").select("event_id", "value").limit(20)
+    t.append(ev, n_files=1)
+    assert t.file_count() == 1
+    v2 = t.compact(n_files=1)
+    assert v2 == 2 and t.file_count(2) == 1
+    a = sorted(r["event_id"] for r in t.read(1).collect())
+    b = sorted(r["event_id"] for r in t.read(2).collect())
+    assert a == b
+
+
+def test_vacuum_with_empty_history(spark, sf_dir):
+    """Vacuum over a history whose expired versions include an EMPTY
+    commit: no orphaned data dirs, latest version intact, expired
+    versions raise KeyError."""
+    import pytest as _pytest
+
+    t, _ = _fresh(spark, "mt_vacuum_empty")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.filter(F.lit(False)))          # v1: empty
+    t.append(ev.limit(10))                     # v2
+    t.compact(n_files=1)                       # v3
+    stats = t.vacuum(keep_last=1)
+    assert stats["n_expired_versions"] == 2
+    assert t.versions() == [3]
+    assert t.read().count() == 10
+    with _pytest.raises(KeyError):
+        t.read(1)
