@@ -129,3 +129,52 @@ def test_duckdb_q1_warm_layout_records_downgrade_reason():
         assert reason and "Error" in reason
     finally:
         con.close()
+
+
+def test_recorded_sf10_band_summary(tmp_path):
+    """VERDICT r13 item 2: the sf10 decade band rides the bench JSON line
+    as a RECORDED block — summarized from DECADE_SF10.json with the band
+    of per-run ratios, a median, and the latest run's per-query maps."""
+    import json
+
+    band = {
+        "runs": [
+            {"ratio_vs_duckdb": 1.1, "ratio_vs_duckdb_allruns": 1.05,
+             "spark_sec": 9.5, "duckdb_sec": 8.6,
+             "spark_queries": {"q1": 0.9}, "duckdb_queries": {"q1": 0.1},
+             "rows": {"lineitem": 60000000}},
+            {"ratio_vs_duckdb": 1.0, "ratio_vs_duckdb_allruns": 0.99,
+             "spark_sec": 9.4, "duckdb_sec": 9.4,
+             "spark_queries": {"q1": 0.88}, "duckdb_queries": {"q1": 0.11},
+             "rows": {"lineitem": 60000000}},
+            {"ratio_vs_duckdb": 1.2, "ratio_vs_duckdb_allruns": 1.15,
+             "spark_sec": 9.6, "duckdb_sec": 8.0,
+             "spark_queries": {"q1": 0.91}, "duckdb_queries": {"q1": 0.09},
+             "rows": {"lineitem": 60000000}},
+        ]
+    }
+    p = tmp_path / "DECADE_SF10.json"
+    p.write_text(json.dumps(band))
+    out = bench._recorded_sf10(str(p))
+    assert out["recorded"] is True and out["n_runs"] == 3
+    assert out["ratio_vs_duckdb_band"] == [1.1, 1.0, 1.2]
+    assert out["ratio_vs_duckdb"] == 1.1  # median of the band
+    assert out["spark_queries"] == {"q1": 0.91}  # latest run's map
+    assert out["lineitem_rows"] == 60000000
+    assert "RECORDED" in out["protocol"]
+    # absent file → None (bench omits the block)
+    assert bench._recorded_sf10(str(tmp_path / "nope.json")) is None
+
+    # compact line carries the scalars and drops the block only under
+    # extreme pressure
+    payload = {
+        "metric": "headline_batch_wall_clock", "value": 2.6, "sf": 0.1,
+        "queries": {}, "sf1_0": {"ratio_vs_duckdb": 1.2}, "sf10": out,
+    }
+    import json as _json
+
+    line = bench._compact_summary_line(payload)
+    d = _json.loads(line)["bench_summary"]
+    assert d["sf10"]["ratio_vs_duckdb"] == 1.1
+    assert d["sf10"]["ratio_vs_duckdb_band"] == [1.1, 1.0, 1.2]
+    assert len(line) <= 1900

@@ -26,9 +26,34 @@ from bigdatawork_spark.schemas import TABLES  # noqa: E402
 from bigdatawork_spark.session import get_spark  # noqa: E402
 
 
+#: Repo-root file the ``--record`` flag appends each run to; bench.py
+#: attaches the summarized band to its JSON line as the ``"sf10"`` block
+#: (VERDICT r13 item 2: the decade ratio must be a reproducible band in
+#: the artifact, not a one-off in prose).
+BAND_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "DECADE_SF10.json",
+)
+
+
+def record_run(result: dict) -> None:
+    """Append one probe run to BAND_FILE (creating it if needed)."""
+    band = {"runs": []}
+    if os.path.exists(BAND_FILE):
+        with open(BAND_FILE) as fh:
+            band = json.load(fh)
+    band["runs"].append(result)
+    tmp = BAND_FILE + ".inprogress"
+    with open(tmp, "w") as fh:
+        json.dump(band, fh, indent=1)
+    os.rename(tmp, BAND_FILE)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth/sf10"
-    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    argv = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv
+    sf_dir = argv[0] if len(argv) > 0 else "/tmp/sfsynth/sf10"
+    passes = int(argv[1]) if len(argv) > 1 else 3
     import pyarrow.parquet as pq
 
     rows = {t: pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows for t in TABLES}
@@ -48,7 +73,10 @@ def main() -> None:
         )
     finally:
         bench._drop_cache(spark, sf_dir)
-    print(json.dumps({"decade_probe": {"sf_dir": sf_dir, "rows": rows, **(out or {})}}))
+    result = {"sf_dir": sf_dir, "rows": rows, **(out or {})}
+    if record and out and "ratio_vs_duckdb" in out:
+        record_run(result)
+    print(json.dumps({"decade_probe": result}))
 
 
 if __name__ == "__main__":
