@@ -383,7 +383,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("agg_hll_sketch")
+@register(
+    "agg_hll_sketch",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+ORDER BY event_type
+""",
+)
 def agg_hll_sketch(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches via Spark 4 builtins):
     per-event-type user sketches, then a sketch UNION for the global
@@ -391,19 +402,37 @@ def agg_hll_sketch(spark, sf_dir):
     countDistinct at 100 TB (partials merge associatively; no row-level
     shuffle of the key space, constant-size state per group).
 
-    rows-only: sketch estimates are engine-specific (DuckDB's HLL differs);
-    tests/test_edge_cases.py bounds the estimate against the exact count."""
+    Previously rows-only (sketch estimates are engine-specific — DuckDB's
+    HLL differs).  Converted in r14 (the VERDICT r13 item 3 pattern): the
+    output carries the EXACT distinct counts (hash-checked) plus a
+    per-row boolean asserting the DataSketches estimate lands within the
+    2%-of-exact band tests/test_edge_cases.py has pinned since r03; the
+    oracle spells it TRUE, so a sketch regression hash-mismatches at the
+    driver.  The union row proves the MERGE estimates the global
+    distinct, not the sum of per-group ones."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).select(F.lit("ALL").alias("event_type"), F.col("est"))
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("ALL").alias("event_type"), "exact_users")
+    merged = merged.join(exact_all, "event_type")
     per_type_est = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est")
+        "event_type", F.hll_sketch_estimate("sk").alias("est"), "exact_users"
     )
-    return per_type_est.unionByName(merged).orderBy("event_type")
+    ok = F.abs(F.col("est") - F.col("exact_users")) <= F.greatest(
+        F.lit(2.0), 0.02 * F.col("exact_users")
+    )
+    return (
+        per_type_est.unionByName(merged)
+        .select("event_type", "exact_users", ok.alias("est_ok"))
+        .orderBy("event_type")
+    )
 
 
 @register(

@@ -115,10 +115,11 @@ def test_dedup_exact_finds_injected_duplicates(spark, sf_dir):
 
 
 def test_hll_sketch_estimate_near_exact(spark, sf_dir):
-    """agg_hll_sketch is rows-only (sketch estimates are engine-specific) —
-    compensate by bounding the DataSketches estimate against the exact
-    distinct count: <2% error at this cardinality, and the merged union
-    must estimate the global distinct, not the sum of per-group ones."""
+    """agg_hll_sketch (hash-checked since r14 on exact counts + in-bound
+    booleans): re-derive the bound independently — the raw DataSketches
+    estimates must sit within 2% of exact (including the MERGED union
+    estimating the global distinct, not the sum of per-group ones), and
+    the key's own rows must agree."""
     from bigdatawork_spark.io import load
     from bigdatawork_spark.registry import QUERIES
 
@@ -130,10 +131,26 @@ def test_hll_sketch_estimate_near_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    got = {r["event_type"]: r["est"] for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()}
-    assert abs(got["ALL"] - exact_all) <= max(2, 0.02 * exact_all)
+    raw_per = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    raw_all = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    assert abs(raw_all - exact_all) <= max(2, 0.02 * exact_all)
     for et, n in exact_per.items():
-        assert abs(got[et] - n) <= max(2, 0.02 * n), (et, got[et], n)
+        assert abs(raw_per[et] - n) <= max(2, 0.02 * n), (et, raw_per[et], n)
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()
+    }
+    assert rows["ALL"]["exact_users"] == exact_all
+    assert all(r["est_ok"] for r in rows.values())
+    for et, n in exact_per.items():
+        assert rows[et]["exact_users"] == n
 
 
 def test_deterministic_samplers_are_stable(spark, sf_dir):

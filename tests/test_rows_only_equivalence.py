@@ -173,13 +173,20 @@ def test_ann_lsh_distances_exact_and_recall(spark, sf_dir):
 
 
 def test_approx_count_distinct_within_error_bound(spark, sf_dir):
-    row = QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()[0]
+    """Hash-checked since r14 (exact counts + in-bound booleans); this
+    test re-derives the bound independently so the key's own booleans
+    can't go vacuous: the raw HLL estimate must sit within the 5%-of-
+    exact band (rsd=0.01 → a 5σ margin; a broken sketch — 0, or
+    cardinality-of-table — fails), and the key must agree."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    exact = li.agg(
+    raw = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("asu"),
         F.countDistinct("l_partkey").alias("p"),
         F.countDistinct("l_suppkey").alias("s"),
     ).collect()[0]
-    # rsd=0.01 → 5σ band of 5%; generous enough to never flake, tight
-    # enough that a broken sketch (0, or cardinality-of-table) fails.
-    assert abs(row["approx_parts"] - exact["p"]) <= max(5, 0.05 * exact["p"])
-    assert abs(row["approx_supps"] - exact["s"]) <= max(5, 0.05 * exact["s"])
+    assert abs(raw["ap"] - raw["p"]) <= max(5, 0.05 * raw["p"])
+    assert abs(raw["asu"] - raw["s"]) <= max(5, 0.05 * raw["s"])
+    row = QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()[0]
+    assert row["exact_parts"] == raw["p"] and row["exact_supps"] == raw["s"]
+    assert row["approx_parts_ok"] and row["approx_supps_ok"]
