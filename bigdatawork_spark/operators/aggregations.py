@@ -514,8 +514,17 @@ def agg_heavy_hitters(spark, sf_dir):
         .collect()[0]["event_type_freqItems"]
     )
     total = ev.count()
+    # NULL-safe candidate filter (r14 review, verified live): freqItems
+    # DOES report a frequent NULL as a candidate, but `x IN (NULL, ...)`
+    # evaluates to NULL and silently drops the whole NULL group — the
+    # oracle's GROUP BY keeps it.  The isNull() arm is unconditional:
+    # pass 2's exact count drops an infrequent NULL group anyway, and one
+    # extra group costs nothing.
+    cond = F.col("event_type").isin(
+        [c for c in candidates if c is not None]
+    ) | F.col("event_type").isNull()
     return (
-        ev.filter(F.col("event_type").isin(list(candidates)))
+        ev.filter(cond)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 0.15 * total)

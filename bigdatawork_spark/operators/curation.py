@@ -396,43 +396,44 @@ ORDER BY event_type
 """,
 )
 def agg_hll_sketch(spark, sf_dir):
-    """Mergeable HLL sketches (Apache DataSketches via Spark 4 builtins):
-    per-event-type user sketches, then a sketch UNION for the global
-    distinct — the two-level mergeable-sketch pattern that replaces exact
-    countDistinct at 100 TB (partials merge associatively; no row-level
-    shuffle of the key space, constant-size state per group).
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4 builtins),
+    per event type AND globally in ONE rollup pass — the mergeable-sketch
+    pattern that replaces exact countDistinct at 100 TB: each task builds
+    partial sketches per rollup group and the final aggregate MERGES them
+    (register-wise max — associative, constant-size state per group); the
+    grand-total row's sketch is exactly the union of the partials.
+    `tests/test_edge_cases.py` additionally pins hll_union_agg over the
+    per-group sketches producing the identical global estimate (lossless
+    merge), so the explicit two-level union contract stays tested.
 
     Previously rows-only (sketch estimates are engine-specific — DuckDB's
     HLL differs).  Converted in r14 (the VERDICT r13 item 3 pattern): the
     output carries the EXACT distinct counts (hash-checked) plus a
-    per-row boolean asserting the DataSketches estimate lands within the
-    2%-of-exact band tests/test_edge_cases.py has pinned since r03; the
-    oracle spells it TRUE, so a sketch regression hash-mismatches at the
-    driver.  The union row proves the MERGE estimates the global
-    distinct, not the sum of per-group ones."""
+    per-row boolean asserting the DataSketches estimate lands within
+    max(5, 8%) of exact — a ~5-sigma band for the default lgK=12 sketch
+    (RSE ~1.6%), mirroring agg_approx_count_distinct's 5-sigma
+    discipline; the r14 review measured a healthy sketch at 2.5-3.4%
+    error on unlucky cardinalities, so the first-cut 2% band would have
+    flagged correct runs.  The oracle spells the boolean TRUE, so a
+    sketch regression hash-mismatches at the driver.  Single scan:
+    rollup replaces the former per-type + union + global-exact branches
+    (three scans and a 1x1 join the plan lint rejected)."""
     ev = load(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+    g = ev.rollup("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-    )
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
-    ).select(F.lit("ALL").alias("event_type"), F.col("est"))
-    exact_all = ev.agg(
-        F.countDistinct("user_id").alias("exact_users")
-    ).select(F.lit("ALL").alias("event_type"), "exact_users")
-    merged = merged.join(exact_all, "event_type")
-    per_type_est = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est"), "exact_users"
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.grouping_id().alias("gid"),
     )
     ok = F.abs(F.col("est") - F.col("exact_users")) <= F.greatest(
-        F.lit(2.0), 0.02 * F.col("exact_users")
+        F.lit(5.0), 0.08 * F.col("exact_users")
     )
-    return (
-        per_type_est.unionByName(merged)
-        .select("event_type", "exact_users", ok.alias("est_ok"))
-        .orderBy("event_type")
-    )
+    return g.select(
+        F.when(F.col("gid") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "exact_users",
+        ok.alias("est_ok"),
+    ).orderBy("event_type")
 
 
 @register(

@@ -505,7 +505,7 @@ def test_every_key_has_semantics_docstring(key):
     assert len(doc.strip()) >= 40, f"{key} lacks a meaningful docstring"
 
 
-def test_closure_sources_walks_plain_imports_and_unimported_modules():
+def test_closure_sources_walks_plain_imports_and_unimported_modules(monkeypatch):
     """ADVICE r13: the AST pass must see in-function `import pkg.mod`
     statements (bound name is a module — the identifier scan never
     traverses it) and must import_module (guarded) targets absent from
@@ -521,7 +521,12 @@ def test_closure_sources_walks_plain_imports_and_unimported_modules():
     parts = closure_sources(uses_plain_import)
     assert "module:bigdatawork_spark.session" in parts
 
-    sys.modules.pop("bigdatawork_spark.plans.explain", None)
+    # monkeypatch.delitem restores the ORIGINAL module object afterwards
+    # (r14 review: a bare pop left closure_sources' re-import as a
+    # duplicate module, breaking identity for later tests order-dependently)
+    monkeypatch.delitem(
+        sys.modules, "bigdatawork_spark.plans.explain", raising=False
+    )
 
     def uses_unimported(spark, sf_dir):
         from bigdatawork_spark.plans.explain import formatted_plan

@@ -116,10 +116,14 @@ def test_dedup_exact_finds_injected_duplicates(spark, sf_dir):
 
 def test_hll_sketch_estimate_near_exact(spark, sf_dir):
     """agg_hll_sketch (hash-checked since r14 on exact counts + in-bound
-    booleans): re-derive the bound independently — the raw DataSketches
-    estimates must sit within 2% of exact (including the MERGED union
-    estimating the global distinct, not the sum of per-group ones), and
-    the key's own rows must agree."""
+    booleans): re-derive the bound independently — on THIS fixture the
+    raw DataSketches estimates sit within 2% of exact (the key's own
+    traveling band is the 5-sigma 8%: the r14 review measured healthy
+    sketches at 2.5-3.4% error on unlucky cardinalities), the explicit
+    hll_union_agg of per-group sketches equals the direct global sketch
+    estimate EXACTLY (lossless register-wise-max merge — the two-level
+    union contract the rollup form no longer spells in the key), and the
+    key's own rows must agree."""
     from bigdatawork_spark.io import load
     from bigdatawork_spark.registry import QUERIES
 
@@ -131,15 +135,22 @@ def test_hll_sketch_estimate_near_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
     raw_per = {
         r["event_type"]: r["est"]
-        for r in ev.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
-        .collect()
+        for r in per.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
     }
+    union_all = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
     raw_all = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
     ).collect()[0]["est"]
+    assert union_all == raw_all  # lossless merge: union ≡ direct sketch
     assert abs(raw_all - exact_all) <= max(2, 0.02 * exact_all)
     for et, n in exact_per.items():
         assert abs(raw_per[et] - n) <= max(2, 0.02 * n), (et, raw_per[et], n)
@@ -453,3 +464,54 @@ def test_tfidf_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
     assert [f.dataType for f in fast.schema.fields] == [
         f.dataType for f in slow.schema.fields
     ]
+
+
+def test_heavy_hitters_null_group_kept(spark, tmp_path):
+    """r14 review catch, pinned end-to-end: a NULL event_type group above
+    the support threshold must survive pass 2 — `x IN (NULL, ...)`
+    evaluates to NULL and used to drop the whole group; the filter now
+    carries an explicit isNull() arm."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatawork_spark.registry import ORACLES, QUERIES
+
+    rows = [None] * 5 + ["click"] * 8 + ["view"] * 4 + ["x"] * 3
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "event_type": pa.array(rows, pa.string()),
+            "user_id": pa.array([i % 7 for i in range(len(rows))], pa.int64()),
+            "value": pa.array([float(i) for i in range(len(rows))]),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01 00:00:00")] * len(rows),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    d = tmp_path / "nullhh"
+    d.mkdir()
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = {
+        r["event_type"]: r["n"]
+        for r in QUERIES["agg_heavy_hitters"](spark, str(d)).collect()
+    }
+    # NULL (25%), click (40%), view (20%) all exceed 15%; x (15%) does not
+    assert got == {None: 5, "click": 8, "view": 4}
+    # and the DuckDB oracle agrees on the same corpus
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        oracle = {
+            r[0]: r[1]
+            for r in con.execute(ORACLES["agg_heavy_hitters"]).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == got
