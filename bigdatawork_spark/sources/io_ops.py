@@ -1,9 +1,11 @@
 """§2-A scans / sources / sinks (SURVEY.md).  REF:∅.
 
-Format round-trips (CSV/JSONL) and the parquet sink are rows-only checks:
-the oracle can't see /tmp.  Round-trips use explicit StructTypes from
-``schemas.py`` — never inference — so ingest behavior is schema-stable
-(SURVEY §1.3).
+Format round-trips (CSV/JSONL/ORC) and the parquet sink are hash-checked
+since r14: the oracle can't see /tmp, but the round-trip CONTRACT is
+output ≡ a projection/aggregate of the SOURCE table, which is plain SQL
+on the pre-registered views — a lossy writer/reader hash-mismatches.
+Round-trips use explicit StructTypes from ``schemas.py`` — never
+inference — so ingest behavior is schema-stable (SURVEY §1.3).
 """
 
 from __future__ import annotations
@@ -40,10 +42,22 @@ def scan_parquet(spark, sf_dir):
     return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
 
 
-@register("scan_csv")  # rows-only: oracle can't see the /tmp round-trip
+@register(
+    "scan_csv",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem WHERE l_orderkey % 97 = 0
+""",
+)
 def scan_csv(spark, sf_dir):
     """CSV round-trip: write a lineitem sample with header, read back with
-    the canonical explicit schema (no inference)."""
+    the canonical explicit schema (no inference).
+
+    Hash-checked since r14 (was rows-only as "the oracle can't see /tmp" —
+    but the CONTRACT is round-trip ≡ source projection, which IS plain
+    SQL on the source view; a lossy writer/reader now hash-mismatches).
+    Doubles survive text exactly: Spark writes the shortest
+    round-trippable decimal (Java Double.toString), dates go ISO."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
     path = _tmp("scan_csv")
     li.write.mode("overwrite").option("header", True).csv(path)
@@ -55,9 +69,17 @@ def scan_csv(spark, sf_dir):
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
 
-@register("scan_jsonl")  # rows-only
+@register(
+    "scan_jsonl",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer WHERE c_custkey % 53 = 0
+""",
+)
 def scan_jsonl(spark, sf_dir):
-    """JSON-lines round-trip with explicit schema."""
+    """JSON-lines round-trip with explicit schema.  Hash-checked since
+    r14: round-trip ≡ source projection, spelled as plain SQL on the
+    source view (see scan_csv)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 53 == 0)
     path = _tmp("scan_jsonl")
     c.write.mode("overwrite").json(path)
@@ -90,10 +112,18 @@ def source_inline(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
-@register("sink_parquet")  # rows-only
+@register(
+    "sink_parquet",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
 def sink_parquet(spark, sf_dir):
     """Write a query result to parquet, re-read it — sink semantics +
-    schema fidelity through the file boundary."""
+    schema fidelity through the file boundary.  Hash-checked since r14:
+    sink+re-read ≡ the direct aggregate, spelled as plain SQL on the
+    source view (see scan_csv)."""
     agg = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -139,11 +169,19 @@ def sink_partitioned_parquet(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@register("scan_orc")  # rows-only: oracle can't see the /tmp round-trip
+@register(
+    "scan_orc",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier ORDER BY s_suppkey
+""",
+)
 def scan_orc(spark, sf_dir):
     """ORC round-trip with explicit schema — the third columnar format the
     engine reads natively (parquet/CSV/JSONL/ORC all share the one
-    ``load``-style path; writer settings, not code, differ at scale)."""
+    ``load``-style path; writer settings, not code, differ at scale).
+    Hash-checked since r14: round-trip ≡ the source table, spelled as
+    plain SQL on the source view (see scan_csv)."""
     s = load(spark, sf_dir, "supplier")
     path = _tmp("scan_orc")
     s.write.mode("overwrite").orc(path)
