@@ -74,13 +74,28 @@ def reshape_unpivot(spark, sf_dir):
     )
 
 
-@register("join_bucketed_colocated")  # rows-only: bucketed tables live in the local warehouse
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
 def join_bucketed_colocated(spark, sf_dir):
     """The SCALE.md bucketing story, executed: write orders+lineitem
     bucketed by the join key (8 buckets), join the bucketed tables.  Both
     sides arrive pre-partitioned, so the join plan contains NO shuffle
     exchange (asserted in tests/test_plans.py) — at 100 TB this deletes the
-    dominant cost of fact⋈fact joins."""
+    dominant cost of fact⋈fact joins.
+
+    Hash-checked since r14 (was rows-only as "bucketed tables live in the
+    local warehouse" — but the contract is the bucketed join PRODUCING
+    the same relation as the plain join, which is plain SQL on the source
+    views; a bucketing layout that dropped or duplicated rows now
+    hash-mismatches, on top of the zero-Exchange plan pin)."""
     # pid-scoped external-table path: a shared dir lets two concurrent
     # verification processes overwrite each other's bucket files mid-read
     # (same race class as io_ops._TMP_ROOT, hardened in round 4)
