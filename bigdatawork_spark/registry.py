@@ -228,6 +228,27 @@ ROTATION_DUE: dict[str, int] = {
             "ts_seasonal_decompose win_moving_zscore win_rolling_median"
         ).split()
     },
+    **{
+        k: 15
+        for k in (
+            # r14 source-changed keys (pmod geometry, CC gram guard,
+            # guard_twin_size closure): each was re-driven green in the
+            # r14 full local sim (289/289) and its hash bootstrap-recorded
+            # so the r14 window stays on the r04/r05 burn-down cohort (the
+            # r13 pattern) — seeded here so the REAL driver re-samples the
+            # changed source next round.  The NINE keys that GAINED an
+            # oracle this round (heavy hitters, approx percentile/
+            # distinct, HLL, round-trips, bucketed join) are deliberately
+            # NOT seeded: driver_verified_keys already ranks an
+            # oracle-gained key as unverified (tier 0), so they sit at the
+            # FRONT of the r14 window for their first hash-checked rows.
+            "dedup_cluster_cc dedup_embedding_cosine "
+            "dedup_keep_representative dedup_near_exactjacc "
+            "dedup_near_minhash knn_classify multimodal_frame_sample "
+            "multimodal_image_resize multimodal_png_decode "
+            "multimodal_wav_decode"
+        ).split()
+    },
 }
 
 # Streaming keys are due a driver re-sample EVERY OTHER ROUND (VERDICT r10
