@@ -240,7 +240,8 @@ ROTATION_DUE: dict[str, int] = {
             # oracle this round (heavy hitters, approx percentile/
             # distinct, HLL, round-trips, bucketed join) are deliberately
             # NOT seeded: driver_verified_keys already ranks an
-            # oracle-gained key as unverified (tier 0), so they sit at the
+            # oracle-gained key as unverified (tier 0 for the contract
+            # keys, tier 1 for the extended ones), so all nine sit at the
             # FRONT of the r14 window for their first hash-checked rows.
             "dedup_cluster_cc dedup_embedding_cosine "
             "dedup_keep_representative dedup_near_exactjacc "

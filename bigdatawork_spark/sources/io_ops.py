@@ -56,8 +56,9 @@ def scan_csv(spark, sf_dir):
     Hash-checked since r14 (was rows-only as "the oracle can't see /tmp" —
     but the CONTRACT is round-trip ≡ source projection, which IS plain
     SQL on the source view; a lossy writer/reader now hash-mismatches).
-    Doubles survive text exactly: Spark writes the shortest
-    round-trippable decimal (Java Double.toString), dates go ISO."""
+    Doubles survive text exactly: Java 17's Double.toString emits enough
+    decimal digits to uniquely distinguish the value (round-trippable —
+    not the JDK 19+ Ryu shortest form), dates go ISO."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
     path = _tmp("scan_csv")
     li.write.mode("overwrite").option("header", True).csv(path)

@@ -7,10 +7,12 @@ an independently-computed twin.  This module holds the ones that had no
 dedicated equivalence case elsewhere (COVERAGE.md's rows-only table maps
 every key to its test):
 
-  scan_csv / scan_jsonl / scan_orc / sink_parquet — format round-trips must
-      equal the same projection computed straight off the parquet source
-      (the round-trip through the text/columnar format is the thing under
-      test: schema fidelity, type parsing, null handling).
+  scan_csv / scan_jsonl / scan_orc / sink_parquet — HASH-CHECKED since r14
+      (round-trip-≡-source oracles), no longer rows-only; their tests here
+      stay as the ENGINE-SIDE twin (round-trip vs the parquet-direct
+      projection inside Spark — independent of the DuckDB comparison and
+      the thing that localizes a failure to the writer/reader rather than
+      the oracle).
   source_stream_file / sink_stream_memory / sink_stream_foreachbatch /
       stream_static_join — the drained streaming table must equal the batch
       formulation over the same events (availableNow drain = bounded input,
