@@ -247,7 +247,16 @@ ROTATION_DUE: dict[str, int] = {
             "dedup_keep_representative dedup_near_exactjacc "
             "dedup_near_minhash knn_classify multimodal_frame_sample "
             "multimodal_image_resize multimodal_png_decode "
-            "multimodal_wav_decode"
+            "multimodal_wav_decode "
+            # manifest-format family: the r14 txn-ledger fix (replay
+            # idempotence surviving vacuum, caught by the model fuzz)
+            # changed ManifestTable under these; re-driven 10/10 green +
+            # full sim 289/289, bootstrap-recorded.  The streaming members
+            # re-sample on STREAMING_CADENCE anyway; the batch ones are
+            # seeded explicitly.
+            "source_python_datasource table_format_changes "
+            "table_format_compaction table_format_merge "
+            "table_format_time_travel table_format_vacuum"
         ).split()
     },
 }

@@ -55,18 +55,37 @@ class ManifestTable:
                 f"never committed); live versions: {self.versions()}"
             ) from None
 
-    def _write_manifest(self, version: int, files: list[str], parent: int | None, action: str) -> None:
+    def _write_manifest(self, version: int, files: list[str], parent: int | None, action: str, txn: dict | None = None) -> None:
         # temp-write + rename: readers either see the complete manifest or
-        # none — the commit point is the rename.
+        # none — the commit point is the rename.  ``txn`` is the committed-
+        # name ledger (name → version) carried forward manifest-to-manifest
+        # so replay idempotence survives VACUUM (see append); None inherits
+        # the parent's ledger unchanged.
+        if txn is None:
+            txn = self._txn_ledger(parent)
         final = os.path.join(self.path, f"manifest-v{version}.json")
         tmp = final + ".inprogress"
         with open(tmp, "w") as fh:
             json.dump(
                 {"version": version, "parent": parent, "action": action,
-                 "files": sorted(files)},
+                 "files": sorted(files), "txn": dict(sorted(txn.items()))},
                 fh,
             )
         os.rename(tmp, final)
+
+    def _txn_ledger(self, version: int | None = None) -> dict:
+        """The committed-name ledger as of ``version`` (default: latest).
+        Manifests written before the ledger existed default to {} — the
+        file-prefix scan in append() still covers those."""
+        if version is None:
+            vs = self.versions()
+            if not vs:
+                return {}
+            version = vs[-1]
+        try:
+            return dict(self._manifest(version).get("txn") or {})
+        except KeyError:  # parent expired by vacuum
+            return {}
 
     # -- writes ---------------------------------------------------------
     def _write_data(self, df: DataFrame, commit_name: str, n_files: int) -> list[str]:
@@ -80,19 +99,33 @@ class ManifestTable:
         """Commit an append.  ``name`` labels the commit's data dir; a
         repeated name is a no-op returning the existing version — the
         idempotence hook a replayed streaming micro-batch needs for
-        exactly-once sinks (batch id → name)."""
+        exactly-once sinks (batch id → name).
+
+        Replay memory is a LEDGER (name → version) carried forward in
+        every manifest — the Delta ``SetTransaction`` pattern — not a scan
+        of live file paths: the r14 model fuzz caught a VACUUM expiring
+        the manifests that referenced a named commit (its rows surviving
+        only inside compaction rewrites), after which a path-scan-based
+        guard re-appended the replayed batch and double-counted it.  The
+        ledger lives in the latest manifest, which vacuum always keeps."""
         vs = self.versions()
         parent = vs[-1] if vs else None
         version = (parent or 0) + 1
         commit = name or f"commit-{version}"
+        ledger = self._txn_ledger(parent) if parent else {}
         if name is not None:
+            if name in ledger:
+                return ledger[name]
+            # pre-ledger manifests: fall back to the live-file-path scan
             marker = os.path.join(self.path, "data", commit) + os.sep
             for v in vs:
                 if any(f.startswith(marker) for f in self._manifest(v)["files"]):
                     return v
+            ledger = {**ledger, name: version}
         new_files = self._write_data(df, commit, n_files)
         prev = self._manifest(parent)["files"] if parent else []
-        self._write_manifest(version, prev + new_files, parent, "append")
+        self._write_manifest(version, prev + new_files, parent, "append",
+                             txn=ledger)
         return version
 
     def compact(self, n_files: int = 2) -> int:
