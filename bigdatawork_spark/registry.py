@@ -253,10 +253,11 @@ ROTATION_DUE: dict[str, int] = {
             # changed ManifestTable under these; re-driven 10/10 green +
             # full sim 289/289, bootstrap-recorded.  The streaming members
             # re-sample on STREAMING_CADENCE anyway; the batch ones are
-            # seeded explicitly.
+            # seeded explicitly (table_format_vacuum already sits in the
+            # r07 due-15 cohort above — not repeated here).
             "source_python_datasource table_format_changes "
             "table_format_compaction table_format_merge "
-            "table_format_time_travel table_format_vacuum"
+            "table_format_time_travel"
         ).split()
     },
 }

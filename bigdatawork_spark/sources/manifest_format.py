@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,9 +61,12 @@ class ManifestTable:
         # none — the commit point is the rename.  ``txn`` is the committed-
         # name ledger (name → version) carried forward manifest-to-manifest
         # so replay idempotence survives VACUUM (see append); None inherits
-        # the parent's ledger unchanged.
+        # the parent's ledger unchanged — and a ROOT manifest (parent is
+        # None) starts an EMPTY ledger, never the latest version's (r14
+        # review: a truncate/restore-style root rewrite must not leak
+        # stale name→version entries that would block those names).
         if txn is None:
-            txn = self._txn_ledger(parent)
+            txn = self._txn_ledger(parent) if parent is not None else {}
         final = os.path.join(self.path, f"manifest-v{version}.json")
         tmp = final + ".inprogress"
         with open(tmp, "w") as fh:
@@ -95,6 +99,35 @@ class ManifestTable:
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
+    #: Internal data-dir names; user commit names must not collide (a
+    #: colliding name would false-positive the pre-ledger replay scan or
+    #: let _write_data overwrite a live internal commit dir).
+    _RESERVED_NAME = re.compile(r"^(commit|compact|merge)-\d+$")
+
+    #: Ledger retention: keep at most this many committed-name entries
+    #: (highest versions win).  Bounds manifest growth for long-running
+    #: named-batch sinks (one entry per micro-batch would otherwise grow
+    #: the log O(B^2) bytes over B batches); replays older than the
+    #: horizon re-append — the same documented retention trade Delta's
+    #: SetTransaction expiry makes.
+    TXN_LEDGER_MAX = 10_000
+
+    def _discovered_names(self) -> dict:
+        """name → version for every NAMED commit whose data files are
+        still referenced by a live manifest — the back-fill source for
+        tables written before the ledger existed.  Earliest referencing
+        version wins (that is the commit's version)."""
+        out: dict[str, int] = {}
+        data_root = os.path.join(self.path, "data") + os.sep
+        for v in self.versions():
+            for f in self._manifest(v)["files"]:
+                if not f.startswith(data_root):
+                    continue
+                d = f[len(data_root):].split(os.sep, 1)[0]
+                if not self._RESERVED_NAME.match(d) and d not in out:
+                    out[d] = v
+        return out
+
     def append(self, df: DataFrame, n_files: int = 4, name: str | None = None) -> int:
         """Commit an append.  ``name`` labels the commit's data dir; a
         repeated name is a no-op returning the existing version — the
@@ -107,21 +140,31 @@ class ManifestTable:
         the manifests that referenced a named commit (its rows surviving
         only inside compaction rewrites), after which a path-scan-based
         guard re-appended the replayed batch and double-counted it.  The
-        ledger lives in the latest manifest, which vacuum always keeps."""
+        ledger lives in the latest manifest, which vacuum always keeps.
+        Pre-ledger tables are HEALED at every commit: names still
+        discoverable from live manifests' file paths are merged into the
+        ledger (``_discovered_names``) — a pre-ledger name whose files
+        were already compacted away AND vacuumed is unrecoverable, and a
+        replay of it re-appends (disclosed migration limit).  The ledger
+        keeps at most TXN_LEDGER_MAX entries (highest versions win)."""
         vs = self.versions()
         parent = vs[-1] if vs else None
         version = (parent or 0) + 1
+        if name is not None and self._RESERVED_NAME.match(name):
+            raise ValueError(
+                f"commit name {name!r} collides with the internal "
+                f"commit-/compact-/merge-N namespace; pick another name"
+            )
         commit = name or f"commit-{version}"
-        ledger = self._txn_ledger(parent) if parent else {}
+        ledger = {**self._discovered_names(),
+                  **(self._txn_ledger(parent) if parent else {})}
         if name is not None:
             if name in ledger:
                 return ledger[name]
-            # pre-ledger manifests: fall back to the live-file-path scan
-            marker = os.path.join(self.path, "data", commit) + os.sep
-            for v in vs:
-                if any(f.startswith(marker) for f in self._manifest(v)["files"]):
-                    return v
-            ledger = {**ledger, name: version}
+            ledger[name] = version
+        if len(ledger) > self.TXN_LEDGER_MAX:
+            keep = sorted(ledger, key=ledger.__getitem__)[-self.TXN_LEDGER_MAX:]
+            ledger = {k: ledger[k] for k in keep}
         new_files = self._write_data(df, commit, n_files)
         prev = self._manifest(parent)["files"] if parent else []
         self._write_manifest(version, prev + new_files, parent, "append",

@@ -84,15 +84,17 @@ def test_manifest_random_histories_match_model(seed, spark):
     for v in sorted(expired):
         with pytest.raises(KeyError):
             t.read(v)
-    # the change feed must reconstruct the latest snapshot from the
-    # earliest surviving version forward (vacuum-horizon contract)
-    rebuilt: list[str] = []
-    for v in live:
-        added = t.added_files(v)
-        if t._manifest(v)["action"] in ("compact",):
-            continue  # compaction rewrites files; snapshot unchanged
-        rebuilt.extend(added)
-    # instead of file bookkeeping, verify semantically: reading the latest
-    # version equals the model's latest snapshot
+    # change-feed contract at the vacuum horizon: replaying added_files
+    # of every surviving non-compact version over the horizon base must
+    # reconstruct the latest snapshot (compact commits rewrite files but
+    # leave the snapshot unchanged, so a CDC reader skips them)
+    feed_files: list[str] = []
+    for i, v in enumerate(live):
+        if i > 0 and t._manifest(v)["action"] == "compact":
+            continue
+        feed_files.extend(t.added_files(v))
+    if feed_files:
+        rebuilt = _ids(spark.read.parquet(*feed_files))
+        assert rebuilt == sorted(model[live[-1]]), "change feed diverged"
     assert _ids(t.read()) == sorted(model[live[-1]])
     shutil.rmtree(path, ignore_errors=True)
