@@ -316,3 +316,36 @@ def test_vacuum_with_empty_history(spark, sf_dir):
     assert t.read().count() == 10
     with _pytest.raises(KeyError):
         t.read(1)
+
+
+def test_pre_ledger_tables_heal_and_reserved_names_raise(spark, sf_dir):
+    """r14 third-review: tables written before the txn ledger existed
+    (manifests lack 'txn') regain replay idempotence at the first
+    opportunity — the commit-time heal merges names still discoverable
+    from live manifests — and user names colliding with the internal
+    commit-/compact-/merge-N namespace are rejected."""
+    import json
+
+    import pytest as _pytest
+
+    t, path = _fresh(spark, "mt_preledger")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.limit(10), name="batch-a")
+    t.append(ev.limit(5))
+    # simulate a pre-ledger table: strip the txn field from every manifest
+    for f in os.listdir(path):
+        if f.startswith("manifest-v"):
+            p = os.path.join(path, f)
+            with open(p) as fh:
+                m = json.load(fh)
+            m.pop("txn", None)
+            with open(p, "w") as fh:
+                json.dump(m, fh)
+    # replay of batch-a must heal via discovered names — no new version
+    assert t.append(ev.limit(10), name="batch-a") == 1
+    assert t.versions() == [1, 2]
+    # and the heal persists into the NEXT committed manifest's ledger
+    t.append(ev.limit(3), name="batch-b")
+    assert t._txn_ledger()["batch-a"] == 1
+    with _pytest.raises(ValueError, match="internal"):
+        t.append(ev.limit(1), name="commit-7")
