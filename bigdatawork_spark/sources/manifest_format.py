@@ -115,16 +115,29 @@ class ManifestTable:
     def _discovered_names(self) -> dict:
         """name → version for every NAMED commit whose data files are
         still referenced by a live manifest — the back-fill source for
-        tables written before the ledger existed.  Earliest referencing
-        version wins (that is the commit's version)."""
+        tables written before the ledger existed.  Earliest surviving
+        referencing version wins; when vacuum has expired the commit's
+        own manifest that is the horizon FLOOR, not the original commit
+        version (the best value still recoverable — replays still no-op,
+        but a caller asserting the exact original version across a vacuum
+        horizon cannot be satisfied; disclosed migration limit).
+
+        Both path sides are realpath-canonicalized (same hazard class
+        vacuum documents): manifests store the path spelling used at
+        APPEND time, and a table re-opened via a symlink / relative /
+        trailing-slash spelling must still discover its names.  The name
+        is the FULL directory path relative to data/ (not the first
+        component) so a legacy separator-bearing name cannot alias a
+        later single-component name."""
         out: dict[str, int] = {}
-        data_root = os.path.join(self.path, "data") + os.sep
+        data_root = os.path.realpath(os.path.join(self.path, "data")) + os.sep
         for v in self.versions():
             for f in self._manifest(v)["files"]:
-                if not f.startswith(data_root):
+                rf = os.path.realpath(f)
+                if not rf.startswith(data_root):
                     continue
-                d = f[len(data_root):].split(os.sep, 1)[0]
-                if not self._RESERVED_NAME.match(d) and d not in out:
+                d = os.path.dirname(rf[len(data_root):])
+                if d and not self._RESERVED_NAME.match(d) and d not in out:
                     out[d] = v
         return out
 
@@ -141,32 +154,43 @@ class ManifestTable:
         only inside compaction rewrites), after which a path-scan-based
         guard re-appended the replayed batch and double-counted it.  The
         ledger lives in the latest manifest, which vacuum always keeps.
-        Pre-ledger tables are HEALED at every commit: names still
-        discoverable from live manifests' file paths are merged into the
-        ledger (``_discovered_names``) — a pre-ledger name whose files
-        were already compacted away AND vacuumed is unrecoverable, and a
-        replay of it re-appends (disclosed migration limit).  The ledger
-        keeps at most TXN_LEDGER_MAX entries (highest versions win)."""
+        Pre-ledger tables are HEALED at the first post-upgrade commit:
+        when the parent manifest predates the ledger (no ``txn`` key),
+        names still discoverable from live manifests' file paths are
+        merged in (``_discovered_names``); once a manifest carries a
+        ledger it is authoritative and steady-state appends read ONLY the
+        parent manifest (no per-commit history scan).  A pre-ledger name
+        whose files were already compacted away AND vacuumed is
+        unrecoverable, and a replay of it re-appends (disclosed migration
+        limit).  The ledger keeps at most TXN_LEDGER_MAX entries (highest
+        versions win)."""
         vs = self.versions()
         parent = vs[-1] if vs else None
         version = (parent or 0) + 1
-        if name is not None and self._RESERVED_NAME.match(name):
-            raise ValueError(
-                f"commit name {name!r} collides with the internal "
-                f"commit-/compact-/merge-N namespace; pick another name"
-            )
-        commit = name or f"commit-{version}"
-        ledger = {**self._discovered_names(),
-                  **(self._txn_ledger(parent) if parent else {})}
+        parent_m = self._manifest(parent) if parent else None
+        ledger = dict((parent_m or {}).get("txn") or {})
+        if parent_m is not None and "txn" not in parent_m:
+            # pre-ledger parent: one-time heal from live file paths
+            ledger = {**self._discovered_names(), **ledger}
         if name is not None:
+            # ledger hit FIRST (r14 fourth review): a name legally
+            # committed before the reserved-name guard existed must stay
+            # an idempotent no-op on replay, not an upgrade-time crash
             if name in ledger:
                 return ledger[name]
+            if self._RESERVED_NAME.match(name) or os.sep in name or "/" in name:
+                raise ValueError(
+                    f"commit name {name!r} collides with the internal "
+                    f"commit-/compact-/merge-N namespace or contains a "
+                    f"path separator; pick another name"
+                )
             ledger[name] = version
         if len(ledger) > self.TXN_LEDGER_MAX:
             keep = sorted(ledger, key=ledger.__getitem__)[-self.TXN_LEDGER_MAX:]
             ledger = {k: ledger[k] for k in keep}
+        commit = name or f"commit-{version}"
         new_files = self._write_data(df, commit, n_files)
-        prev = self._manifest(parent)["files"] if parent else []
+        prev = parent_m["files"] if parent_m else []
         self._write_manifest(version, prev + new_files, parent, "append",
                              txn=ledger)
         return version
