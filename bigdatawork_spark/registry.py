@@ -522,7 +522,14 @@ def closure_sources(fn) -> dict[str, str]:
             # but safe: any edit to that module marks the key stale).
             if isinstance(node, ast.Import):
                 for alias in node.names:
-                    if not alias.name.startswith(pkg) or alias.name == __name__:
+                    # package-BOUNDARY match (ADVICE r14): a bare prefix
+                    # would also fold a foreign top-level module that
+                    # merely starts with the package name (e.g.
+                    # "bigdatawork_spark_extras") into the fingerprint
+                    if (
+                        alias.name != pkg
+                        and not alias.name.startswith(pkg + ".")
+                    ) or alias.name == __name__:
                         continue
                     mtag = f"module:{alias.name}"
                     if mtag in seen:

@@ -65,8 +65,30 @@ class ManifestTable:
         # None) starts an EMPTY ledger, never the latest version's (r14
         # review: a truncate/restore-style root rewrite must not leak
         # stale name→version entries that would block those names).
+        #
+        # A PRE-LEDGER parent (manifest with no "txn" key at all) is NOT
+        # the same as an empty ledger (ADVICE r14): inheriting {} here
+        # would write an empty-but-authoritative ledger, and the next
+        # append would then skip the _discovered_names() heal — a compact
+        # or merge interposed before the first post-upgrade append would
+        # permanently seal off every pre-ledger name, so a replayed named
+        # batch re-appends (double count) and its mode("overwrite") data
+        # write clobbers the live named commit dir.  The heal must run at
+        # the first post-upgrade commit of ANY action, not just append.
         if txn is None:
-            txn = self._txn_ledger(parent) if parent is not None else {}
+            if parent is None:
+                txn = {}
+            else:
+                try:
+                    m = self._manifest(parent)
+                except KeyError:  # parent expired by vacuum
+                    txn = {}
+                else:
+                    txn = (
+                        dict(m["txn"] or {})
+                        if "txn" in m
+                        else self._discovered_names()
+                    )
         final = os.path.join(self.path, f"manifest-v{version}.json")
         tmp = final + ".inprogress"
         with open(tmp, "w") as fh:
@@ -178,11 +200,25 @@ class ManifestTable:
             # an idempotent no-op on replay, not an upgrade-time crash
             if name in ledger:
                 return ledger[name]
-            if self._RESERVED_NAME.match(name) or os.sep in name or "/" in name:
+            # A name must be exactly one clean path component (ADVICE r14):
+            # '..' would make _write_data target data/.. == the table root
+            # and its mode("overwrite") parquet write would destroy the
+            # manifests; '.' writes loose files into data/ where they
+            # confuse vacuum's per-commit-dir walk and _discovered_names.
+            # The basename(normpath()) check subsumes separators, trailing
+            # slashes, and multi-component traversals ('a/../..'); '.' and
+            # '..' normalize to themselves so they need the explicit list.
+            if (
+                self._RESERVED_NAME.match(name)
+                or not name
+                or name in (".", "..")
+                or os.path.basename(os.path.normpath(name)) != name
+            ):
                 raise ValueError(
                     f"commit name {name!r} collides with the internal "
-                    f"commit-/compact-/merge-N namespace or contains a "
-                    f"path separator; pick another name"
+                    f"commit-/compact-/merge-N namespace, is empty or a "
+                    f"dot-dir, or is not a single clean path component; "
+                    f"pick another name"
                 )
             ledger[name] = version
         if len(ledger) > self.TXN_LEDGER_MAX:

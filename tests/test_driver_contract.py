@@ -534,3 +534,30 @@ def test_closure_sources_walks_plain_imports_and_unimported_modules(monkeypatch)
 
     parts = closure_sources(uses_unimported)
     assert any("formatted_plan" in t for t in parts), sorted(parts)
+
+
+def test_closure_sources_respects_package_boundary():
+    """ADVICE r14: `import bigdatawork_spark_extras` (a foreign top-level
+    module that merely SHARES the package-name prefix) must not be folded
+    into the fingerprint — a bare startswith(pkg) match would hash its
+    whole source (or an <unresolvable> marker), churning staleness on
+    third-party edits."""
+    from bigdatawork_spark.registry import closure_sources
+
+    def uses_foreign(spark, sf_dir):
+        import bigdatawork_spark_extras  # noqa: F401 — never executed
+        return None
+
+    parts = closure_sources(uses_foreign)
+    assert not any("bigdatawork_spark_extras" in t for t in parts), sorted(
+        parts
+    )
+
+    # the boundary fix must not break the legitimate exact-package and
+    # dotted-submodule cases
+    def uses_pkg_and_sub(spark, sf_dir):
+        import bigdatawork_spark.session
+        return bigdatawork_spark.session
+
+    parts = closure_sources(uses_pkg_and_sub)
+    assert "module:bigdatawork_spark.session" in parts

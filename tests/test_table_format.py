@@ -349,3 +349,62 @@ def test_pre_ledger_tables_heal_and_reserved_names_raise(spark, sf_dir):
     assert t._txn_ledger()["batch-a"] == 1
     with _pytest.raises(ValueError, match="internal"):
         t.append(ev.limit(1), name="commit-7")
+
+
+def test_pre_ledger_heal_survives_interposed_compact(spark, sf_dir):
+    """ADVICE r14: a compact() (or merge) as the FIRST post-upgrade commit
+    must not seal off the pre-ledger heal.  _write_manifest's txn=None
+    inheritance used to read a pre-ledger parent (no 'txn' key) as an
+    empty-but-authoritative ledger; the next append then saw 'txn' in the
+    parent, skipped the _discovered_names() heal, and a replayed
+    pre-ledger name re-appended — double-counted rows AND a
+    mode('overwrite') clobber of the live named commit dir."""
+    import json
+
+    t, path = _fresh(spark, "mt_preledger_compact")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.limit(10), name="batch-a")
+    t.append(ev.limit(5))
+    # simulate a pre-ledger table: strip the txn field from every manifest
+    for f in os.listdir(path):
+        if f.startswith("manifest-v"):
+            p = os.path.join(path, f)
+            with open(p) as fh:
+                m = json.load(fh)
+            m.pop("txn", None)
+            with open(p, "w") as fh:
+                json.dump(m, fh)
+    # FIRST post-upgrade commit is a compact, not an append
+    v3 = t.compact(n_files=1)
+    assert v3 == 3
+    # the compacted manifest's ledger must carry the healed name
+    assert t._txn_ledger()["batch-a"] == 1
+    # replay of the pre-ledger name: idempotent no-op, no new version
+    rows_before = t.read().count()
+    assert t.append(ev.limit(10), name="batch-a") == 1
+    assert t.versions() == [1, 2, 3]
+    assert t.read().count() == rows_before
+    # merge-style _write_manifest(txn=None) inherits the healed ledger too
+    files = t._manifest(3)["files"]
+    t._write_manifest(4, files, 3, "merge")
+    assert t._txn_ledger(4)["batch-a"] == 1
+
+
+def test_dot_dir_and_traversal_names_rejected(spark, sf_dir):
+    """ADVICE r14: '.' and '..' commit names must be rejected — '..'
+    makes _write_data target data/.. == the table root, where the
+    mode('overwrite') parquet write would destroy the manifests; '.'
+    writes loose files into data/.  Same for multi-component traversals
+    and the empty name; a clean single component still works."""
+    import pytest as _pytest
+
+    t, path = _fresh(spark, "mt_dotnames")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.limit(10), name="batch-a")
+    for bad in ("..", ".", "", "a/../..", "a/", "a/b", "./x"):
+        with _pytest.raises(ValueError, match="pick another name"):
+            t.append(ev.limit(1), name=bad)
+    # table intact: manifests survive, content unchanged
+    assert t.versions() == [1]
+    assert t.read().count() == 10
+    assert t.append(ev.limit(3), name="batch.b-ok_2") == 2
