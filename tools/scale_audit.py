@@ -23,6 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth/sf1.0"
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 
+# Declared-heavy keys: a per-key budget OVERRIDE with the same disclosure
+# discipline the twin caps get (VERDICT r14 item 4).  Eligibility is
+# narrow: the key's cost must be inherent to the API surface it exists to
+# demonstrate — not a plan defect an exchange/broadcast fix could remove —
+# and the reason goes on the record here and in the per-key output line.
+#
+#   udtf_cogrouped_map: cogrouped applyInPandas pays ~3 ms of pandas
+#   invocation overhead PER KEY (measured, docstring at
+#   operators/udfs.py); the sf1.0 1-in-100 sample is ~15k keys → ~50 s,
+#   pinned at the 45 s boundary for four rounds (45.1 s in r14, ~55 s
+#   standalone).  The exchange is one co-partitioning shuffle per side —
+#   already minimal; the per-key Python dispatch IS the operator.
+HEAVY_AUDIT_KEYS: dict[str, float] = {
+    "udtf_cogrouped_map": 120.0,
+}
+
 import bigdatawork_spark  # noqa: F401,E402
 from bigdatawork_spark.operators.llm_ops import (  # noqa: E402
     TWIN_AUDIT_ENV,
@@ -51,13 +67,15 @@ def main() -> int:
     sc = spark.sparkContext
     slow, timed_out, errors, capped = [], [], [], []
     keys = sorted(QUERIES)
+    heavy_used = []
     for i, key in enumerate(keys, 1):
         group = f"audit-{key}"
         sc.setJobGroup(group, key, interruptOnCancel=True)
         done = threading.Event()
+        budget = max(BUDGET, HEAVY_AUDIT_KEYS.get(key, 0.0))
 
-        def watchdog():
-            if not done.wait(BUDGET):
+        def watchdog(limit=budget):
+            if not done.wait(limit):
                 sc.cancelJobGroup(group)
 
         w = threading.Thread(target=watchdog, daemon=True)
@@ -68,7 +86,7 @@ def main() -> int:
             n = QUERIES[key](spark, SF_DIR).count()
             dt = time.time() - t0
             status = "ok"
-            if dt > BUDGET:
+            if dt > budget:
                 status = "TIMEOUT"  # cancelled mid-count but count returned
             elif dt > BUDGET / 3:
                 slow.append((key, dt))
@@ -77,13 +95,16 @@ def main() -> int:
                 rows, limit = TWIN_CAPS_APPLIED[key]
                 capped.append((key, rows, limit, dt))
                 cap = f" [INPUT CAPPED {rows}→{limit}]"
+            if key in HEAVY_AUDIT_KEYS:
+                heavy_used.append((key, dt, budget))
+                cap += f" [DECLARED-HEAVY BUDGET {budget:.0f}s]"
             print(
                 f"[{i}/{len(keys)}] {key}: {status} {n} rows {dt:.1f}s{cap}",
                 flush=True,
             )
         except Exception as ex:  # noqa: BLE001
             dt = time.time() - t0
-            if dt >= BUDGET - 1 or "cancelled" in str(ex).lower():
+            if dt >= budget - 1 or "cancelled" in str(ex).lower():
                 timed_out.append((key, dt))
                 print(f"[{i}/{len(keys)}] {key}: TIMEOUT {dt:.1f}s", flush=True)
             else:
@@ -100,6 +121,8 @@ def main() -> int:
     )
     for key, rows, limit, dt in capped:
         print(f"  TWIN CAP: {key} input {rows}→{limit} rows, {dt:.1f}s")
+    for key, dt, b in heavy_used:
+        print(f"  DECLARED HEAVY: {key} {dt:.1f}s under a {b:.0f}s budget")
     for key, dt in sorted(slow, key=lambda x: -x[1]):
         print(f"  slow (> budget/3): {key} {dt:.1f}s")
     for key, dt in timed_out:
