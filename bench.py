@@ -459,12 +459,50 @@ def _recorded_sf10(path: str | None = None) -> dict | None:
         if not runs:
             return None
         last = runs[-1]
+        # PRIMARY sf10 statistic (VERDICT r14 item 3): per-query medians
+        # across ALL recorded runs.  The per-pass batch ratios have real
+        # host-weather spread (0.28-3.24 observed over the first 3x3-pass
+        # runs) while the per-query STRUCTURE — curation shapes Spark,
+        # TPC-H shapes DuckDB — is stable run to run; the batch-ratio
+        # band stays as the secondary, spread stated.
+        q_keys = sorted(
+            set().union(*(set(r.get("spark_queries") or {}) for r in runs))
+        )
+        per_q = {}
+        for k in q_keys:
+            s = [r["spark_queries"][k] for r in runs
+                 if k in (r.get("spark_queries") or {})]
+            d = [r["duckdb_queries"][k] for r in runs
+                 if k in (r.get("duckdb_queries") or {})]
+            if s and d:
+                sm, dm = _median(s), _median(d)
+                per_q[k] = {
+                    "spark": round(sm, 4),
+                    "duckdb": round(dm, 4),
+                    "ratio": round(sm / dm, 3) if dm else None,
+                }
+        all_pass_ratios = [p for r in runs for p in r.get("pass_ratios", [])]
         return {
             "recorded": True,
             "n_runs": len(runs),
+            "per_query_median_across_runs": per_q,
+            "spark_sec_median_across_runs": round(
+                sum(v["spark"] for v in per_q.values()), 4
+            ),
+            "duckdb_sec_median_across_runs": round(
+                sum(v["duckdb"] for v in per_q.values()), 4
+            ),
             "ratio_vs_duckdb_band": [r["ratio_vs_duckdb"] for r in runs],
             "ratio_vs_duckdb": _median(
                 [r["ratio_vs_duckdb"] for r in runs]
+            ),
+            "ratio_vs_duckdb_trimmed_band": [
+                r["ratio_vs_duckdb_trimmed"] for r in runs
+                if "ratio_vs_duckdb_trimmed" in r
+            ],
+            "pass_ratio_spread": (
+                [min(all_pass_ratios), max(all_pass_ratios)]
+                if all_pass_ratios else None
             ),
             "ratio_vs_duckdb_allruns_band": [
                 r["ratio_vs_duckdb_allruns"] for r in runs
@@ -481,8 +519,14 @@ def _recorded_sf10(path: str | None = None) -> dict | None:
                 " tools/synth_scale.py 100x, fully symmetric warm layout:"
                 " Spark decoded clustered cache vs DuckDB decoded NATIVE"
                 " tables incl. the Q1 derived-column table; same"
-                " interleaved pass/median protocol as sf1_0); spark_sec /"
-                " per-query maps are from the latest run"
+                " interleaved pass/median protocol as sf1_0)."
+                " PRIMARY statistic: per_query_median_across_runs (per-"
+                "query medians over ALL recorded runs — the stable"
+                " structure); batch pass-ratio bands are SECONDARY with"
+                " pass_ratio_spread stating the host-weather spread;"
+                " trimmed medians (drop min/max pass) present for >=5-pass"
+                " runs; spark_sec / spark_queries / duckdb_queries are"
+                " from the latest run only"
             ),
         }
     except Exception:

@@ -178,3 +178,37 @@ def test_recorded_sf10_band_summary(tmp_path):
     assert d["sf10"]["ratio_vs_duckdb"] == 1.1
     assert d["sf10"]["ratio_vs_duckdb_band"] == [1.1, 1.0, 1.2]
     assert len(line) <= 1900
+
+
+def test_recorded_sf10_per_query_primary_and_trimmed(tmp_path):
+    """VERDICT r14 item 3: the PRIMARY sf10 statistic is per-query medians
+    across ALL recorded runs (the stable structure), with the batch
+    pass-ratio spread stated and >=5-pass trimmed medians surfaced."""
+    import json
+
+    band = {
+        "runs": [
+            {"ratio_vs_duckdb": 1.1, "pass_ratios": [0.5, 1.1, 3.0],
+             "spark_sec": 9.5, "duckdb_sec": 8.6,
+             "spark_queries": {"q1": 0.9, "tfidf": 2.0},
+             "duckdb_queries": {"q1": 0.1, "tfidf": 5.0},
+             "rows": {"lineitem": 60000000}},
+            {"ratio_vs_duckdb": 0.8, "pass_ratios": [0.3, 0.8, 1.2],
+             "ratio_vs_duckdb_trimmed": 0.77,
+             "spark_sec": 9.4, "duckdb_sec": 11.0,
+             "spark_queries": {"q1": 0.8, "tfidf": 2.4},
+             "duckdb_queries": {"q1": 0.12, "tfidf": 4.8},
+             "rows": {"lineitem": 60000000}},
+        ]
+    }
+    p = tmp_path / "DECADE_SF10.json"
+    p.write_text(json.dumps(band))
+    out = bench._recorded_sf10(str(p))
+    pq = out["per_query_median_across_runs"]
+    # even-count median = mean of middle two (bench._median)
+    assert pq["q1"]["spark"] == 0.85 and pq["q1"]["duckdb"] == 0.11
+    assert pq["tfidf"]["ratio"] == round(2.2 / 4.9, 3)
+    assert out["spark_sec_median_across_runs"] == round(0.85 + 2.2, 4)
+    assert out["pass_ratio_spread"] == [0.3, 3.0]
+    assert out["ratio_vs_duckdb_trimmed_band"] == [0.77]
+    assert "per_query_median_across_runs" in out["protocol"]

@@ -6,6 +6,8 @@ SCALE.md §7 curve (sf0.1 → sf1.0) by another decade (sf1.0 → sf10).
 Usage:
   python tools/synth_scale.py 100 /tmp/sfsynth/sf10     # 100× sf0.1
   SPARK_GRAFT_DRIVER_MEM=48g python tools/decade_probe.py /tmp/sfsynth/sf10 [passes]
+    passes  default 5 (>=5 adds a trimmed-mean pass summary — VERDICT r14
+            item 3: the 3-pass bands carried 0.28-3.24 host-weather spread)
 
 Prints ONE JSON line with the same fields as bench.py's sf1_0 section
 plus the directory and per-table row counts — evidence of how the
@@ -49,11 +51,29 @@ def record_run(result: dict) -> None:
     os.rename(tmp, BAND_FILE)
 
 
+def trimmed_summary(out: dict) -> dict:
+    """Trimmed-mean pass summaries (VERDICT r14 item 3): with >=5 passes,
+    drop the min and max pass ratio and mean the rest — one host-weather
+    draw (an OS flush, a thermal dip) can no longer set the recorded
+    number.  No-op below 5 passes (trimming 3 passes to 1 would REDUCE
+    the evidence)."""
+    extra: dict = {}
+    for field, dest in (
+        ("pass_ratios", "ratio_vs_duckdb_trimmed"),
+        ("pass_ratios_allruns", "ratio_vs_duckdb_allruns_trimmed"),
+    ):
+        ratios = out.get(field) or []
+        if len(ratios) >= 5:
+            body = sorted(ratios)[1:-1]
+            extra[dest] = round(sum(body) / len(body), 3)
+    return extra
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--record"]
     record = "--record" in sys.argv
     sf_dir = argv[0] if len(argv) > 0 else "/tmp/sfsynth/sf10"
-    passes = int(argv[1]) if len(argv) > 1 else 3
+    passes = int(argv[1]) if len(argv) > 1 else 5
     import pyarrow.parquet as pq
 
     rows = {t: pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows for t in TABLES}
@@ -73,7 +93,8 @@ def main() -> None:
         )
     finally:
         bench._drop_cache(spark, sf_dir)
-    result = {"sf_dir": sf_dir, "rows": rows, **(out or {})}
+    result = {"sf_dir": sf_dir, "rows": rows, **(out or {}),
+              **trimmed_summary(out or {})}
     if record and out and "ratio_vs_duckdb" in out:
         record_run(result)
     print(json.dumps({"decade_probe": result}))
