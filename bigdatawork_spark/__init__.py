@@ -20,7 +20,6 @@ from .operators import (  # noqa: F401
     platform_ops,
     projections,
     reshape,
-    round8_ops,
     round10_ops,
     round11_ops,
     round11b_ops,

@@ -599,3 +599,99 @@ def agg_bitmap_distinct(spark, sf_dir):
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --- folded from the round-8 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change;
+# driver re-verification forced via source-hash staleness. ---
+
+@register(
+    "topk_heavy_hitters",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+    AS word
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank
+FROM c
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+)
+def topk_heavy_hitters(spark, sf_dir):
+    """Exact top-20 words via the two-pass heavy-hitters pattern: pass 1
+    runs a Misra-Gries sketch (capacity m=64) PER PARTITION and emits only
+    each partition's <= m candidate words — zero shuffle of token rows;
+    pass 2 exactly counts ONLY the candidate words (broadcast semi join
+    cuts the tail before the one real shuffle) and takes the top-20.
+
+    The result is provably EXACT, which is why this key is hash-verified
+    against a plain full wordcount oracle: any word with global frequency
+    > n_tokens/m must, by pigeonhole, exceed its partition's n_p/m in at
+    least one partition, so it survives that partition's MG sketch and
+    reaches the exact pass.  The guarantee needs freq(k-th item) > n/m —
+    here trivially (31-word near-uniform vocab, n/m ~ 424 << ~870); on an
+    open vocabulary size m ~ k/phi for the target frequency phi.
+
+    Scale: this is THE shape for top-k over 100 TB — pass 1 is map-only
+    (the sketch shuffles m rows/partition, not n tokens); pass 2 shuffles
+    only candidate-word counts.  Compare `wordcount`, which shuffles the
+    full vocabulary; here the full vocabulary never moves.  The MG fold
+    is per-batch pandas value_counts + a bounded dict (m entries), Arrow
+    batch transfer — no per-row Python."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition("doc_id")
+        .selectExpr(
+            "explode(filter(split(lower(text), ' '), x -> x != '')) as word"
+        )
+    )
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        m, sketch = 64, {}
+        for p in batches:
+            for word, c in p["word"].value_counts().items():
+                if word in sketch:
+                    sketch[word] += int(c)
+                elif len(sketch) < m:
+                    sketch[word] = int(c)
+                else:
+                    # decrement-all by the min spendable amount, batched:
+                    # classic MG decrements 1 per excess item; folding a
+                    # pre-counted batch, decrement by min(c, min(sketch))
+                    # repeatedly — equivalent guarantee, fewer passes
+                    while c > 0:
+                        dec = min(c, min(sketch.values()))
+                        c -= dec
+                        for k in list(sketch):
+                            sketch[k] -= dec
+                            if sketch[k] <= 0:
+                                del sketch[k]
+                        if len(sketch) < m and c > 0:
+                            sketch[word] = int(c)
+                            break
+        yield pd.DataFrame({"word": list(sketch.keys())})
+
+    cands = (
+        words.mapInPandas(mg_candidates, "word string").distinct()
+    )
+    exact = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.selectExpr(
+            "word",
+            "cnt",
+            "cast(row_number() over (order by cnt desc, word) as int) as rank",
+        )
+        .where("rank <= 20")
+        .orderBy("rank")
+    )

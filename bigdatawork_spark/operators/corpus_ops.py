@@ -879,3 +879,102 @@ def sample_negative_pairs(spark, sf_dir):
         )
         .orderBy("vec_id", "neg_rank")
     )
+
+
+# --- folded from the round-8 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change;
+# driver re-verification forced via source-hash staleness. ---
+
+@register(
+    "lm_perplexity_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (SELECT COUNT(DISTINCT word) AS vocab
+      FROM (SELECT unnest(ws) AS word FROM w)),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> struct_pack(w1 := ws[CAST(i AS INTEGER)],
+                                 w2 := ws[CAST(i + 1 AS INTEGER)]))) AS b
+  FROM w WHERE len(ws) >= 2
+),
+p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cnt) AS n_ctx FROM c GROUP BY w1),
+model AS (
+  SELECT c.w1, c.w2, ln((cnt + 0.5) / (n_ctx + 0.5 * vocab)) AS lp
+  FROM c JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(lp), 6) AS avg_nll,
+       ROUND(exp(ROUND(-AVG(lp), 6)), 4) AS ppl
+FROM p JOIN model USING (w1, w2)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""",
+)
+def lm_perplexity_score(spark, sf_dir):
+    """CCNet-style perplexity quality signal: score every document under a
+    bigram LM with add-k smoothing (k=0.5) TRAINED ON THE CORPUS ITSELF —
+    the scoring consumer of ``ngram_lm_train``'s count table.  p(w2|w1) =
+    (c(w1,w2)+0.5)/(c(w1·)+0.5·V); per-doc avg negative log-likelihood and
+    its exp (perplexity).  In a production pipeline the model side is a
+    held-out reference corpus (e.g. Wikipedia) and high-ppl docs are cut;
+    the in-corpus formulation keeps the key self-contained and
+    hash-verifiable.  ppl derives from the ROUNDED avg_nll so the float
+    comparison happens once, at 6 decimals.
+
+    Scale: the corpus explodes ONCE into adjacent pairs (zip_with over two
+    slices, no index join); the model is two keyed aggregations over
+    (w1,w2) then (w1) — shuffles carry grams+counts.  The scoring join is
+    per-bigram on (w1,w2); the model table is bounded by observed-bigram
+    cardinality (≪ corpus at 100 TB, broadcastable after frequency
+    pruning).  V is a 1-row aggregate, joined via broadcast."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bigram_nll_scores(d).orderBy("doc_id")
+
+
+def bigram_nll_scores(d, id_col: str = "doc_id", col: str = "text"):
+    """DataFrame-level bigram-LM scorer (the ``lm_perplexity_score`` body,
+    reusable from the pipeline API's ``perplexity_gate`` stage): returns
+    (id_col, n_bigrams, avg_nll, ppl), unordered — docs with < 2 words
+    carry no bigrams and are absent (gate stages must LEFT-join and keep
+    them)."""
+    words = d.selectExpr(
+        f"{id_col}", f"filter(split(lower({col}), ' '), x -> x != '') as ws"
+    )
+    pairs = (
+        words.where("size(ws) >= 2")
+        .selectExpr(
+            f"{id_col}",
+            "explode(zip_with(slice(ws, 1, size(ws) - 1),"
+            " slice(ws, 2, size(ws) - 1), (a, b) -> struct(a as w1, b as w2)))"
+            " as p",
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    vocab = words.selectExpr("explode(ws) as word").agg(
+        F.countDistinct("word").alias("vocab")
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = c.groupBy("w1").agg(F.sum("cnt").alias("n_ctx"))
+    model = (
+        c.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("w1", "w2", "ln((cnt + 0.5) / (n_ctx + 0.5 * vocab)) as lp")
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("avg_nll"),
+        )
+        .selectExpr(
+            f"{id_col}", "n_bigrams", "avg_nll", "round(exp(avg_nll), 4) as ppl"
+        )
+    )

@@ -974,3 +974,324 @@ def quality_classifier_nb(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- folded from the round-8 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change;
+# driver re-verification forced via source-hash staleness. ---
+
+@register(
+    "dedup_segments_crossdoc",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, (i - 1) * 3 + 1, i * 3), ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS t(i)
+  WHERE len(ws) >= 1
+),
+bp AS (SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seg,
+       CAST(COUNT(*) FILTER (WHERE bp.seg IS NULL) AS BIGINT) AS n_kept,
+       ROUND(COUNT(*) FILTER (WHERE bp.seg IS NULL) * 1.0 / COUNT(*), 4)
+         AS keep_ratio,
+       COALESCE(array_to_string(list(s.seg ORDER BY s.pos)
+                FILTER (WHERE bp.seg IS NULL), ' '), '') AS cleaned_text
+FROM seg s LEFT JOIN bp ON s.seg = bp.seg
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def dedup_segments_crossdoc(spark, sf_dir):
+    """Sub-document cross-corpus dedup (the CCNet/FineWeb paragraph-removal
+    shape): segment each doc into consecutive 3-word chunks (the corpus has
+    no newlines, so fixed word-chunks stand in for paragraphs — same
+    machinery, different splitter), drop every segment that occurs in >= 3
+    DISTINCT documents (corpus boilerplate), and reassemble the survivors
+    in original order.  Emits per-doc audit counts + the cleaned text;
+    docs whose every segment is boilerplate survive as empty strings
+    (2 such docs at sf0.01), which a downstream length filter then cuts.
+
+    Scale: one explode into (doc, pos, segment); the boilerplate set is a
+    segment-keyed aggregation whose shuffle carries segments+doc-counts
+    (never documents), and BY DEFINITION it is small (only segments
+    repeated across >= 3 docs), so the marking join broadcasts it — the
+    documents themselves are never re-shuffled.  Reassembly is a per-doc
+    collect_list over positions (one keyed shuffle of kept segments).  At
+    100 TB hash the segments (sha2-64) before the df-aggregation so the
+    shuffle carries 8-byte keys, exactly as ``dedup_exact`` does."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seg = (
+        d.selectExpr(
+            "doc_id", "filter(split(lower(text), ' '), x -> x != '') as ws"
+        )
+        .where("size(ws) >= 1")
+        .selectExpr(
+            "doc_id",
+            "explode(sequence(1, cast(ceil(size(ws) / 3.0) as int))) as pos",
+            "ws",
+        )
+        .selectExpr(
+            "doc_id",
+            "pos",
+            "array_join(slice(ws, (pos - 1) * 3 + 1, 3), ' ') as seg",
+        )
+    )
+    bp = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where("df >= 3")
+        .select("seg")
+        .withColumn("is_bp", F.lit(1))
+    )
+    marked = seg.join(F.broadcast(bp), "seg", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.sum(F.when(F.col("is_bp").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "array_join(transform(filter(array_sort(collect_list("
+                "  struct(pos, case when is_bp is null then seg end as seg))),"
+                "  x -> x.seg is not null), x -> x.seg), ' ')"
+            ).alias("cleaned_text"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_seg",
+            "n_kept",
+            "round(cast(n_kept as double) / n_seg, 4) as keep_ratio",
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         md5(substr(lower(text), CAST(i AS INTEGER), 20)) AS h
+  FROM documents, unnest(generate_series(1, length(text) - 19)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 20
+),
+rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+           AS grp
+  FROM g JOIN rep USING (h)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 19 AS BIGINT) AS span_end,
+         CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS span_len
+  FROM marked GROUP BY doc_id, grp
+)
+SELECT doc_id, span_start, span_end, span_len
+FROM spans WHERE span_len >= 50
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring spans (the Lee et al., ACL'22
+    "Deduplicating Training Data Makes Language Models Better" method, at
+    k-gram resolution): mark every position whose 20-char gram occurs >= 2
+    times ANYWHERE in the corpus (within- or cross-document), merge
+    consecutive marked positions into maximal islands (the pos -
+    row_number gaps-and-islands fold), and emit spans covering >= 50
+    chars — the cut list for span-level removal.  The reference work
+    builds a corpus suffix array; the k-gram anchor is the standard
+    distributed approximation (finds every repeat >= k chars, start/end
+    resolved to k-gram granularity) and needs only relational shapes.
+
+    Scale: the gram explode repartitions the compact doc rows first (the
+    winnow lesson — single small file, fan-out projection); the repeat
+    table is a count >= 2 aggregation whose shuffle carries 32-byte
+    hashes; the mark join is hash-keyed (AQE broadcast when the repeat
+    set fits, skew-handled SMJ otherwise); islands are one window pass
+    per doc.  At 100 TB swap md5 for xxhash64 JVM-side (the oracle
+    mirror is what pins md5 here) and de-anchor stride-s grams (s ~ k/2)
+    to cut the explode volume 10× at k-char resolution loss."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null and length(text) >= 20")
+        .repartition("doc_id")
+    )
+    # cache: g feeds both the repeat aggregation and the mark join —
+    # uncached, the 27M-row explode+md5 runs twice (sf1.0: 28.6 s -> 21.4 s)
+    g = (
+        d.selectExpr(
+            "doc_id",
+            "explode(sequence(1, length(text) - 19)) as pos",
+            "lower(text) as lt",
+        )
+        .selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+        .cache()
+    )
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where("cnt >= 2")
+    marked = g.join(rep.select("h"), "h").selectExpr(
+        "doc_id",
+        "pos",
+        "pos - row_number() over (partition by doc_id order by pos) as grp",
+    )
+    return (
+        marked.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + 19).cast("bigint").alias("span_end"),
+            (F.max("pos") + 19 - F.min("pos") + 1)
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .where("span_len >= 50")
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+@register(
+    "dedup_spans_removal",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         md5(substr(lower(text), CAST(i AS INTEGER), 20)) AS h
+  FROM documents, unnest(generate_series(1, length(text) - 19)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 20
+),
+rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+           AS grp
+  FROM g JOIN rep USING (h)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+  FROM marked GROUP BY doc_id, grp
+  HAVING MAX(pos) + 19 - MIN(pos) + 1 >= 50
+),
+bounds AS (
+  SELECT doc_id, s, e,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+  FROM spans
+),
+pieces AS (
+  SELECT b.doc_id, b.rn,
+         substr(lower(d.text), CAST(b.prev_e + 1 AS INTEGER),
+                CAST(GREATEST(b.s - b.prev_e - 1, 0) AS INTEGER)) AS piece
+  FROM bounds b JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, t.rn,
+         substr(lower(d.text), CAST(t.last_e + 1 AS INTEGER)) AS piece
+  FROM (SELECT doc_id, MAX(e) AS last_e, MAX(rn) + 1 AS rn
+        FROM bounds GROUP BY doc_id) t
+  JOIN documents d USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY rn) AS ctext,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_cut
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_cut, 0) AS n_cut_spans,
+       COALESCE(c.ctext, lower(d.text)) AS cleaned_text,
+       CAST(length(COALESCE(c.ctext, lower(d.text))) AS BIGINT)
+         AS cleaned_len
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+WHERE d.text IS NOT NULL
+ORDER BY d.doc_id
+""",
+)
+def dedup_spans_removal(spark, sf_dir):
+    """The REMOVAL stage of the Lee et al. exact-substring pipeline: apply
+    ``dedup_repeated_spans``'s cut list to the corpus — excise every
+    >=50-char repeated span from every document (the conservative
+    all-copies policy; keep-first needs a global span ranking, a one-line
+    change on the spans relation) and emit the cleaned text with audit
+    counts.  Untouched documents pass through; fully-repeated documents
+    come out empty (length filter downstream).  Gap extraction guards
+    GREATEST(len, 0) in BOTH engines: adjacent islands can overlap in
+    CHARS (k-1 smear) while being distinct at gram-position level.
+
+    Scale: the span list re-derives (same shapes as dedup_repeated_spans
+    — hashed repeat agg, hash-keyed mark join, one window per doc); the
+    cut application is a per-doc window over the doc's OWN spans (tiny
+    partitions) + one ordered collect per doc; the corpus text moves
+    through exactly one join keyed on doc_id.  No driver-side state."""
+    d = load(spark, sf_dir, "documents").filter("text is not null")
+    return excise_repeated_spans(d).orderBy("doc_id")
+
+
+def excise_repeated_spans(df, id_col: str = "doc_id", col: str = "text"):
+    """DataFrame-level repeated-span excision (the ``dedup_spans_removal``
+    body, reusable from the pipeline API): returns
+    (id_col, n_cut_spans, cleaned_text, cleaned_len), unordered, one row
+    per non-NULL-text input row."""
+    d = df.select(id_col, F.lower(col).alias("lt")).cache()
+    g = (
+        d.filter("length(lt) >= 20")
+        .repartition(id_col)
+        .selectExpr(id_col, "explode(sequence(1, length(lt) - 19)) as pos", "lt")
+        .selectExpr(id_col, "pos", "md5(substring(lt, pos, 20)) as h")
+        .cache()
+    )
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where("cnt >= 2")
+    spans = (
+        g.join(rep.select("h"), "h")
+        .selectExpr(
+            id_col,
+            "pos",
+            f"pos - row_number() over (partition by {id_col} order by pos)"
+            " as grp",
+        )
+        .groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 19).alias("e"))
+        .where("e - s + 1 >= 50")
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    bounds = spans.select(
+        id_col,
+        "s",
+        "e",
+        F.coalesce(F.lag("e").over(w), F.lit(0)).alias("prev_e"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gap_pieces = bounds.join(d, id_col).selectExpr(
+        id_col,
+        "rn",
+        "substring(lt, cast(prev_e + 1 as int),"
+        " cast(greatest(s - prev_e - 1, 0) as int)) as piece",
+    )
+    tail_pieces = (
+        bounds.groupBy(id_col)
+        .agg(F.max("e").alias("last_e"), (F.max("rn") + 1).alias("rn"))
+        .join(d, id_col)
+        .selectExpr(
+            id_col, "rn", "substring(lt, cast(last_e + 1 as int)) as piece"
+        )
+    )
+    cleaned = (
+        gap_pieces.unionByName(tail_pieces)
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, piece))), x -> x.piece), '')"
+            ).alias("ctext"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cut"),
+        )
+    )
+    return d.join(cleaned, id_col, "left").selectExpr(
+        id_col,
+        "coalesce(n_cut, 0L) as n_cut_spans",
+        "coalesce(ctext, lt) as cleaned_text",
+        "cast(length(coalesce(ctext, lt)) as bigint) as cleaned_len",
+    )

@@ -1357,3 +1357,257 @@ def nearest_centroid_classify(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# --- folded from the round-8 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change;
+# driver re-verification forced via source-hash staleness. ---
+
+@register(
+    "winnow_fingerprint",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), 5)),
+                         1, 8))::BIGINT AS h,
+         length(text) - 4 AS n_grams
+  FROM documents, unnest(generate_series(1, length(text) - 4)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 5
+),
+x AS (
+  SELECT doc_id, pos, h, n_grams,
+         lag(h, 1) OVER win AS l1, lag(h, 2) OVER win AS l2,
+         lag(h, 3) OVER win AS l3,
+         lead(h, 1) OVER win AS r1, lead(h, 2) OVER win AS r2,
+         lead(h, 3) OVER win AS r3
+  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+r AS (
+  SELECT doc_id, pos, h, n_grams,
+         CASE WHEN l1 IS NOT NULL AND l1 >= h THEN
+           CASE WHEN l2 IS NOT NULL AND l2 >= h THEN
+             CASE WHEN l3 IS NOT NULL AND l3 >= h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rl,
+         CASE WHEN r1 IS NOT NULL AND r1 > h THEN
+           CASE WHEN r2 IS NOT NULL AND r2 > h THEN
+             CASE WHEN r3 IS NOT NULL AND r3 > h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rr
+  FROM x
+)
+SELECT doc_id, pos AS fp_pos, h AS fp_hash
+FROM r
+WHERE (n_grams >= 4 AND
+       GREATEST(pos - rl, pos - 3, 1) <= LEAST(pos, n_grams - 3, pos + rr - 3))
+   OR (n_grams < 4 AND pos - rl <= 1 AND pos + rr >= n_grams)
+ORDER BY doc_id, fp_pos
+""",
+)
+def winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS algorithm): 5-char-gram rolling hashes, and from every window of
+    w=4 consecutive hashes select the minimum, rightmost on ties.  Unlike
+    ``doc_fingerprint`` (whole-doc) or simhash (global profile), each
+    selected fingerprint depends only on a k+w-1-char neighborhood, so
+    local edits perturb O(1) fingerprints — the standard primitive for
+    copy-span detection across a corpus.  Guaranteed density is
+    2/(w+1) = 0.4 of gram positions (measured 0.4035 at sf0.01).
+
+    The per-window argmin is NOT computed per window (that would be a
+    w-way self-join): position i is selected iff it is the rightmost
+    minimum of SOME window, which reduces to reach arithmetic over at
+    most w-1 = 3 neighbors each side — rl = consecutive predecessors with
+    h >= h_i, rr = consecutive successors with h > h_i (strict, because a
+    tie selects the rightmost), then a w-window fits inside
+    [i-rl, i+rr] ∩ [1, n].  Verified against a brute-force per-window
+    reference on 50 docs (exact match; see tests).  Docs shorter than one
+    full window select their global rightmost-min.
+
+    Scale: explode to (doc, pos, hash) — 8-byte rows; ONE shuffle
+    (partition by doc_id, order by pos) computes all six lags/leads and
+    the selection predicate in a single Window pass, then a narrow filter.
+    No self-joins, no per-window expansion; fingerprint output is ~0.4×
+    the gram count and downstream near-dup joins group by fp_hash exactly
+    like ``dedup_exact``."""
+    return _winnow_selected(spark, sf_dir).selectExpr(
+        "doc_id", "pos as fp_pos", "h as fp_hash"
+    ).orderBy("doc_id", "fp_pos")
+
+
+def _winnow_selected(spark, sf_dir):
+    """Unordered winnowing selection (doc_id, pos, h) — shared by
+    ``winnow_fingerprint`` (which adds the driver-facing global order) and
+    ``dedup_winnow_pairs`` (which must NOT inherit that 0.4×-gram-count
+    global sort: composing the ordered op measured 54.6 s at sf1.0 vs
+    ~30 s without it)."""
+    # The documents table is a single ~30 MB parquet file even at sf1.0
+    # (under maxPartitionBytes -> ONE scan task), but this op fans each doc
+    # into ~550 md5-hashed gram rows.  Repartitioning the 50k compact doc
+    # rows by doc_id BEFORE the explode spreads the 27M-hash work across
+    # all cores AND pre-satisfies the Window's hashpartitioning(doc_id)
+    # requirement, so no second exchange of the exploded rows follows
+    # (sf1.0: 51 s -> ~17 s for the pairs consumer).
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter("text is not null and length(text) >= 5")
+        .repartition("doc_id")
+    )
+    g = d.selectExpr(
+        "doc_id",
+        "explode(sequence(1, length(text) - 4)) as pos",
+        "lower(text) as lt",
+        "length(text) - 4 as n_grams",
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        "cast(conv(substring(md5(substring(lt, pos, 5)), 1, 8), 16, 10)"
+        " as bigint) as h",
+        "n_grams",
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    x = g.select(
+        "doc_id",
+        "pos",
+        "h",
+        "n_grams",
+        F.lag("h", 1).over(win).alias("l1"),
+        F.lag("h", 2).over(win).alias("l2"),
+        F.lag("h", 3).over(win).alias("l3"),
+        F.lead("h", 1).over(win).alias("r1"),
+        F.lead("h", 2).over(win).alias("r2"),
+        F.lead("h", 3).over(win).alias("r3"),
+    )
+    r = x.selectExpr(
+        "doc_id",
+        "pos",
+        "h",
+        "n_grams",
+        "case when l1 is not null and l1 >= h then"
+        " case when l2 is not null and l2 >= h then"
+        " case when l3 is not null and l3 >= h then 3 else 2 end"
+        " else 1 end else 0 end as rl",
+        "case when r1 is not null and r1 > h then"
+        " case when r2 is not null and r2 > h then"
+        " case when r3 is not null and r3 > h then 3 else 2 end"
+        " else 1 end else 0 end as rr",
+    )
+    return r.where(
+        "(n_grams >= 4 and"
+        " greatest(pos - rl, pos - 3, 1)"
+        " <= least(pos, n_grams - 3, pos + rr - 3))"
+        " or (n_grams < 4 and pos - rl <= 1 and pos + rr >= n_grams)"
+    ).select("doc_id", "pos", "h")
+
+_WINNOW_FP_CTE = """
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), 5)),
+                         1, 8))::BIGINT AS h,
+         length(text) - 4 AS n_grams
+  FROM documents, unnest(generate_series(1, length(text) - 4)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 5
+),
+x AS (
+  SELECT doc_id, pos, h, n_grams,
+         lag(h, 1) OVER win AS l1, lag(h, 2) OVER win AS l2,
+         lag(h, 3) OVER win AS l3,
+         lead(h, 1) OVER win AS r1, lead(h, 2) OVER win AS r2,
+         lead(h, 3) OVER win AS r3
+  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+r AS (
+  SELECT doc_id, pos, h, n_grams,
+         CASE WHEN l1 IS NOT NULL AND l1 >= h THEN
+           CASE WHEN l2 IS NOT NULL AND l2 >= h THEN
+             CASE WHEN l3 IS NOT NULL AND l3 >= h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rl,
+         CASE WHEN r1 IS NOT NULL AND r1 > h THEN
+           CASE WHEN r2 IS NOT NULL AND r2 > h THEN
+             CASE WHEN r3 IS NOT NULL AND r3 > h THEN 3 ELSE 2 END
+           ELSE 1 END ELSE 0 END AS rr
+  FROM x
+),
+fp AS (
+  SELECT DISTINCT doc_id, h FROM r
+  WHERE (n_grams >= 4 AND
+         GREATEST(pos - rl, pos - 3, 1)
+           <= LEAST(pos, n_grams - 3, pos + rr - 3))
+     OR (n_grams < 4 AND pos - rl <= 1 AND pos + rr >= n_grams)
+)
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_WINNOW_FP_CTE
+    + """,
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM fp),
+hdf AS (SELECT h, COUNT(*) AS df FROM fp GROUP BY h),
+rare AS (
+  SELECT h FROM hdf CROSS JOIN nd
+  WHERE df >= 2
+    AND df <= LEAST(GREATEST(2, CAST(0.04 * n_docs AS BIGINT)), 64)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN rare USING (h) JOIN fp b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Copy-span candidate pairs from winnowing fingerprints — the
+    downstream consumer of ``winnow_fingerprint`` and the MOSS pipeline's
+    second stage: docs sharing >= 3 RARE fingerprints are candidate
+    near-dups for span-level verification.  "Rare" = document frequency
+    in [2, min(max(2, 4% of docs), 64)]: the RELATIVE 4% is the
+    stop-fingerprint cut (hashes half the corpus shares identify nothing,
+    like stopwords) keeping semantics SF-stable, and the ABSOLUTE 64 is
+    the block cap (the dedup_ngram_jaccard discipline) bounding every
+    bucket's pair fan-out at 64²/2 regardless of corpus pathology — on
+    the 10×-replica sf1.0 corpus the uncapped form ran 138 s (every
+    bucket holds all replicas); capped it is budget-safe.
+
+    Scale: the pair join groups by fp_hash with per-bucket size bounded
+    by the caps, the same blocked-join discipline as
+    ``dedup_near_exactjacc``/``dedup_ngram_jaccard``; fp rows are 16
+    bytes (doc_id, hash).  For graceful truncation instead of exclusion
+    above the cap, swap in the Bernoulli per-block draw + n_trunc audit
+    column demonstrated in dedup_ngram_jaccard; n_docs is a 1-row
+    broadcast fold.
+
+    Known corpus limit: the synthetic generator's ~30-word vocabulary
+    yields only ~1000 distinct 5-gram hashes corpus-wide, so on the
+    10×-replica sf1.0 corpus almost every hash exceeds the cap and the
+    capped op returns 0 pairs (the dedup_containment replica-df pathology
+    family) — real text has an open gram space and does not saturate."""
+    # cache: fp feeds THREE subplans (df-count, join side a, join side b) —
+    # uncached, the 27M-gram winnow selection recomputes per use
+    # (58 s -> ~30 s at sf1.0); rows are 16 bytes, the cache is tiny.
+    fp = (
+        _winnow_selected(spark, sf_dir).select("doc_id", "h").distinct().cache()
+    )
+    nd = fp.agg(F.countDistinct("doc_id").alias("n_docs"))
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(
+            "df >= 2 and"
+            " df <= least(greatest(2, cast(0.04 * n_docs as bigint)), 64)"
+        )
+        .select("h")
+    )
+    a = fp.join(rare, "h")
+    b = fp.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "h")
+        .where("doc_id < doc_b")
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where("n_shared >= 3")
+        .orderBy("doc_a", "doc_b")
+    )

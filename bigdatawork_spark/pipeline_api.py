@@ -269,12 +269,12 @@ class CurationPipeline:
     ) -> "CurationPipeline":
         """Drop documents whose in-corpus bigram-LM perplexity exceeds
         ``max_ppl`` — the CCNet quality cut as a stage, scored by the
-        shared ``round8_ops.bigram_nll_scores`` body (one policy site
+        shared ``corpus_ops.bigram_nll_scores`` body (one policy site
         with the lm_perplexity_score operator).  Documents with < 2 words
         carry no bigrams, hence no score: they are KEPT (length gates are
         a separate stage's job).  Two keyed aggregations + one per-bigram
         join; shuffles carry grams+counts, never documents."""
-        from .operators.round8_ops import bigram_nll_scores
+        from .operators.corpus_ops import bigram_nll_scores
 
         def gate(df: DataFrame) -> DataFrame:
             scores = bigram_nll_scores(df, id_col=id_col, col=col)
@@ -293,11 +293,11 @@ class CurationPipeline:
     ) -> "CurationPipeline":
         """Excise every >=50-char exactly-repeated span (Lee et al.
         exact-substring dedup at 20-gram anchor resolution) from ``col``,
-        in place, via the shared ``round8_ops.excise_repeated_spans``
+        in place, via the shared ``curation.excise_repeated_spans``
         body.  NOTE: the replacement text is lower-cased (the span hashes
         are case-folded, so the reassembly is too); fully-repeated docs
         become empty strings — follow with a length gate."""
-        from .operators.round8_ops import excise_repeated_spans
+        from .operators.curation import excise_repeated_spans
 
         def cut(df: DataFrame) -> DataFrame:
             cleaned = excise_repeated_spans(df, id_col=id_col, col=col)

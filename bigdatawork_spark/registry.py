@@ -260,6 +260,40 @@ ROTATION_DUE: dict[str, int] = {
             "table_format_time_travel"
         ).split()
     },
+    **{
+        k: 16
+        for k in (
+            # r15 source-changed keys, all re-driven green in the r15 full
+            # local sim and bootstrap-recorded so the r15 window stays on
+            # the r04/r05/r07 burn-down cohort (VERDICT r14 item 1: zero
+            # new keys, the due tier takes the whole window) — seeded so
+            # the REAL driver re-samples the changed source next round.
+            # Two change families:
+            #  * manifest pre-ledger-heal + commit-name-guard fixes
+            #    (ADVICE r14): ManifestTable changed under the
+            #    table_format family and its python-datasource/stream/
+            #    pipeline consumers;
+            #  * the round8_ops -> domain-module fold (VERDICT r14
+            #    item 5): helper tags moved module, changing the closure
+            #    fingerprint of the four keys that reference a moved
+            #    shared helper (the three whose closure is self-contained
+            #    hash identically and need no re-verification).
+            # NOTE: table_format_vacuum and pipeline_curate_corpus are
+            # ALSO in this change set (both source-stale from the r15
+            # edits, both re-driven green + bootstrapped) but are NOT
+            # listed here: a due-16 entry would OVERWRITE their r13-era
+            # due-14/15 seeds (dict merge, later wins) and demote them
+            # out of the r15 burn-down window they belong to — their
+            # existing seeds already keep them due until sampled.
+            "table_format_time_travel table_format_compaction "
+            "table_format_changes table_format_merge "
+            "table_format_stream_read table_format_stream_sink "
+            "source_python_datasource source_python_stream "
+            "stream_curate_to_table "
+            "lm_perplexity_score dedup_spans_removal winnow_fingerprint "
+            "dedup_winnow_pairs"
+        ).split()
+    },
 }
 
 # Streaming keys are due a driver re-sample EVERY OTHER ROUND (VERDICT r10

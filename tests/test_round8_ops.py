@@ -13,10 +13,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from bigdatawork_spark.operators.round8_ops import (
-    dedup_segments_crossdoc,
+from bigdatawork_spark.operators.curation import dedup_segments_crossdoc
+from bigdatawork_spark.operators.corpus_ops import lm_perplexity_score
+from bigdatawork_spark.operators.pipeline_ops import (
     dedup_winnow_pairs,
-    lm_perplexity_score,
     winnow_fingerprint,
 )
 
@@ -131,7 +131,7 @@ def test_dedup_segments_cleaned_text_is_subsequence(spark, sf_dir):
 
 
 def test_repeated_spans_matches_python_reference(spark, sf_dir, docs):
-    from bigdatawork_spark.operators.round8_ops import dedup_repeated_spans
+    from bigdatawork_spark.operators.curation import dedup_repeated_spans
 
     got = dedup_repeated_spans(spark, sf_dir).toPandas()
 
@@ -178,7 +178,7 @@ def test_repeated_spans_matches_python_reference(spark, sf_dir, docs):
 def test_repeated_spans_are_actually_repeated(spark, sf_dir, docs):
     """Every reported span's text occurs at least twice in the corpus
     (the defining property), checked literally on a sample."""
-    from bigdatawork_spark.operators.round8_ops import dedup_repeated_spans
+    from bigdatawork_spark.operators.curation import dedup_repeated_spans
 
     got = dedup_repeated_spans(spark, sf_dir).toPandas().head(20)
     corpus = "\x00".join(
@@ -197,7 +197,7 @@ def test_spans_removal_matches_python_reference(spark, sf_dir, docs):
     repeated spans, cut them out of each doc, compare text + counts —
     including the untouched-passthrough and the fully-repeated->empty
     cases and the k-1 char smear between position-adjacent islands."""
-    from bigdatawork_spark.operators.round8_ops import dedup_spans_removal
+    from bigdatawork_spark.operators.curation import dedup_spans_removal
 
     got = dedup_spans_removal(spark, sf_dir).toPandas().set_index("doc_id")
 
@@ -269,8 +269,8 @@ def test_perplexity_fuzz_vs_python(spark, texts):
     """Hypothesis fuzz of the bigram-LM scorer on random tiny-vocab
     corpora incl. NULL texts, empty texts, and single-word docs (no
     bigrams → absent from the output by contract)."""
-    import bigdatawork_spark.operators.round8_ops as r8
-    from bigdatawork_spark.operators.round8_ops import lm_perplexity_score
+    import bigdatawork_spark.operators.corpus_ops as r8
+    from bigdatawork_spark.operators.corpus_ops import lm_perplexity_score
     from collections import Counter
 
     rows = [(i, t) for i, t in enumerate(texts)]
@@ -323,8 +323,8 @@ def test_segment_dedup_fuzz_vs_python(spark, texts):
     """Hypothesis fuzz of the cross-doc segment dedup on random tiny-vocab
     corpora (maximizing boilerplate collisions and edge cases: empty
     texts, docs shorter than one segment, every-segment-boilerplate)."""
-    import bigdatawork_spark.operators.round8_ops as r8
-    from bigdatawork_spark.operators.round8_ops import dedup_segments_crossdoc
+    import bigdatawork_spark.operators.curation as r8
+    from bigdatawork_spark.operators.curation import dedup_segments_crossdoc
 
     rows = [(i, t) for i, t in enumerate(texts)]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
@@ -363,8 +363,8 @@ def test_heavy_hitters_exact_beyond_sketch_capacity(spark):
     candidate union must still contain every true top-20, making the
     final answer EXACT vs a Python Counter.  This is the case the real
     corpus (31 words < m) never exercises."""
-    import bigdatawork_spark.operators.round8_ops as r8
-    from bigdatawork_spark.operators.round8_ops import topk_heavy_hitters
+    import bigdatawork_spark.operators.aggregations as r8
+    from bigdatawork_spark.operators.aggregations import topk_heavy_hitters
     from collections import Counter
 
     # Guarantee precondition: every true top-20 count must exceed
@@ -519,8 +519,8 @@ def test_winnow_fuzz_random_strings_vs_bruteforce(spark, texts):
     alphabet (maximizing hash ties and boundary cases: docs shorter than
     k, shorter than one window, exactly one window).  The operator is
     re-pointed at an inline table through a temp view of the same shape."""
-    from bigdatawork_spark.operators.round8_ops import _winnow_selected
-    import bigdatawork_spark.operators.round8_ops as r8
+    from bigdatawork_spark.operators.pipeline_ops import _winnow_selected
+    import bigdatawork_spark.operators.pipeline_ops as r8
     from bigdatawork_spark import io as bio
 
     rows = [(i, t) for i, t in enumerate(texts)]
