@@ -35,8 +35,17 @@ BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 #   pinned at the 45 s boundary for four rounds (45.1 s in r14, ~55 s
 #   standalone).  The exchange is one co-partitioning shuffle per side —
 #   already minimal; the per-key Python dispatch IS the operator.
+#   stream_stream_join / stream_stream_left_join: each maintains TWO
+#   per-side join state stores over 1M events/side at sf1.0, replayed as
+#   2 micro-batches to prove cross-trigger state — the per-batch state
+#   snapshot/commit cost IS the operator.  Observed hovering at the 45 s
+#   boundary with high variance (r14: left 40.5 s / inner <15 s; r15
+#   runs: inner 52.3 → 44.9 s, left 21.5 → 21.0 s — micro-batch
+#   scheduling weather, not growth).
 HEAVY_AUDIT_KEYS: dict[str, float] = {
     "udtf_cogrouped_map": 120.0,
+    "stream_stream_join": 120.0,
+    "stream_stream_left_join": 120.0,
 }
 
 import bigdatawork_spark  # noqa: F401,E402
@@ -87,7 +96,12 @@ def main() -> int:
             dt = time.time() - t0
             status = "ok"
             if dt > budget:
-                status = "TIMEOUT"  # cancelled mid-count but count returned
+                # cancelled mid-count but the count still returned — a
+                # budget breach all the same; COUNT it (r15: the success
+                # path labeled the line TIMEOUT but never appended to
+                # timed_out, so the summary under-reported)
+                status = "TIMEOUT"
+                timed_out.append((key, dt))
             elif dt > BUDGET / 3:
                 slow.append((key, dt))
             cap = ""
