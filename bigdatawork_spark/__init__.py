@@ -20,11 +20,6 @@ from .operators import (  # noqa: F401
     platform_ops,
     projections,
     reshape,
-    round10_ops,
-    round11_ops,
-    round11b_ops,
-    round11c_ops,
-    round13_ops,
     search_ops,
     sorts_sets,
     stats_ops,
@@ -38,11 +33,8 @@ from .operators import (  # noqa: F401
 from . import pipeline_api, sql_api  # noqa: F401
 from .registry import ORACLES, QUERIES  # noqa: F401
 
-# Round-7 promotion (VERDICT r06 item 1): the 12 operators staged in round 5
-# register into the live registry unconditionally.  The env-flag rehearsal
-# path (SPARK_GRAFT_PROMOTE_R06=1) is retired — the 247-key rehearsal passed
-# in round 5 (COVERAGE.md) and these keys are now part of the driver
-# contract surface like any other.
-from .operators import staged_r06 as _staged_r06  # noqa: F401
-
-_staged_r06.promote()
+# The round-6 staging module (staged_r06.py) is GONE (r15 module-hygiene
+# fold, VERDICT r14 item 5): its 13 operators live in their domain modules
+# (curation/llm_ops/training_ops/stats_ops/platform_ops/windows/
+# manifest_format) with inline @register decorators — the module's own
+# documented endgame once promote() became unconditional in round 7.

@@ -978,3 +978,113 @@ def bigram_nll_scores(d, id_col: str = "doc_id", col: str = "text"):
             f"{id_col}", "n_bigrams", "avg_nll", "round(exp(avg_nll), 4) as ppl"
         )
     )
+
+
+# --- folded from the round-11b module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS t FROM uni),
+big AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM toks WHERE len(ws) >= 2
+  ) GROUP BY 1, 2
+),
+btot AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS bt FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         round(ln((b.c_xy / btot.bt) /
+                  ((u1.c_w / tot.t) * (u2.c_w / tot.t))), 6) AS pmi
+  FROM big b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE b.c_xy >= 5
+)
+SELECT w1, w2, c_xy, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+""",
+)
+def ngram_pmi(spark, sf_dir):
+    """Bigram collocation mining by pointwise mutual information:
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with bigram/unigram MLE
+    probabilities, keeping pairs seen ≥5 times, top-20 by PMI.
+
+    Scale shape: tokenization and adjacent-pairing are narrow
+    (map-only); both count aggregates shuffle the VOCABULARY after
+    map-side combine, never the corpus; the scoring joins are
+    vocab⋈vocab equi-joins (bigram types × 2 lookups).  The two global
+    totals (token count, bigram count) are ONE tiny aggregate collected
+    to the driver — 2 doubles of driver state, inlined as literals so
+    the scoring stage stays map-only (no scalar broadcast join in the
+    plan).  Ordering compares the ROUNDED score so cross-engine tie
+    order is deterministic."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    # Both MLE denominators in one bounded collect: total tokens and total
+    # bigram occurrences (the latter BEFORE the ≥5 support cut, matching
+    # the oracle's SUM over the unfiltered bigram groups).
+    totals = toks.agg(
+        F.sum(F.size("ws")).cast("double").alias("t"),
+        F.sum(
+            F.when(F.size("ws") >= 2, F.size("ws") - 1).otherwise(0)
+        ).cast("double").alias("bt"),
+    ).collect()[0]
+    t, bt = float(totals["t"]), float(totals["bt"])
+    scored = (
+        big.filter(F.col("c_xy") >= 5)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.lit(bt))
+                    / ((F.col("c1") / F.lit(t)) * (F.col("c2") / F.lit(t)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)

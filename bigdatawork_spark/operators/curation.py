@@ -11,7 +11,7 @@ sampling is not reproducible across engines or across re-partitions — at
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -1294,4 +1294,946 @@ def excise_repeated_spans(df, id_col: str = "doc_id", col: str = "text"):
         "coalesce(n_cut, 0L) as n_cut_spans",
         "coalesce(ctext, lt) as cleaned_text",
         "cast(length(coalesce(ctext, lt)) as bigint) as cleaned_len",
+    )
+
+
+# --- folded from the round-10 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+
+# exercises every normalization rule: scheme case, www + host case,
+# default port, path trailing slash, tracking params, param order,
+# fragments.
+_RAW_URL_SPARK = """
+concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END,
+  CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', upper(source))
+       ELSE source END,
+  '.Example.COM',
+  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+  '/docs/', cast(doc_id % 12 as string),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+       ELSE '?b=2&a=1' END,
+  CASE WHEN doc_id % 7 = 0 THEN concat('#s', cast(doc_id as string))
+       ELSE '' END
+)
+"""
+
+_RAW_URL_DUCK = """
+(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END ||
+ CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) ELSE source END ||
+ '.Example.COM' ||
+ CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+ '/docs/' || CAST(doc_id % 12 AS VARCHAR) ||
+ CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+ CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+      ELSE '?b=2&a=1' END ||
+ CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+#: Tracking params every crawl pipeline strips (Google/Facebook click ids,
+#: UTM campaign tags, generic ref) — anchored at the param name.
+_TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def normalize_urls(d):
+    """Apply the canonicalizer to any DataFrame carrying (doc_id,
+    url_raw); returns (doc_id, url_raw, host, url_norm).
+
+    Generic syntax-based normalization (works on any http(s) URL, not
+    just the generator's): strip userinfo (``user:pw@`` — a trivial
+    spelling that otherwise bypasses host-keyed blocklists; ADVICE r10),
+    lowercase scheme+host, strip ``www.``, strip default ports (80/http,
+    443/https) but KEEP non-default ports (incl. after ``[IPv6]``
+    literals), strip fragment, drop tracking params, sort surviving
+    params, strip trailing path slashes (root stays ``/``).  Fuzzed
+    against a pure-Python reference over arbitrary component
+    combinations — including userinfo and IPv6 hosts — in
+    tests/test_url_fuzz.py."""
+    return d.selectExpr(
+        "doc_id",
+        "url_raw",
+        # fragment off first; every later regexp sees the defragged URL
+        "regexp_replace(url_raw, '#.*$', '') as u",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme",
+        # userinfo off before host/port extraction: 'http://x@host/' must
+        # canonicalize to host, or a trivial spelling bypasses host-level
+        # blocklists/dedup (ADVICE r10)
+        "regexp_replace(regexp_extract(u, '://([^/?#]*)', 1), '^[^@]*@', '')"
+        " as hostport",
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path",
+        "regexp_extract(u, '\\\\?([^#]*)', 1) as query",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "scheme",
+        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), "
+        "'^www\\\\.', '') as host",
+        "regexp_extract(hostport, ':([0-9]+)$', 1) as portnum",
+        "CASE WHEN path = '' THEN '/' "
+        "     WHEN regexp_replace(path, '/+$', '') = '' THEN '/' "
+        "     ELSE regexp_replace(path, '/+$', '') END as path_n",
+        f"array_join(array_sort(filter(split(query, '&'), "
+        f"p -> p != '' AND NOT p rlike '{_TRACKING_RE}')), '&') as kept",
+    ).selectExpr(
+        "doc_id",
+        "url_raw",
+        "host",
+        "concat(scheme, '://', host, "
+        "CASE WHEN portnum != '' AND NOT (scheme = 'http' AND portnum = '80') "
+        "          AND NOT (scheme = 'https' AND portnum = '443') "
+        "     THEN concat(':', portnum) ELSE '' END, "
+        "path_n, "
+        "CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) as url_norm",
+    )
+
+
+def _url_norm_df(spark, sf_dir):
+    """doc_id, url_raw, url_norm, host over the documents-derived URLs —
+    the deterministic generator feeding the registry keys."""
+    return normalize_urls(
+        load(spark, sf_dir, "documents").selectExpr(
+            "doc_id", f"{_RAW_URL_SPARK} as url_raw"
+        )
+    )
+
+
+_NORM_CTE_DUCK = f"""
+raw AS (
+  SELECT doc_id, {_RAW_URL_DUCK} AS url_raw FROM documents
+),
+defrag AS (
+  SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$', '') AS u FROM raw
+),
+parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_extract(u, '://([^/?#]*)', 1),
+                        '^[^@]*@', '') AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS query
+  FROM defrag
+),
+cooked AS (
+  SELECT doc_id, url_raw, scheme,
+         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS portnum,
+         CASE WHEN path = '' THEN '/'
+              WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END AS path_n,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&')
+           AS kept
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, url_raw, host,
+         scheme || '://' || host ||
+         CASE WHEN portnum <> '' AND NOT (scheme = 'http' AND portnum = '80')
+                   AND NOT (scheme = 'https' AND portnum = '443')
+              THEN ':' || portnum ELSE '' END ||
+         path_n ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS url_norm
+  FROM cooked
+)
+"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK}
+SELECT doc_id, url_raw, host, url_norm FROM norm ORDER BY doc_id
+""",
+)
+def dedup_url_normalize(spark, sf_dir):
+    """URL canonicalization (RFC 3986 §6 syntax normalization + the
+    crawl-pipeline tracking-param strip) — see ``_url_norm_df``.  Pure
+    per-row column expressions: map-only, WholeStageCodegen, no
+    shuffle."""
+    return _url_norm_df(spark, sf_dir).select(
+        "doc_id", "url_raw", "host", "url_norm"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_url_host",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK},
+per_url AS (
+  SELECT host, url_norm,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         MIN(doc_id) AS keep_doc
+  FROM norm GROUP BY host, url_norm
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_docs_removed,
+       MIN(keep_doc) AS first_kept_doc
+FROM per_url GROUP BY host ORDER BY host
+""",
+)
+def dedup_url_host(spark, sf_dir):
+    """Host-level view of normalized-URL exact dedup: collapse each
+    normalized URL to its min-doc_id representative, then report per
+    host how many docs the URL dedup removed.  Two keyed aggregations —
+    (host, url_norm) then host — shuffling group keys + counts only;
+    #hosts << #urls, so the second agg is trivially small at any
+    scale."""
+    per_url = (
+        _url_norm_df(spark, sf_dir)
+        .groupBy("host", "url_norm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_urls"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dup_docs_removed"),
+            F.min("keep_doc").alias("first_kept_doc"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "url_filter_blocklist",
+    oracle=f"""
+WITH {_NORM_CTE_DUCK}
+SELECT doc_id, host, url_norm FROM norm
+WHERE host NOT IN ('src3.example.com', 'src7.example.com',
+                   'src12.example.com')
+  AND NOT regexp_matches(url_norm, '/docs/7($|[/?])')
+ORDER BY doc_id
+""",
+)
+def url_filter_blocklist(spark, sf_dir):
+    """Crawl blocklist gate (the UT1/robots-denylist stage every crawl
+    pipeline runs before content filters): drop documents whose
+    NORMALIZED host is on the domain blocklist, or whose URL matches a
+    blocked-path rule.  Hosts match post-normalization — ``WWW.SRC3...``
+    and ``src3...:80`` cannot dodge the list.
+
+    Scale: the blocklist is small by definition (UT1 ~3M hosts, a few
+    tens of MB) → broadcast LEFT ANTI join, map-side; the path rule is a
+    per-row regexp.  Zero shuffles beyond the presentation sort.  The
+    demo list names three live hosts + one path rule so the gate is
+    non-vacuous at every SF."""
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",), ("src12.example.com",)],
+        "host string",
+    )
+    return (
+        _url_norm_df(spark, sf_dir)
+        .join(F.broadcast(bl), "host", "left_anti")
+        .filter(~F.col("url_norm").rlike("/docs/7($|[/?])"))
+        .select("doc_id", "host", "url_norm")
+        .orderBy("doc_id")
+    )
+
+
+# --- folded from the round-11c module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+
+_BATCH_MOD = 10
+_BATCH_REM = 7
+
+# The sf corpus carries no natural exact duplicates, so without help the
+# exact/audit keys would hash-match with every branch but 'kept' firing on
+# ZERO rows (the r05 vacuity lesson; the dedup_ladder_exact_stage replica
+# pattern is reused here): both engines inject the SAME deterministic
+# replicas — every doc_id % 50 = 0 document reappears in the BATCH
+# (+1000007 keeps the new id ≡ 7 mod 10 → an index_hit) and every
+# doc_id % 50 = 7 document reappears in the batch again (+1000010 → a
+# batch_dup), so all three admission statuses are exercised and checked.
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000007, text, source FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 1000010, text, source FROM documents WHERE doc_id % 50 = 7
+)
+"""
+
+
+def _augmented_documents(spark, sf_dir):
+    """documents ∪ the deterministic replica plants (see _AUG_SQL)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000007).alias("doc_id"), "text", "source"
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") % 50 == 7).select(
+                (F.col("doc_id") + 1000010).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+
+
+# Bounded-lifetime cache for the hashed (augmented) relation: every
+# admission builder consumes batch/corpus from MULTIPLE subplans (group
+# mins + joins), and Spark recomputes the full union+sha2 lineage per
+# consumer otherwise (the SURVEY §7 cache-shared-subplans lesson).  One
+# sf_dir is live at a time; switching evicts the previous dir's entries
+# (tests fuzz over fresh tmp dirs — without eviction each example would
+# leak a cached relation into executor storage, ADVICE r10).
+_SPLIT_CACHE: dict[str, dict[bool, object]] = {}
+
+
+def _hashed_documents(spark, sf_dir, *, augmented: bool, cache: bool = True):
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CACHE") == "0":
+        cache = False  # plan dumps need the file scans visible (io.load rule)
+    if not cache:
+        d = (
+            _augmented_documents(spark, sf_dir)
+            if augmented
+            else load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        )
+        return d.withColumn("h", F.sha2("text", 256))
+    per = _SPLIT_CACHE.get(sf_dir)
+    if per is None:
+        for old_dir in list(_SPLIT_CACHE):
+            for df in _SPLIT_CACHE.pop(old_dir).values():
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass  # the old relation's session may already be stopped
+        per = _SPLIT_CACHE.setdefault(sf_dir, {})
+    if augmented not in per:
+        per[augmented] = _hashed_documents(
+            spark, sf_dir, augmented=augmented, cache=False
+        ).cache()
+    return per[augmented]
+
+
+def _split(spark, sf_dir, *, augmented: bool = True, cache: bool = True):
+    """(batch, corpus) halves under the %10=7 arrival rule, each with the
+    64-hex content hash attached (the only column the index-side plumbing
+    ever shuffles).  ``augmented`` adds the replica plants (exact/audit
+    keys); the minhash key splits the natural corpus — exact replicas are
+    collapsed before LSH anyway, so planting them there would verify
+    nothing.  ``cache=False`` bypasses the shared hashed-relation cache
+    (dedup_index_persisted pins FileSourceScan Location lines, which an
+    InMemoryTableScan would hide)."""
+    h = _hashed_documents(spark, sf_dir, augmented=augmented, cache=cache)
+    return (
+        h.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM),
+        h.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM),
+    )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+WITH {_AUG_SQL},
+batch AS (
+  SELECT doc_id, sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (
+  SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+  FROM batch GROUP BY h
+)
+SELECT g.doc_id, g.h AS text_hash, g.n_batch_copies
+FROM grp g
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = g.h)
+ORDER BY g.doc_id
+""",
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Exact-dedup admission of an arriving batch against the standing
+    corpus index: collapse the batch per content hash (keep min doc_id,
+    count copies), then anti-join the CORPUS HASH INDEX — the batch
+    never sees corpus text, and the join shuffles 64-byte hashes on both
+    sides.  At 100 TB the index is a persisted hash-bucketed table of
+    ~64 B/doc; admission cost scales with the BATCH, not the corpus.
+    Both engines run over the replica-augmented corpus (_AUG_SQL) so the
+    anti-join and the within-batch collapse each reject REAL rows — not
+    the vacuous 0=0 a dup-free corpus would give."""
+    batch, corpus = _split(spark, sf_dir)
+    idx = corpus.select("h").distinct()
+    grp = batch.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+    )
+    return (
+        grp.join(idx, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"), "n_batch_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_incremental_audit",
+    oracle=f"""
+WITH {_AUG_SQL},
+batch AS (
+  SELECT doc_id, source, sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM aug
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (SELECT h, MIN(doc_id) AS keep_id FROM batch GROUP BY h),
+cls AS (
+  SELECT b.source,
+         CASE WHEN i.h IS NOT NULL THEN 'index_hit'
+              WHEN b.doc_id > g.keep_id THEN 'batch_dup'
+              ELSE 'kept' END AS status
+  FROM batch b
+  JOIN grp g ON b.h = g.h
+  LEFT JOIN idx i ON b.h = i.h
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY source, status ORDER BY source, status
+""",
+)
+def dedup_incremental_audit(spark, sf_dir):
+    """The per-batch admission report: every arriving doc classified
+    `index_hit` (hash already in the corpus index — precedence over the
+    within-batch rule), `batch_dup` (a younger copy inside the batch),
+    or `kept`, rolled up per source.  This is the audit artifact a
+    continuous pipeline publishes with each ingested batch; `kept`
+    counts equal ``dedup_incremental_exact``'s survivor count (pinned
+    cross-op in tests).  Plan shape: two hash-key joins (batch⋈batch
+    group mins, batch⋈index) plus a tiny (source × 3) rollup — nothing
+    wider than the hash column moves."""
+    batch, corpus = _split(spark, sf_dir)
+    idx = corpus.select("h").distinct().withColumn("in_idx", F.lit(True))
+    mins = batch.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    cls = (
+        batch.join(mins, "h")
+        .join(idx, "h", "left")
+        .select(
+            "source",
+            F.when(F.col("in_idx"), "index_hit")
+            .when(F.col("doc_id") > F.col("keep_id"), "batch_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return (
+        cls.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+# Bounded-lifetime cache (the minhash_pairs pattern, ADVICE r10): the two
+# staged feature relations feed lsh.fit and both join sides; each call
+# evicts the previous call's relations.
+_INC_STAGED_LAST: list[DataFrame] = []
+
+
+def incremental_minhash_hits(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    *,
+    num_hash_tables: int = 5,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup hits of ``batch_docs`` against ``index_docs`` (both need
+    (doc_id, text)) via the minhash_pairs pipeline (RegexTokenizer →
+    NGram(shingle_n) → binary HashingTF → MinHashLSH), joined
+    batch⋈index instead of self⋈self: candidate generation is LSH band
+    buckets over the INDEX side, so admission cost scales with the batch
+    and the bucket densities, never corpus².  Returns
+    (batch_doc, index_doc, jaccard_dist ≤ threshold) sorted."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=shingle_n, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+
+    def stage(docs):
+        s = tf.transform(ngram.transform(tok.transform(docs)))
+        return s.filter(F.size("shingles") >= 1).cache()
+
+    global _INC_STAGED_LAST
+    for old in _INC_STAGED_LAST:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # the old relation's session may already be stopped
+    idx_staged, batch_staged = stage(index_docs), stage(batch_docs)
+    _INC_STAGED_LAST = [idx_staged, batch_staged]
+
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(idx_staged)
+    hits = model.approxSimilarityJoin(
+        batch_staged, idx_staged, threshold, distCol="jaccard_dist"
+    )
+    return (
+        hits.select(
+            F.col("datasetA.doc_id").alias("batch_doc"),
+            F.col("datasetB.doc_id").alias("index_doc"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .orderBy("batch_doc", "index_doc")
+    )
+
+
+@register("dedup_incremental_minhash")  # rows-only: LSH bucketing is engine-specific
+def dedup_incremental_minhash(spark, sf_dir):
+    """Near-dup admission of the arriving batch against the corpus,
+    ladder-style (SCALE.md §8: exact collapse BEFORE LSH, on both
+    sides — replica floods otherwise saturate band buckets):
+
+      1. corpus → exact-unique representatives (min doc_id per hash) —
+         at 100 TB this is the PERSISTED signature index, maintained
+         incrementally, not recomputed;
+      2. batch → within-batch representatives, MINUS exact index hits
+         (those are already decided by ``dedup_incremental_exact`` —
+         LSH never re-litigates jaccard=0 pairs);
+      3. MinHash-LSH join of the batch residue against the corpus
+         representatives (default banding: 5 tables, distance ≤ 0.2).
+
+    Output (batch_doc, index_doc, jaccard_dist): the admission decisions
+    a near-dup policy consumes.  Recall is pinned against a hand-built
+    cross-split near-dup corpus (tests/test_round11c.py) — the sf corpus
+    is not guaranteed to carry near-dups straddling the %10 split.
+    Splits the NATURAL corpus (augmented=False): planted exact replicas
+    would be collapsed before LSH anyway and verify nothing here."""
+    batch, corpus = _split(spark, sf_dir, augmented=False)
+    corpus_reps = (
+        corpus.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .join(corpus.select("doc_id", "text"), "doc_id")
+    )
+    idx_hashes = corpus.select("h").distinct()
+    batch_residue = (
+        batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .join(idx_hashes, "h", "left_anti")
+        .join(batch.select("doc_id", "text"), "doc_id")
+    )
+    return incremental_minhash_hits(
+        corpus_reps.select("doc_id", "text"),
+        batch_residue.select("doc_id", "text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_index_persisted — the persisted-index admission, plan-pinned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_index_update_idempotent",
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx0 AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h),
+surv AS (
+  SELECT g.h FROM grp g
+  WHERE NOT EXISTS (SELECT 1 FROM idx0 i WHERE i.h = g.h)
+),
+idx1 AS (SELECT h FROM idx0 UNION SELECT h FROM surv),
+readmit AS (
+  SELECT g.h FROM grp g
+  WHERE NOT EXISTS (SELECT 1 FROM idx1 i WHERE i.h = g.h)
+)
+SELECT phase, n FROM (
+  SELECT 'admitted_first' AS phase, CAST(COUNT(*) AS BIGINT) AS n FROM surv
+  UNION ALL
+  SELECT 'admitted_after_update', CAST(COUNT(*) AS BIGINT) FROM readmit
+  UNION ALL
+  SELECT 'index_size_before', CAST(COUNT(*) AS BIGINT) FROM idx0
+  UNION ALL
+  SELECT 'index_size_after', CAST(COUNT(*) AS BIGINT) FROM idx1
+) ORDER BY phase
+""",
+)
+def dedup_index_update_idempotent(spark, sf_dir):
+    """Index MAINTENANCE — the stage that closes the continuous-admission
+    loop the §11c family demonstrates (build → admit → UPDATE → re-admit):
+    after a batch's survivors are admitted, their hashes are APPENDED to
+    the persisted index (new parquet files under the same path — O(batch)
+    writes, the standing corpus index is never rewritten or rescanned),
+    and re-admitting the SAME batch against the updated index must admit
+    ZERO documents.  That idempotence is what makes the pipeline safe to
+    re-run after a partial failure (at-least-once delivery upstream) —
+    the same guarantee stream_restart_checkpoint pins for streaming
+    state, here for the batch index.
+
+    Output: the four-phase audit (admitted_first / admitted_after_update
+    / index_size_before / index_size_after) — admitted_after_update is
+    pinned 0 and index growth equals the first admission's survivor
+    count.  At 100 TB every step is O(batch) plus one anti-join probe of
+    the 64 B/doc index; compaction of the appended files is ordinary
+    table maintenance."""
+    from ..streaming.stream_ops import _fresh_dir
+
+    batch, corpus = _split(spark, sf_dir, augmented=False, cache=False)
+    idx_path = _fresh_dir("hashidx-upd")
+    corpus.select("h").distinct().write.mode("overwrite").parquet(idx_path)
+
+    grp = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+
+    # localCheckpoint: the survivor relation feeds both the count and the
+    # append write, and the append targets the SAME path its plan reads —
+    # materializing it evaluates the anti-join once and severs the
+    # self-read-while-appending lineage (code-review r12) instead of
+    # leaning on the read-time file-listing snapshot.
+    surv = grp.join(
+        spark.read.parquet(idx_path), "h", "left_anti"
+    ).localCheckpoint()
+    n_before = spark.read.parquet(idx_path).count()
+    n_first = surv.count()
+    # the UPDATE: append only the survivors' hashes — new files, no rewrite
+    surv.select("h").write.mode("append").parquet(idx_path)
+
+    idx1 = spark.read.parquet(idx_path)
+    n_after = idx1.distinct().count()
+    n_re = grp.join(idx1, "h", "left_anti").count()
+
+    return spark.createDataFrame(
+        [
+            ("admitted_after_update", n_re),
+            ("admitted_first", n_first),
+            ("index_size_after", n_after),
+            ("index_size_before", n_before),
+        ],
+        "phase string, n long",
+    ).orderBy("phase")
+
+
+@register(
+    "dedup_index_persisted",
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+),
+idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+grp AS (
+  SELECT h, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+  FROM batch GROUP BY h
+)
+SELECT g.doc_id, g.h AS text_hash, g.n_batch_copies
+FROM grp g
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = g.h)
+ORDER BY g.doc_id
+""",
+)
+def dedup_index_persisted(spark, sf_dir):
+    """The persisted-index admission: SCALE.md §11c's "the index is a
+    persisted table" claim as a PINNED PLAN, not prose.  Stage 1 (index
+    build/maintenance — amortized across every future batch) writes the
+    corpus's distinct content hashes to parquet; stage 2 (admission)
+    reads the BATCH slice of `documents` plus the index FILES — the
+    admission query's executed plan contains exactly ONE scan of
+    documents.parquet and one of the index path (pinned in
+    tests/test_round11c.py), i.e. corpus text is provably not rescanned
+    per batch.  Natural split (no replica plants): the plants' union
+    would add corpus-slice scans to the admission plan and break the
+    very property this key pins; the rejection VALUES are verified by
+    ``dedup_incremental_exact`` (planted + fuzzed) and by this key's
+    planted-corpus engine test."""
+    from ..streaming.stream_ops import _fresh_dir
+
+    batch, corpus = _split(spark, sf_dir, augmented=False, cache=False)
+    idx_path = _fresh_dir("hashidx")
+    corpus.select("h").distinct().write.mode("overwrite").parquet(idx_path)
+
+    idx = spark.read.parquet(idx_path)
+    grp = batch.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+    )
+    return (
+        grp.join(idx, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"), "n_batch_copies")
+        .orderBy("doc_id")
+    )
+
+
+# --- folded from the staged round-6 module (r15 module-hygiene
+# fold, VERDICT r14 item 5): moved VERBATIM apart from the
+# @_staged -> @register decorator (the module's own documented
+# endgame: 'delete this module and inline the @register
+# decorators'). Zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+# dedup_ladder — the measured production order (SCALE.md §8) as one operator
+
+
+def _ladder_exact_stage(d):
+    """Stage 1 of the ladder, shared with ``dedup_ladder_exact_stage``:
+    collapse hash-identical documents to their min-doc_id representative.
+    Returns (exact_pairs, representatives).  Shuffles constant-width
+    sha256 keys, never documents."""
+    hashed = d.select(
+        "doc_id", "text", F.sha2("text", 256).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    exact_pairs = (
+        ranked.filter(F.col("rn") > 1)
+        .select(
+            F.col("keep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit("exact").alias("kind"),
+            F.lit(0.0).alias("jaccard_dist"),
+        )
+    )
+    reps = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+    return exact_pairs, reps
+
+
+@register(
+    "dedup_ladder_exact_stage",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT keep_id AS doc_a, doc_id AS doc_b, 'exact' AS kind,
+       CAST(0.0 AS DOUBLE) AS jaccard_dist
+FROM g WHERE rn > 1 ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ladder_exact_stage(spark, sf_dir):
+    """The ladder's exact pre-pass ALONE, as a DuckDB-oracled key
+    (VERDICT r10 item 7: the flagship production-dedup composition was
+    rows-only end-to-end; its stage-1 output — every non-representative
+    mapped to its min-doc_id representative — is plain SQL, so the driver
+    now hash-checks it cross-engine; the MinHash stage stays covered by
+    the recall-vs-exact-twin tests).  The sf0.01 corpus carries no
+    natural exact duplicates (the stage would hash-match vacuously on
+    0 = 0), so both engines first add the SAME deterministic replicas —
+    every doc_id % 5 = 0 document re-appears at doc_id + 1000000, the
+    round-10 messy-URL-generator pattern — and the checked pairs are the
+    (original, replica) mappings the ranking logic must produce.  The
+    oracle groups on raw text equality, equivalent to the sha256-key
+    grouping the engine uses (the hash exists so the 100 TB shuffle
+    carries 64-byte keys, not documents)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    exact_pairs, _ = _ladder_exact_stage(corpus)
+    return exact_pairs.orderBy("doc_a", "doc_b")
+
+
+@register("dedup_ladder")  # rows-only: MinHash stage is engine-specific
+def dedup_ladder(spark, sf_dir):
+    """Production dedup order, composed: (1) exact-dup pre-pass collapses
+    hash-identical documents to their min-doc_id representative, (2)
+    MinHash-LSH near-dup detection runs ONLY on the unique representatives.
+    SCALE.md §8 MEASURED this order at sf1.0: the pre-pass collapses 50k
+    docs → 4992 uniques in 1.3 s and the identical MinHash pipeline then
+    finishes in 8.3 s total, vs >45 s (budget timeout) without it — exact
+    replicas flood LSH band buckets ~10× denser otherwise.
+
+    Output: one row per duplicate relation — kind='exact' rows map every
+    non-representative doc to its representative (doc_a = keep, doc_b =
+    dup, doc_a < doc_b by min-id choice); kind='near' rows are LSH
+    candidate pairs of REPRESENTATIVES with jaccard_dist ≤ 0.2.  Near-dup
+    pairs between members of two exact groups are implied by transitivity
+    through their representatives (the standard production contract —
+    grouping happens downstream in dedup_cluster_cc).
+
+    100 TB: stage 1 shuffles constant-width sha256 keys; stage 2 inherits
+    dedup_near_minhash's band-bucket shape on the collapsed corpus."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_pairs, reps = _ladder_exact_stage(d)
+
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    ngram = NGram(n=3, inputCol="words", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    staged = tf.transform(ngram.transform(tok.transform(reps)))
+    staged = staged.filter(F.size("shingles") >= 1).cache()
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(staged)
+    near = model.approxSimilarityJoin(staged, staged, 0.2, distCol="jaccard_dist")
+    near_pairs = (
+        near.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.lit("near").alias("kind"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+    return exact_pairs.unionByName(near_pairs).orderBy("kind", "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup: quote/subset inclusion
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+  FROM toks WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = r.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, contained_doc, containment FROM (
+  SELECT i.doc_a, i.doc_b,
+         CASE WHEN za.n_sh <= zb.n_sh THEN i.doc_a ELSE i.doc_b END
+           AS contained_doc,
+         ROUND(CAST(i.n_common AS DOUBLE)
+               / least(za.n_sh, zb.n_sh), 6) AS containment
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+) WHERE containment >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment dedup over 3-word-shingle sets:
+    |A∩B| / min(|A|,|B|) ≥ 0.8 — the quote/subset-inclusion detector
+    symmetric Jaccard structurally misses (a 50-shingle quote fully
+    embedded in a 500-shingle doc scores Jaccard 0.1 but containment 1.0;
+    Broder's original resemblance/containment pair).  SHINGLE sets, not
+    word sets, deliberately: this corpus's 31-word vocabulary makes
+    word-set containment vacuous (any long doc contains every word — and
+    conversely the registered rare-WORD blocking of dedup_near_exactjacc
+    finds zero candidates here because every word's df > 20, measured);
+    the ~16k distinct shingles discriminate.  Candidates come from
+    rare-shingle blocking (2 ≤ df ≤ 5 caps a block at 5 docs / 10 pairs),
+    bounding the pair space at any corpus size.  Reports which side is
+    the contained (smaller-set) document.
+
+    100 TB: one shingle explode, df-bounded candidate join,
+    count-intersection aggregation — dedup_near_exactjacc's shuffle shape
+    with the discriminative token granularity."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> w != '')").alias("ws"),
+        )
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 2),"
+                        " i -> concat(element_at(ws, i), ' ',"
+                        "             element_at(ws, i + 1), ' ',"
+                        "             element_at(ws, i + 2)))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 5))
+        .select("s")
+    )
+    sa_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_a"), "s")
+    sb_r = sh.join(rare, "s").select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        sa_r.join(sb_r, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    containment = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from ..sources.io_ops import _tmp
 from .aggregations import _dsum
 
 
@@ -573,3 +574,325 @@ def join_lateral_topn(spark, sf_dir):
     from ..sql_api import sql
 
     return sql(spark, sf_dir, _LATERAL_TOPN_SQL)
+
+
+# --- folded from the round-13 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+
+_BLOOM_BITS = 8192   # position domain per hash function (m)
+_BLOOM_DIM_NATION = "NATION_7"
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT l.l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_suppkey
+ORDER BY s_suppkey
+""",
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Selective fact⋈dim join behind a Bloom-style pre-shuffle filter:
+    the NATION_7 suppliers' keys hash (xxhash64, two salts) into a
+    fixed 8192-position domain; the occupied positions — at most m rows
+    of ints, REGARDLESS of dim cardinality — broadcast, and lineitem is
+    pruned by two broadcast LEFT SEMI probes (k=2 Bloom membership,
+    O(1) hash probe per row, whole-stage codegen'd) before the exact
+    broadcast join computes per-supplier revenue.  No false negatives
+    by construction (every true key's positions are occupied), false
+    positives die in the exact join — so the result is EXACTLY the
+    plain join, which the oracle computes with no Bloom at all.
+
+    Why not just broadcast the dim keys?  Here you would (and the final
+    exact join does).  The Bloom shape matters when the build side is
+    10⁷⁺ keys — too big to broadcast raw — yet the probe side is far
+    bigger still: positions saturate at m (sized ~10 bits/key in
+    production for ~1% FP; fixed here for determinism), so the filter
+    stays broadcastable when the key set isn't, and the facts that
+    would miss the join never enter the shuffle.  This is the manual,
+    semantics-pinned form of what AQE's runtime Bloom-filter join
+    injects; revenue uses the repo's scaled-long exact-sum discipline
+    (2dp×2dp products are exactly 4dp)."""
+    pruned, dim = _bloom_pruned_facts(
+        spark, sf_dir, ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        pruned.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev) / 10000.0).cast("double").alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _bloom_pruned_facts(spark, sf_dir, fact_cols):
+    """(pruned lineitem projection, NATION_7 supplier-key dim) — ONE
+    construction shared by the registered key and the test diagnostic,
+    so a salt/hash/probe change cannot diverge between what ships and
+    what the no-false-negative test validates (r13 review)."""
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _BLOOM_DIM_NATION
+    )
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+
+    def pos(col, salt):
+        return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(_BLOOM_BITS))
+
+    # occupied positions per hash: ≤ m distinct ints each — broadcastable
+    # at ANY dim cardinality (the whole point of the shape)
+    occ1 = dim.select(pos(F.col("s_suppkey"), 1).alias("p1")).distinct()
+    occ2 = dim.select(pos(F.col("s_suppkey"), 2).alias("p2")).distinct()
+    li = load(spark, sf_dir, "lineitem").select(*fact_cols)
+    pruned = (
+        li.withColumn("p1", pos(F.col("l_suppkey"), 1))
+        .join(F.broadcast(occ1), "p1", "left_semi")
+        .withColumn("p2", pos(F.col("l_suppkey"), 2))
+        .join(F.broadcast(occ2), "p2", "left_semi")
+    )
+    return pruned, dim
+
+
+def bloom_prefilter_pass_count(spark, sf_dir):
+    """Diagnostic (non-registry): the lineitem rows surviving the
+    two-probe Bloom prefilter alone — tests pin pass_count < total AND
+    pass_set ⊇ true-match set (no false negatives), against the SAME
+    construction the registered key joins from."""
+    pruned, _dim = _bloom_pruned_facts(spark, sf_dir, ["l_suppkey"])
+    return pruned.select("l_suppkey")
+
+
+# --- folded from the round-11 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+# (uses this module's existing os/load/register imports plus _tmp)
+
+def _sf_tag(sf_dir: str) -> str:
+    """Collision-free tmp-layout tag for a corpus directory: basename for
+    readability plus a hash of the FULL normalized path (ADVICE r11 — two
+    corpora sharing a basename, e.g. tmp fixtures both named ``sf0.01``,
+    must not silently reuse each other's materialized fact/dim layout;
+    the _SPLIT_CACHE pattern, applied to on-disk layouts)."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    return (
+        (os.path.basename(norm) or "sf")
+        + "_"
+        + hashlib.sha256(norm.encode()).hexdigest()[:12]
+    )
+
+
+def _partitioned_events_path(spark, sf_dir: str) -> str:
+    """Write events Hive-partitioned by event_date once per (process, SF);
+    later calls reuse the layout.  Mirrors the ``sink_partitioned_parquet``
+    production layout (sources/io_ops.py) — 30 ``event_date=YYYY-MM-DD/``
+    directories at every test SF."""
+    tag = _sf_tag(sf_dir)
+    path = _tmp(f"dpp_events_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        (
+            ev.select("event_id", "user_id", "event_type", "value", "event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    return path
+
+
+def _date_dim_path(spark, sf_dir: str) -> str:
+    """Materialize the star-schema date dimension (one row per calendar
+    date with descriptive attributes) once per (process, SF).  Materialized
+    ON PURPOSE: read back from parquet, ``day_name`` is an opaque scan
+    column, so a filter on it cannot be statically rewritten onto the join
+    key — exactly the production star-schema situation where dynamic
+    partition pruning is the only mechanism that prunes the fact scan."""
+    tag = _sf_tag(sf_dir)
+    path = _tmp(f"dpp_datedim_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dim = (
+            load(spark, sf_dir, "events")
+            .select(F.to_date("ts").alias("d"))
+            .distinct()
+            .select(
+                "d",
+                F.date_format("d", "EEEE").alias("day_name"),
+                F.dayofmonth("d").alias("day_of_month"),
+            )
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d
+  FROM events
+  WHERE dayname(CAST(ts AS DATE)) = 'Saturday'
+)
+SELECT CAST(CAST(e.ts AS DATE) AS VARCHAR) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN dim ON CAST(e.ts AS DATE) = dim.d
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_dpp_partitioned(spark, sf_dir):
+    """Dynamic-partition-pruned star-schema join over the Hive-partitioned
+    events layout: per-Saturday event and unique-user counts.
+
+    The dim is a MATERIALIZED date dimension (``_date_dim_path``) filtered
+    on its ``day_name`` attribute.  Materialization matters: read from
+    parquet, ``day_name`` is an opaque scan column, so Catalyst cannot
+    statically rewrite the predicate onto the join key and push it into
+    the fact's partition filters (it can — and does — when the attribute
+    is derived inline as ``date_format(key)``, which would make DPP
+    redundant; verified while building this key).  Here dynamic partition
+    pruning is the ONLY mechanism that prunes: Spark broadcasts the
+    filtered dim and reuses the broadcast as a
+    ``dynamicpruningexpression`` on the fact scan's ``event_date``
+    partition column, so 4 of the month's 30 date directories are listed
+    and read.  tests/test_plans.py (``test_dpp_prunes_fact_partitions``)
+    pins: the expression is in the scan's PartitionFilters, NO static
+    date predicate is, and the executed scan's partitions-read metric
+    equals 4 (of 30).
+
+    100 TB: scan cost tracks dim selectivity, not fact size — the whole
+    point of date-partitioned fact layouts (SCALE.md §1).  The dim
+    broadcast is O(#distinct dates); the final aggregate is per-date
+    with map-side partial aggregation.
+    """
+    fact = spark.read.parquet(_partitioned_events_path(spark, sf_dir))
+    dim = (
+        spark.read.parquet(_date_dim_path(spark, sf_dir))
+        .filter(F.col("day_name") == "Saturday")
+        .select("d")
+    )
+    joined = fact.join(F.broadcast(dim), fact.event_date == dim.d)
+    return (
+        joined.groupBy(fact.event_date.cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "join_skew_aqe",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey END AS jkey,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT o_orderkey AS jkey, 1 AS dim_tag FROM orders
+  WHERE o_orderkey % 10 >= 7
+  UNION ALL
+  SELECT 1 AS jkey, 0 AS dim_tag
+)
+SELECT CAST(CASE WHEN f.jkey = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_hot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(d.dim_tag) AS BIGINT) AS sum_dim_tag,
+       CAST(SUM(CAST(ROUND(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM fact f JOIN dim d ON f.jkey = d.jkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_skew_aqe(spark, sf_dir):
+    """Skewed fact⋈dim join under AQE's automatic skew handling — the
+    runtime counterpart of ``join_salted_skew`` (manual salting): a
+    deterministic remap concentrates ~70% of lineitem onto one hot key,
+    a unique-key dim (filtered orders + the literal hot row) joins back on it, and per-class totals are
+    hash-checked cross-engine.
+
+    SCALE.md §2's window/join rows say "skewed keys → AQE skew split";
+    tests/test_plans.py::test_aqe_splits_skewed_join makes that claim a
+    RUNTIME plan property: with the skew thresholds scaled to the test
+    corpus (the defaults are sized for 256 MB cluster partitions) and
+    SPARK_GRAFT_SKEW_FORCE_SMJ=1 pinning the sort-merge form (the same
+    env-switch pattern as Q5's shape flip — at test scale AQE would
+    otherwise broadcast the small dim and there would be nothing to
+    split), the executed AQE plan shows ``skew=true`` on the join: the
+    hot partition was split into parallel subtasks instead of straggling
+    on one core.  The default registered path stays UNHINTED — AQE picks
+    broadcast at test scale and skew-handled SMJ at cluster scale, the
+    r01 doctrine.
+
+    100 TB: this is the no-code-change answer to moderate key skew; the
+    manual salt (``join_salted_skew``) remains for the extreme tail the
+    splitter cannot fix (a single key larger than an executor)."""
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jkey"),
+        "l_extendedprice",
+    )
+    # Widen a narrow (single-file) scan before the join: AQE splits a
+    # skewed reduce partition at MAPPER-block granularity, so a 1-mapper
+    # shuffle is unsplittable no matter how skewed (the §10e single-file
+    # lesson again — at 100 TB the scan arrives in thousands of splits
+    # and this repartition is skipped).
+    n_par = max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    if fact.rdd.getNumPartitions() < n_par:
+        fact = fact.repartition(n_par)
+    # Dim WITHOUT an aggregate on the join key: AQE's OptimizeSkewedJoin
+    # only rewrites SMJ(Sort(shuffle), Sort(shuffle)) — an Aggregate
+    # between the Sort and its shuffle stage blocks the pattern (verified
+    # while building this key), so the dim is filtered orders (unique by
+    # PK, all cold keys) unioned with the one literal hot-key row.
+    cold = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 >= 7)
+        .select(
+            F.col("o_orderkey").alias("jkey"),
+            F.lit(1).alias("dim_tag"),
+        )
+    )
+    hot = spark.createDataFrame([(1, 0)], "jkey long, dim_tag int")
+    dim = cold.unionByName(hot)
+    if os.environ.get("SPARK_GRAFT_SKEW_FORCE_SMJ") == "1":
+        dim = dim.hint("MERGE")
+    joined = fact.join(dim, "jkey")
+    return (
+        joined.groupBy(
+            F.when(F.col("jkey") == 1, 1).otherwise(0).alias("is_hot")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("dim_tag").alias("sum_dim_tag"),
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * 100 + 0.5d) as bigint)"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("is_hot")
+    )

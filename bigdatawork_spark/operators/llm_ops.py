@@ -1262,3 +1262,325 @@ def sim_ann_hyperplane(spark, sf_dir):
         )
         .orderBy("probe_id", "rn")
     )
+
+
+# --- folded from the staged round-6 module (r15 module-hygiene
+# fold, VERDICT r14 item 5): moved VERBATIM apart from the
+# @_staged -> @register decorator (the module's own documented
+# endgame: 'delete this module and inline the @register
+# decorators'). Zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+# knn_classify_ivf — the declared scale path of knn_classify
+
+
+# Shared oracle prefix: deterministic ⌈√n⌉-centroid IVF assignment (the
+# sim_ann_ivf recipe generalized to a data-dependent centroid count).
+# Used by knn_classify_ivf and semdedup_prune.
+_IVF_ASSIGN_SQL = """
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+         row_number() OVER (ORDER BY vec_id) AS rk,
+         CAST(ceil(sqrt(COUNT(*) OVER ())) AS BIGINT) AS n_cent
+  FROM v
+),
+centroids AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE rk <= n_cent
+),
+assign AS (
+  SELECT vec_id, label, e, nrm, cid FROM (
+    SELECT x.vec_id, x.label, x.e, x.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(x.e, c.ce),
+                      z -> z[1] * z[2]), 'sum') / (x.nrm * c.cnrm) DESC, c.cid
+           ) AS rc
+    FROM n x CROSS JOIN centroids c
+  ) WHERE rc = 1
+)
+"""
+
+
+def _ivf_assign(spark, sf_dir):
+    """Deterministic IVF assignment shared by knn_classify_ivf and
+    semdedup_prune: ⌈√n⌉ centroids = first ⌈√n⌉ vectors by vec_id
+    (TakeOrdered + one bounded collect — √n×d doubles of driver state),
+    sc.broadcast numpy matrix, BLAS argmax per Arrow batch (ascending cid
+    order makes numpy's first-max reproduce the cos-desc/cid-asc
+    tiebreak).  Returns (embeddings df, assignment df joined with label —
+    one narrow shuffle on vec_id), or (df, None) for an empty table."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_rows = e.count()
+    n_cent = max(1, math.ceil(math.sqrt(n_rows)))
+    cent_rows = e.orderBy("vec_id").limit(n_cent).collect()
+    if not cent_rows:
+        return e, None
+    cid_arr = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    cnrm = np.sqrt((Cm * Cm).sum(axis=1))
+    if (cnrm == 0).any():
+        raise ValueError(
+            f"ivf_assign: zero-norm centroid(s) "
+            f"{cid_arr[cnrm == 0].tolist()} — cosine undefined"
+        )
+    bc = spark.sparkContext.broadcast((cid_arr, Cm, cnrm))
+
+    def assign_batches(batches):
+        bcid, bC, bcn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0).any():
+                bad = pdf["vec_id"].to_numpy()[xn == 0].tolist()
+                raise ValueError(
+                    f"ivf_assign: zero-norm embedding(s) {bad} — "
+                    "cosine undefined; filter degenerate vectors first"
+                )
+            cs = (X @ bC.T) / (xn[:, None] * bcn[None, :])
+            j = cs.argmax(axis=1)  # first max ⇒ cid-asc tiebreak
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cid": bcid[j]})
+
+    best = e.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id bigint, cid bigint"
+    )
+    return e, e.join(best, "vec_id")
+
+
+@register(
+    "knn_classify_ivf",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL.strip()},
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS nb, b.label AS nb_label,
+         list_aggregate(list_transform(list_zip(a.e, b.e),
+                        z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) AS cos_raw
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, nb_label FROM (
+    SELECT src, nb_label,
+           row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, nb) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT src, nb_label, COUNT(*) AS n_votes FROM knn GROUP BY src, nb_label
+),
+pred AS (
+  SELECT src, nb_label AS pred_label FROM (
+    SELECT src, nb_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_votes DESC, nb_label) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT e.vec_id, e.label, p.pred_label,
+       CAST(CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM embeddings e JOIN pred p ON e.vec_id = p.src
+ORDER BY e.vec_id
+""",
+)
+def knn_classify_ivf(spark, sf_dir):
+    """k=5 leave-one-out cosine kNN majority vote with the candidate stage
+    swapped from the all-pairs cross join to IVF inverted lists — the swap
+    knn_classify's docstring (llm_ops.py:431) and SCALE.md §8 declare for
+    ≥10⁶ vectors, realized with the sim_ann_ivf machinery rather than
+    BRP-LSH: this corpus is unit-norm (every pairwise distance ≤ 2), so
+    any euclidean LSH radius wide enough for recall degenerates to a
+    quadratic cross join (measured: >45 s at sf1.0), while IVF caps each
+    point's candidates at its own list.  ⌈√n⌉ centroids (the standard IVF
+    sizing: lists and centroid count both ~√n, so candidate pairs grow
+    n^1.5, not n²) taken deterministically as the first ⌈√n⌉ vectors by
+    vec_id; assignment = max cosine, tiebreak cid asc; then the exact
+    cosine top-5 / (votes desc, label asc) vote of the brute-force twin,
+    restricted to same-list pairs.  Fully deterministic → SQL-expressible
+    → hash-green oracle, the stronger gate: a vote-agreement threshold
+    would be meaningless here because the corpus labels carry no
+    embedding structure (exact kNN accuracy ≈ 10% = chance, measured), so
+    approximate candidate sets produce chaotic prediction flips.
+
+    100 TB: centroid table is √n×d — collected once (bounded driver
+    state, the kmeans_iterative discipline: 1e9 rows → 31623×64 doubles ≈
+    16 MB) and sc.broadcast; assignment is a BLAS matmul per Arrow batch
+    emitting narrow (vec_id, cid) rows; the ONLY shuffle is the cid
+    grouped-map, whose per-list kNN + vote runs as one numpy Gram matrix
+    per inverted list (bounded ~√n×√n).  The JVM-expr formulation was
+    measured first and rejected: per-pair ``zip_with`` folds put the
+    sf1.0 run at ~39 s against the 45 s budget (the same interpreted-fold
+    wall sim_cosine_topk hit pre-BLAS); this form completes in seconds.
+    Float caveat as sim_cosine_topk: BLAS sums differ from the oracle's
+    sequential folds by ~1e-15, invisible at the 6-decimal rounding and
+    far below any argmax/rank gap in this corpus."""
+    import numpy as np
+    import pandas as pd
+
+    _, assign = _ivf_assign(spark, sf_dir)
+    if assign is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, pred_label int, is_correct int"
+        )
+
+    def list_knn(pdf):
+        if len(pdf) < 2:  # singleton list: no leave-one-out neighbors
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "pred_label": pd.Series([], dtype="int64"),
+                    "is_correct": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labs = pdf["label"].to_numpy(dtype=np.int64)
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        xn = np.sqrt((X * X).sum(axis=1))
+        if (xn == 0).any():
+            raise ValueError(
+                f"knn_classify_ivf: zero-norm embedding(s) "
+                f"{ids[xn == 0].tolist()} — cosine undefined"
+            )
+        S = (X @ X.T) / np.outer(xn, xn)
+        np.fill_diagonal(S, -np.inf)
+        out = []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -S[i]))  # cos desc, nb asc
+            top = [o for o in order if o != i][:5]
+            votes: dict[int, int] = {}
+            for o in top:
+                votes[labs[o]] = votes.get(labs[o], 0) + 1
+            pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            out.append((ids[i], labs[i], pred, int(labs[i] == pred)))
+        return pd.DataFrame(
+            out, columns=["vec_id", "label", "pred_label", "is_correct"]
+        )
+
+    return (
+        assign.groupBy("cid")
+        .applyInPandas(
+            list_knn, "vec_id bigint, label int, pred_label int, is_correct int"
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — embedding-space semantic dedup (SemDeDup)
+
+_SEMDEDUP_TAU = 0.25
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL.strip()},
+close AS (
+  SELECT a.vec_id AS kept_by, b.vec_id AS pruned_id, b.cid,
+         list_aggregate(list_transform(list_zip(a.e, b.e),
+                        z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm) AS cos_raw
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_aggregate(list_transform(list_zip(a.e, b.e),
+                       z -> z[1] * z[2]), 'sum') / (a.nrm * b.nrm), 6)
+        >= {_SEMDEDUP_TAU}
+)
+SELECT pruned_id, kept_by, cid, ROUND(cos_raw, 6) AS cos_sim FROM (
+  SELECT pruned_id, kept_by, cid, cos_raw,
+         row_number() OVER (PARTITION BY pruned_id
+                            ORDER BY kept_by) AS rk
+  FROM close
+) WHERE rk = 1
+ORDER BY pruned_id
+""",
+)
+def semdedup_prune(spark, sf_dir):
+    """Semantic dedup in embedding space (SemDeDup, Abbas et al. 2023):
+    cluster the corpus, then inside each cluster prune every vector that
+    has a near-duplicate (cos ≥ 0.25 here — sized to this corpus's 5-NN
+    cos ≈ 0.29 band) with a SMALLER vec_id, keeping the minimum-id member
+    of each similarity clique.  Clustering is the deterministic ⌈√n⌉-
+    centroid IVF assignment shared with knn_classify_ivf (the paper uses
+    k-means; the candidate-bounding role is identical), which keeps the
+    pair stage at n^1.5, never all-pairs — and makes the whole operator
+    SQL-expressible, hence hash-green.
+
+    Output: one row per PRUNED vector — (pruned_id, kept_by = its
+    smallest same-cluster near-duplicate, cid, cos_sim of that pair).
+    Downstream keeps `corpus MINUS pruned_id` (an anti-join).
+
+    100 TB: same shape as knn_classify_ivf — broadcast centroids, BLAS
+    assignment per Arrow batch, one cid shuffle, per-list Gram matrix in
+    applyInPandas with bounded ~√n×√n lists."""
+    import numpy as np
+    import pandas as pd
+
+    _, assign = _ivf_assign(spark, sf_dir)
+    if assign is None:
+        return spark.createDataFrame(
+            [], "pruned_id bigint, kept_by bigint, cid bigint, cos_sim double"
+        )
+
+    def list_prune(pdf):
+        empty = pd.DataFrame(
+            {
+                "pruned_id": pd.Series([], dtype="int64"),
+                "kept_by": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+        cid = int(pdf["cid"].iloc[0])
+        xn = np.sqrt((X * X).sum(axis=1))
+        if (xn == 0).any():
+            raise ValueError(
+                f"semdedup_prune: zero-norm embedding(s) "
+                f"{ids[xn == 0].tolist()} — cosine undefined"
+            )
+        S = (X @ X.T) / np.outer(xn, xn)
+        out = []
+        for j in range(1, len(ids)):  # ids ascending: candidates are i < j
+            # round BEFORE the threshold test, mirroring the oracle's
+            # ROUND(...,6) >= τ: BLAS matmul and DuckDB's sequential
+            # list_aggregate sum the dot product in different orders, so a
+            # pair sitting exactly on the raw float boundary could pass in
+            # one engine and fail in the other (ADVICE r05).  Rounding both
+            # sides to 6 dp makes the decision identical unless the engines
+            # disagree by >=5e-7 — far above matmul reassociation error.
+            hits = np.where(np.round(S[j, :j], 6) >= _SEMDEDUP_TAU)[0]
+            if len(hits):
+                i = hits[0]  # ascending ids ⇒ first hit = smallest kept_by
+                out.append((int(ids[j]), int(ids[i]), cid, float(S[j, i])))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out, columns=["pruned_id", "kept_by", "cid", "cos_sim"]
+        )
+
+    return (
+        assign.groupBy("cid")
+        .applyInPandas(
+            list_prune,
+            "pruned_id bigint, kept_by bigint, cid bigint, cos_sim double",
+        )
+        .select(
+            "pruned_id", "kept_by", "cid", F.round("cos_sim", 6).alias("cos_sim")
+        )
+        .orderBy("pruned_id")
+    )

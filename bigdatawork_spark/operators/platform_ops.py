@@ -833,3 +833,153 @@ def parquet_layout_audit(spark, sf_dir):
             " n_columns int, n_bytes long, small_rowgroup int"
         ),
     ).orderBy("file_name", "row_group_id")
+
+
+# --- folded from the round-10 module (r15 module-hygiene fold,
+# VERDICT r14 item 5): moved VERBATIM — zero behavior change. ---
+
+def _zvalue_terms(xcol: str, ycol: str, bits: int = 12) -> str:
+    """Morton/Z-order bit interleave of two ``bits``-wide ints — the SAME
+    SQL text runs on Spark and DuckDB (both parse >> & << identically;
+    probed r10)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+#: epoch-day of 1992-01-01 (orders dates start there in TPC-H-shaped data)
+_Z_EPOCH0 = 8035
+
+_Z_SPARK_XY = (
+    "least(greatest(cast(floor(unix_timestamp(o_orderdate) / 86400) as int)"
+    f" - {_Z_EPOCH0}, 0), 4095)",
+    "least(greatest(cast(floor(o_totalprice / 200) as int), 0), 4095)",
+)
+_Z_DUCK_XY = (
+    "least(greatest(CAST(FLOOR(epoch(o_orderdate) / 86400) AS INT)"
+    f" - {_Z_EPOCH0}, 0), 4095)",
+    "least(greatest(CAST(FLOOR(o_totalprice / 200) AS INT), 0), 4095)",
+)
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+WITH xy AS (
+  SELECT {_Z_DUCK_XY[0]} AS x, {_Z_DUCK_XY[1]} AS y FROM orders
+),
+z AS (SELECT x, y, {_zvalue_terms('x', 'y')} AS zv FROM xy)
+SELECT CAST(zv >> 20 AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY 1 ORDER BY tile
+""",
+)
+def layout_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) layout clustering — the OPTIMIZE ZORDER story
+    executed relationally: interleave the bits of two query dimensions
+    (order date-day, price bucket; 12 bits each), then tile rows by the
+    TOP 4 z-bits.  A z-prefix tile IS a quadtree cell, so each tile's
+    per-dimension min/max span is bounded by its quadrant — the emitted
+    per-tile (x_min..x_max, y_min..y_max) ranges are exactly the
+    file-footer min/max stats a 100 TB table written in this order would
+    carry, and they prune reads for predicates on EITHER dimension
+    (a single-column sort prunes only its own column).
+
+    Scale: the z-value is a pure per-row bit expression (shared SQL text
+    with the oracle — no engine-specific hashing); tiling is a prefix
+    shift, so the whole key is one map + one 16-group aggregation.  In a
+    real write path the same z column feeds repartitionByRange(z) before
+    the sink — sort_range_partitioned demonstrates that half."""
+    x_expr, y_expr = _Z_SPARK_XY
+    return (
+        load(spark, sf_dir, "orders")
+        .selectExpr(f"{x_expr} as x", f"{y_expr} as y")
+        .selectExpr("x", "y", f"{_zvalue_terms('x', 'y')} as zv")
+        .selectExpr(
+            "cast(zv >> 20 as bigint) as tile", "x", "y"
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("tile")
+    )
+
+
+# --- folded from the staged round-6 module (r15 module-hygiene
+# fold, VERDICT r14 item 5): moved VERBATIM apart from the
+# @_staged -> @register decorator (the module's own documented
+# endgame: 'delete this module and inline the @register
+# decorators'). Zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count — deterministic-noise DP counts (hash-green)
+
+_DP_EPS = 1.0  # laplace scale b = sensitivity/eps = 1.0 for count queries
+
+
+@register(
+    "privacy_dp_count",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS true_n,
+         ('0x' || substr(md5(lang || '|' || source), 1, 6))::BIGINT
+           / 16777216.0 - 0.5 AS c
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
+       ROUND(-1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c))), 6)
+         AS noise,
+       CAST(greatest(0, CAST(round(true_n
+           - 1.0 * sign(c) * ln(greatest(1e-12, 1 - 2 * abs(c)))) AS BIGINT))
+         AS BIGINT) AS dp_n
+FROM g ORDER BY lang, source
+""",
+)
+def privacy_dp_count(spark, sf_dir):
+    """ε-DP noisy group counts (ε=1, sensitivity 1): per-(lang, source)
+    counts plus Laplace(1/ε) noise drawn by INVERSE-CDF from a
+    content-hash uniform — u = first 6 md5 hex digits of the group key /
+    16^6, noise = -b·sign(u-½)·ln(1-2|u-½|).  The hash-derived draw makes
+    the mechanism deterministic per key, hence reproducible across
+    engines/partitionings/runs (same rationale as
+    sample_hash_deterministic) and oracle-verifiable; production would
+    swap the uniform for a calibrated RNG — the surrounding plan is
+    unchanged.  Released count clamps at 0 (post-processing preserves DP).
+
+    100 TB: one keyed aggregation; noise is a scalar expression on the
+    (tiny) grouped result — zero extra shuffles."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.expr("conv(substring(md5(concat(lang, '|', source)), 1, 6), 16, 10)")
+        .cast("double")
+        / F.lit(16777216.0)
+    )
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(c)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - F.lit(2.0) * F.abs(c)))
+    )
+    return (
+        g.select(
+            "lang",
+            "source",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.round(noise, 6).alias("noise"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.round(F.col("true_n") + noise, 0).cast("bigint"),
+            ).alias("dp_n"),
+        )
+        .orderBy("lang", "source")
+    )

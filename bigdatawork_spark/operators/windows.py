@@ -632,3 +632,73 @@ def win_moving_zscore(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- folded from the staged round-6 module (r15 module-hygiene
+# fold, VERDICT r14 item 5): moved VERBATIM apart from the
+# @_staged -> @register decorator (the module's own documented
+# endgame: 'delete this module and inline the @register
+# decorators'). Zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+# win_rolling_median — exact median over a moving row frame (hash-green)
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+SELECT event_id, user_id, ts, ROUND(value, 6) AS value,
+       ROUND(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS rolling_median
+FROM events
+WHERE user_id <= 50
+ORDER BY user_id, ts, event_id
+""",
+)
+def win_rolling_median(spark, sf_dir):
+    """EXACT median over a 5-row moving frame per user — the windowed
+    quantile shape the §2-E suite lacks (win_moving_avg is the mean twin;
+    agg_median_percentile is the grouped, non-windowed one).  Spark has no
+    native median window aggregate over a row frame, so the frame's values
+    are gathered with collect_list OVER the same frame (bounded: ≤5
+    elements — constant state per row, unlike a whole-partition collect)
+    and the median computed by sorting the tiny array in-expression:
+    odd count → middle, even count → mean of the two middles, matching
+    DuckDB's continuous-interpolation median.
+
+    100 TB: one shuffle on user_id (the window), O(frame log frame)
+    per-row work on a constant-size frame — the standard pattern until
+    SPARK native median-over-frame lands."""
+    e = load(spark, sf_dir, "events").where("user_id <= 50")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    # collect_list drops NULLs (as does DuckDB's median); the size-0 guard
+    # matters when every value in the frame is NULL — element_at(.., 0)
+    # raises in Spark where DuckDB's empty-set median returns NULL
+    med = F.expr(
+        "case when size(frame) = 0 then cast(null as double)"
+        " when size(frame) % 2 = 1"
+        " then element_at(array_sort(frame), cast(size(frame) div 2 + 1 as int))"
+        " else (element_at(array_sort(frame), cast(size(frame) div 2 as int))"
+        "     + element_at(array_sort(frame),"
+        "                  cast(size(frame) div 2 + 1 as int))) / 2.0"
+        " end"
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "value")
+        .withColumn("frame", F.collect_list("value").over(w))
+        .withColumn("rolling_median", F.round(med, 6))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 6).alias("value"),
+            "rolling_median",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -291,7 +291,24 @@ ROTATION_DUE: dict[str, int] = {
             "source_python_datasource source_python_stream "
             "stream_curate_to_table "
             "lm_perplexity_score dedup_spans_removal winnow_fingerprint "
-            "dedup_winnow_pairs"
+            "dedup_winnow_pairs "
+            # …and the second tranche: the r15 session went on to fold ALL
+            # remaining round-modules (round{10,11,11b,11c,13}_ops +
+            # staged_r06 — COVERAGE.md move map), re-ran the full local
+            # sim green, and bootstrap-recorded.  Seeded: every folded or
+            # closure-moved key that is NOT already covered by an earlier
+            # due entry, by the streaming cadence, or by sitting in the
+            # r15 burn-down window itself (the r07-vintage staged_r06 keys
+            # get their post-fold certification from the r15 window
+            # directly).
+            "corr_matrix decontaminate_ngram dedup_incremental_audit "
+            "dedup_incremental_exact dedup_incremental_minhash "
+            "dedup_index_persisted dedup_index_update_idempotent "
+            "dedup_ladder dedup_ladder_exact_stage dedup_url_host "
+            "dedup_url_normalize global_row_index join_bloom_prefilter "
+            "join_dpp_partitioned join_skew_aqe kfold_stratified "
+            "layout_zorder_stats quantile_bin_assign rank_fusion_rrf "
+            "url_filter_blocklist"
         ).split()
     },
 }

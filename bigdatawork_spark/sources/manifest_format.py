@@ -711,3 +711,91 @@ def table_format_stream_sink(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- folded from the staged round-6 module (r15 module-hygiene
+# fold, VERDICT r14 item 5): moved VERBATIM apart from the
+# @_staged -> @register decorator (the module's own documented
+# endgame: 'delete this module and inline the @register
+# decorators'). Zero behavior change. ---
+
+# ---------------------------------------------------------------------------
+# table_format_vacuum — snapshot expiration for the manifest table format
+
+
+@register(
+    "table_format_vacuum",
+    oracle="""
+SELECT CAST(3 AS BIGINT) AS n_expired_versions,
+       TRUE AS counts_manifest_consistent,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+""",
+)
+def table_format_vacuum(spark, sf_dir):
+    """Snapshot expiration (VACUUM) for the manifest table format — the
+    lifecycle op that bounds storage: three appends then a compaction
+    leave the latest version referencing only the compacted files;
+    vacuum(keep_last=1) must expire exactly the 3 superseded versions
+    (structural, scale-independent, oracle-pinned) and delete exactly
+    the files no kept manifest references.  File counts are DERIVED from
+    the manifests and the physical directory walk, never pinned (the
+    writer's file count per commit is an implementation detail of the
+    parquet committer — VERDICT r06 / ADVICE r05 item 4): the builder
+    asserts n_live == |kept manifest| and n_deleted == physical_before −
+    n_live, and surfaces that consistency as an oracle-checked boolean.
+    The surviving table must still re-aggregate to the source content
+    (row count + decimal-exact value sum — so the deletion provably
+    removed only dead bytes).  Manifests are removed BEFORE data files,
+    so a crash mid-vacuum leaves re-collectable orphans, never a
+    manifest pointing at deleted data.
+
+    100 TB: the whole operation is manifest-side bookkeeping plus
+    unreferenced-file deletes — no data is read or shuffled; cost scales
+    with file COUNT, not bytes (the same reason compaction matters)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io_ops import _tmp
+    from ..sources.manifest_format import ManifestTable, _events_cols
+
+    path = _tmp("manifest_vacuum")
+    _shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(spark, path)
+    ev = _events_cols(spark, sf_dir)
+    for r in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == r))
+    t.compact()
+    # manifest-derived expectations, measured BEFORE the vacuum mutates disk
+    expect_live = t.file_count()  # files the kept (latest) manifest pins
+    physical_before = sum(
+        1
+        for _root, _dirs, files in _os.walk(_os.path.join(path, "data"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    expect_expired = len(t.versions()) - 1
+    stats = t.vacuum(keep_last=1)
+    consistent = (
+        stats["n_expired_versions"] == expect_expired
+        and stats["n_live_files"] == expect_live
+        and stats["n_deleted_files"] == physical_before - expect_live
+    )
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.lit(stats["n_expired_versions"]).cast("bigint").alias(
+                "n_expired_versions"
+            ),
+            F.lit(consistent).alias("counts_manifest_consistent"),
+            "n_rows",
+            "sum_value",
+        )
+    )

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import pytest
 
-from bigdatawork_spark.operators.staged_r06 import STAGED_ORACLES
 from bigdatawork_spark.registry import ORACLES
 
 
@@ -27,7 +26,6 @@ def test_registered_oracle_nonvacuous(key, duck):
     )
 
 
-@pytest.mark.parametrize("key", sorted(STAGED_ORACLES))
-def test_staged_oracle_nonvacuous(key, duck):
-    n = len(duck.execute(STAGED_ORACLES[key]).fetchall())
-    assert n > 0, f"{key}: staged oracle returns 0 rows at sf0.01"
+# The separate staged-oracle sweep is gone with the staging module (r15
+# fold): the round-6 keys register inline now, so the registered sweep
+# above covers them.

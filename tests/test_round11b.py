@@ -8,10 +8,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdatawork_spark.io import load
-from bigdatawork_spark.operators.round11b_ops import (
-    kfold_hash_assign,
-    quantile_bin_assign_approx,
-)
+from bigdatawork_spark.operators.stats_ops import quantile_bin_assign_approx
+from bigdatawork_spark.operators.training_ops import kfold_hash_assign
 from bigdatawork_spark.registry import QUERIES
 
 

@@ -75,7 +75,7 @@ def test_incremental_exact_and_audit_are_consistent(spark, sf_dir):
     corpus index, each survivor is its hash-group's min doc_id, and the
     audit's totals reconcile exactly with the survivor set and the raw
     batch size (kept == survivors, kept+batch_dup+index_hit == batch)."""
-    from bigdatawork_spark.operators.round11c_ops import _augmented_documents
+    from bigdatawork_spark.operators.curation import _augmented_documents
 
     surv = QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
     audit = QUERIES["dedup_incremental_audit"](spark, sf_dir).collect()
@@ -197,7 +197,7 @@ def test_stream_index_admission_wm_bounded_state_and_survivors(spark, sf_dir):
     state-store EVICTION as a runtime metric: numRowsTotal RISES while
     windows accumulate, then DROPS after each horizon passes — bounded
     state pinned the way join_dpp_partitioned pins partitions-read."""
-    from bigdatawork_spark.operators import round11c_ops as r11c
+    from bigdatawork_spark.streaming import stream_ops as r11c
 
     rows = QUERIES["stream_index_admission_wm"](spark, sf_dir).collect()
     w1_start = r11c._WM_BASE[:13]  # "2024-03-01 00"
@@ -222,7 +222,9 @@ def test_stream_index_admission_wm_bounded_state_and_survivors(spark, sf_dir):
     assert got_w1 == want_w1
 
     # (b) window 2 ≡ the batch-computed admission of the shifted documents
-    batch, corpus = r11c._split(spark, sf_dir, augmented=False)
+    from bigdatawork_spark.operators.curation import _split
+
+    batch, corpus = _split(spark, sf_dir, augmented=False)
     w2 = batch.select(
         (F.col("doc_id") + r11c._WM_W2_SHIFT).alias("doc_id"),
         F.concat(F.col("text"), F.lit(r11c._WM_W2_SUFFIX)).alias("text"),

@@ -9,14 +9,14 @@ from collections import Counter
 
 import pandas as pd
 
-from bigdatawork_spark.operators.round13_ops import (
+from bigdatawork_spark.operators.joins import bloom_prefilter_pass_count
+from bigdatawork_spark.operators.search_ops import (
     _B,
     _K1,
     _RRF_K,
     _RRF_LIST,
     _RRF_QVEC,
     _RRF_TERMS,
-    bloom_prefilter_pass_count,
 )
 from bigdatawork_spark.registry import QUERIES
 

@@ -1,9 +1,10 @@
-"""Staged round-6 operators (operators/staged_r06.py) — full driver-shape
-verification BEFORE registration: oracled keys run the same DuckDB
-differential as test_differential, rows-only keys carry engine-side
-equivalence/invariant tests (the SURVEY §2 rows-only convention).  The
-keys stay out of the live registry until round 6 (key freeze — VERDICT
-r04 item 1); ``promote()`` flips them in."""
+"""The thirteen round-6 operators (formerly operators/staged_r06.py;
+folded into their domain modules in r15 — VERDICT r14 item 5): oracled
+keys run the same DuckDB differential as test_differential, rows-only
+keys carry engine-side equivalence/invariant tests (the SURVEY §2
+rows-only convention).  The STAGED_* dicts below are reconstructed from
+the live registry over the historical key list, so every pre-fold check
+still runs verbatim."""
 
 from __future__ import annotations
 
@@ -11,26 +12,31 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from bigdatawork_spark.operators.staged_r06 import (
-    _KCENTER_K,
-    _LTTB_BUCKETS,
-    STAGED_ORACLES,
-    STAGED_QUERIES,
-)
+from bigdatawork_spark.operators.stats_ops import _LTTB_BUCKETS
+from bigdatawork_spark.operators.training_ops import _KCENTER_K
 from bigdatawork_spark.registry import ORACLES, QUERIES
+
+_R06_KEYS = [
+    "coreset_sample_kcenter", "dedup_containment", "dedup_ladder",
+    "dedup_ladder_exact_stage", "dsir_importance_resample",
+    "embedding_pca_gram", "knn_classify_ivf", "privacy_dp_count",
+    "semdedup_prune", "table_format_vacuum", "ts_downsample_lttb",
+    "ts_seasonal_decompose", "win_rolling_median",
+]
+STAGED_QUERIES = {k: QUERIES[k] for k in _R06_KEYS}
+STAGED_ORACLES = {k: ORACLES[k] for k in _R06_KEYS if k in ORACLES}
 
 from .compare import assert_frames_match
 
 
 def test_staged_keys_promoted_verbatim():
-    """Since the round-7 flip, promote() runs at import: every staged key
-    is live, registered to the SAME function object and the SAME oracle
-    SQL (promotion is verbatim, not a copy that could drift)."""
+    """Post-fold form: every round-6 key is live in the registry with a
+    non-empty builder and (where declared) a non-empty oracle."""
     for key, fn in STAGED_QUERIES.items():
-        assert QUERIES[key] is fn, key
+        assert QUERIES[key] is fn and callable(fn), key
     assert set(STAGED_ORACLES) <= set(STAGED_QUERIES)
     for key, sql in STAGED_ORACLES.items():
-        assert sql.strip() and ORACLES[key] == sql.strip(), key
+        assert sql.strip() and ORACLES[key] == sql, key
 
 
 @pytest.mark.parametrize("key", sorted(STAGED_ORACLES))
@@ -313,10 +319,7 @@ def test_semdedup_survivors_are_pairwise_dissimilar(spark, sf_dir):
     pruned row must name a smaller kept_by within the threshold.  Both
     re-derived in numpy from the raw parquet + the operator's own cluster
     assignment."""
-    from bigdatawork_spark.operators.staged_r06 import (
-        _SEMDEDUP_TAU,
-        _ivf_assign,
-    )
+    from bigdatawork_spark.operators.llm_ops import _SEMDEDUP_TAU, _ivf_assign
 
     rows = STAGED_QUERIES["semdedup_prune"](spark, sf_dir).collect()
     assert rows, "sf0.01 corpus has near-threshold pairs — prune must fire"
@@ -572,8 +575,6 @@ def test_promotion_registered_all_staged_keys():
 
     for key in STAGED_QUERIES:
         assert key in b.QUERIES, f"staged key not promoted: {key}"
-    from bigdatawork_spark.operators.staged_r06 import STAGED_ORACLES
-
     for key in STAGED_ORACLES:
         assert key in b.ORACLES, f"staged oracle not promoted: {key}"
 

@@ -267,7 +267,7 @@ def test_wm_admission_kill_restart_equals_uninterrupted(spark, sf_dir):
     admissions."""
     import pytest
 
-    from bigdatawork_spark.operators.round11c_ops import (
+    from bigdatawork_spark.streaming.stream_ops import (
         _wm_admission_stream,
         _wm_source_dir,
     )

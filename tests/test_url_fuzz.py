@@ -97,7 +97,7 @@ _urls = st.builds(
 @settings(**_SETTINGS)
 @given(st.lists(_urls, min_size=1, max_size=20))
 def test_normalize_urls_fuzz_vs_python(spark, urls):
-    from bigdatawork_spark.operators.round10_ops import normalize_urls
+    from bigdatawork_spark.operators.curation import normalize_urls
 
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(urls)], "doc_id long, url_raw string"
@@ -112,7 +112,7 @@ def test_normalize_urls_fuzz_vs_python(spark, urls):
 def test_normalize_urls_pinned_cases(spark):
     """Hand-pinned canonical pairs — the rules stated one example each,
     independent of both the fuzz generator and the registry generator."""
-    from bigdatawork_spark.operators.round10_ops import normalize_urls
+    from bigdatawork_spark.operators.curation import normalize_urls
 
     cases = [
         ("HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#frag",
@@ -188,7 +188,7 @@ def test_ngram_contamination_fuzz_vs_python(spark, docs):
     across random splits; the Spark semi-join plan must agree with the
     set-algebra reference on every per-source count (incl. docs with <8
     words, empty docs, and sources whose train side is empty)."""
-    from bigdatawork_spark.operators.round10_ops import ngram_contamination
+    from bigdatawork_spark.operators.training_ops import ngram_contamination
 
     rows = [(i, f"s{i % 3}", text) for i, text in docs]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
