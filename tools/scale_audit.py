@@ -42,10 +42,17 @@ BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 #   boundary with high variance (r14: left 40.5 s / inner <15 s; r15
 #   runs: inner 52.3 → 44.9 s, left 21.5 → 21.0 s — micro-batch
 #   scheduling weather, not growth).
+#   knn_classify: its verification twin is a DECLARED quadratic — the
+#   exact all-pairs distance check guard_twin_size caps at 5000 rows in
+#   audit mode — and even capped it swept 39.5 / 43.2 / 45.1 s across
+#   r15's three audit runs (the third a 0.1 s budget breach).  The
+#   quadratic is the twin's verification role, not a plan defect; the
+#   registered key's production path is the IVF/LSH family.
 HEAVY_AUDIT_KEYS: dict[str, float] = {
     "udtf_cogrouped_map": 120.0,
     "stream_stream_join": 120.0,
     "stream_stream_left_join": 120.0,
+    "knn_classify": 120.0,
 }
 
 import bigdatawork_spark  # noqa: F401,E402
