@@ -548,6 +548,8 @@ def _compact_summary_line(payload: dict) -> str:
             "sf": payload.get("sf"),
             "metric": payload.get("metric"),
             "headline_sec": payload.get("value"),
+            "passes": payload.get("passes"),
+            "pass_totals": payload.get("pass_totals"),
             "queries": payload.get("queries"),
             "sf1_0": {
                 k: sf1[k]
@@ -585,7 +587,8 @@ def _compact_summary_line(payload: dict) -> str:
     # SPARK_GRAFT_BENCH_PASSES made the two lists alone exceed the cap
     # after all three maps were gone); the median scalars always survive
     for drop in ("duckdb_queries", "spark_queries", "queries",
-                 "pass_ratios_allruns", "pass_ratios", "sf10"):
+                 "pass_ratios_allruns", "pass_ratios", "pass_totals",
+                 "sf10"):
         if len(line) <= 1900:
             break
         compact["bench_summary"]["sf1_0"].pop(drop, None)
@@ -628,8 +631,37 @@ def main() -> None:
             out[key] = round(sorted(times)[len(times) // 2], 4)
         return out
 
-    per_query = time_keys(keys, sf_dir)
-    total = round(sum(per_query.values()), 4)
+    # sf0.1 headline = MEDIAN OF 3 FULL BATCH PASSES (VERDICT r15 item 4).
+    # The r15 artifact's 4.17 s headline was one batch pass whose per-key
+    # medians all shared a single bad weather window (the same final tree
+    # measured 2.86-3.73 s in the round's close runs) — consecutive runs
+    # within one pass do NOT decorrelate host weather.  Passes are full
+    # batch sweeps separated in time, exactly the sf1.0 interleaved
+    # structure: within a pass each key gets `runs` consecutive timed runs
+    # and contributes its median; the headline is the median of per-pass
+    # batch totals, per-query values are medians across passes.
+    passes_01 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SF01_PASSES",
+                                          "3")))
+    for key in keys:
+        # one untimed priming run per key at the bench SF (codegen /
+        # broadcast build — excluded on both sides of the BASELINE protocol)
+        _materialize(QUERIES[key](spark, sf_dir))
+    per_key_pass: dict[str, list] = {k: [] for k in keys}
+    pass_totals = []
+    for _ in range(passes_01):
+        tot = 0.0
+        for key in keys:
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _materialize(QUERIES[key](spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            med = _median(times)
+            per_key_pass[key].append(med)
+            tot += med
+        pass_totals.append(round(tot, 4))
+    per_query = {k: round(_median(v), 4) for k, v in per_key_pass.items()}
+    total = _median(pass_totals)
 
     payload = {
         "metric": "headline_batch_wall_clock",
@@ -637,8 +669,18 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "passes": passes_01,
+        "pass_totals": pass_totals,
         "runs_per_query": runs,
         "materialization": MATERIALIZATION,
+        "headline_protocol": (
+            "median of %d full batch passes (each pass: per-key median of"
+            " %d consecutive timed runs, whole-row hash materialization;"
+            " one untimed priming run per key before pass 1); per-query"
+            " values are medians across passes — a single weather draw"
+            " cannot set the headline (VERDICT r15 item 4)"
+            % (passes_01, runs)
+        ),
     }
 
     # Matched-scale section (VERDICT r04 item 2): per-query ratios at sf0.1

@@ -308,7 +308,20 @@ ROTATION_DUE: dict[str, int] = {
             "dedup_url_normalize global_row_index join_bloom_prefilter "
             "join_dpp_partitioned join_skew_aqe kfold_stratified "
             "layout_zorder_stats quantile_bin_assign rank_fusion_rrf "
-            "url_filter_blocklist"
+            "url_filter_blocklist "
+            # r16 seeding (VERDICT r15 item 2): the five keys of the
+            # r08/r09 evidence tail NOT already in the r16 due set (the
+            # other seven — lm_perplexity_score, dedup_spans_removal,
+            # dedup_winnow_pairs, winnow_fingerprint, multimodal_{image_
+            # resize,frame_sample,png_decode} — are covered by the fold
+            # seeds above).  Checked for dict-merge overwrite hazard
+            # before seeding: none of the five carries an earlier entry.
+            # As the oldest surviving vintages (r08×1, r09×4) they rank
+            # directly behind the streaming cohort in the r16 window, so
+            # the done-condition 'oldest live vintage >= r10' is reachable
+            # this round rather than r17.
+            "bpe_encode_apply dedup_ngram_jaccard dedup_repeated_spans "
+            "dedup_segments_crossdoc topk_heavy_hitters"
         ).split()
     },
 }
@@ -550,7 +563,14 @@ def closure_sources(fn) -> dict[str, str]:
                 continue
             if inspect.isfunction(obj) or inspect.isclass(obj):
                 omod = getattr(obj, "__module__", "") or ""
-                if omod.startswith(pkg) and omod != __name__:
+                # package-BOUNDARY match (ADVICE r15: the r14 fix covered
+                # only the ast.Import branch; a foreign module like
+                # "bigdatawork_spark_extras" reached via __module__ must
+                # not fold into the fingerprint either)
+                if (
+                    (omod == pkg or omod.startswith(pkg + "."))
+                    and omod != __name__
+                ):
                     stack.append(obj)
             elif isinstance(obj, value_types):
                 cmod = g.get("__name__", mod)
@@ -608,7 +628,12 @@ def closure_sources(fn) -> dict[str, str]:
                 ) if node.level else (node.module or "")
             except (ImportError, ValueError):
                 continue
-            if not target.startswith(pkg) or target == __name__:
+            # package-BOUNDARY match here too (ADVICE r15): bare
+            # startswith(pkg) would fold "bigdatawork_spark_extras"
+            # reached via from-import into the fingerprint
+            if (
+                target != pkg and not target.startswith(pkg + ".")
+            ) or target == __name__:
                 continue
             m = sys.modules.get(target)
             if m is None:
@@ -624,7 +649,10 @@ def closure_sources(fn) -> dict[str, str]:
                     continue
                 if inspect.isfunction(obj) or inspect.isclass(obj):
                     omod = getattr(obj, "__module__", "") or ""
-                    if omod.startswith(pkg) and omod != __name__:
+                    if (
+                        (omod == pkg or omod.startswith(pkg + "."))
+                        and omod != __name__
+                    ):
                         stack.append(obj)
                 elif isinstance(obj, value_types):
                     ctag = f"const:{target}.{alias.name}"
@@ -740,8 +768,19 @@ def driver_order(
             tier = 3
         else:
             tier = 4
+        # Within the due tier, STREAMING keys rank ahead of batch keys
+        # (VERDICT r15 item 1): the r14 and r15 windows were both consumed
+        # by the vintage burn-down and displaced the streaming cohort two
+        # rounds past its own STREAMING_CADENCE.  Vintage ascending alone
+        # cannot fix this — r12-vintage streaming ties with r12-vintage
+        # batch and the r13-vintage streaming tail falls off a ~50-key
+        # window behind OLDER batch keys.  A cadence rule that can be
+        # displaced indefinitely is not a rule, so the sub-rank encodes
+        # the priority: due streaming first (oldest vintage first), then
+        # due batch (oldest vintage first).
+        sub = 0 if tier == 3 and is_streaming_key(k) else 1
         rnd = vintage.get(k, 0) if tier >= 2 else 0
-        return (tier, rnd, prio.get(k, len(prio)))
+        return (tier, sub, rnd, prio.get(k, len(prio)))
 
     # dict preserves registration order; stable sort keeps it as the tiebreak
     return {k: d[k] for k in sorted(d, key=rank)}

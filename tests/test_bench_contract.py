@@ -71,10 +71,16 @@ def test_compact_summary_line_fits_driver_tail():
             "protocol": "x" * 3000,  # prose must never leak into the line
         },
     }
+    payload["passes"] = 3
+    payload["pass_totals"] = [2.64, 2.58, 2.71]
     line = bench._compact_summary_line(payload)
     assert len(line) <= 1900
     d = json.loads(line)["bench_summary"]
     assert d["headline_sec"] == 2.64 and d["sf"] == 0.1
+    # VERDICT r15 item 4: the sf0.1 headline is a median of full batch
+    # passes; the compact line must carry the pass evidence
+    assert d["passes"] == 3
+    assert d["pass_totals"] == [2.64, 2.58, 2.71]
     assert d["sf1_0"]["ratio_vs_duckdb"] == 1.304
     assert d["sf1_0"]["ratio_vs_duckdb_allruns"] == 1.302
     assert "protocol" not in d["sf1_0"]

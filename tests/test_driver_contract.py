@@ -452,6 +452,8 @@ def test_driver_order_rotates_oldest_vintage_first():
         source_hash,
     )
 
+    from bigdatawork_spark.registry import is_streaming_key
+
     vintage = driver_latest_round()
     if not vintage:
         pytest.skip("no CORRECTNESS_r*.json present")
@@ -459,8 +461,12 @@ def test_driver_order_rotates_oldest_vintage_first():
     recorded = _verified_hashes()
     upcoming = max(vintage.values()) + 1
     ordered = list(driver_order(QUERIES))
-    # per-tier vintage monotonicity (tiers 2, 3, 4 separately)
-    for want_tier in (2, 3, 4):
+    # per-tier vintage monotonicity (tiers 2, 3, 4 separately).  Tier 3
+    # additionally sub-ranks due STREAMING keys ahead of due batch keys
+    # (VERDICT r15 item 1: the cadence rule was displaced two rounds
+    # running by the vintage burn-down), so its monotonicity is asserted
+    # per sub-group and the streaming block must precede the batch block.
+    for want_tier in (2, 4):
         rounds = [
             vintage.get(k, 0)
             for k in ordered
@@ -468,6 +474,21 @@ def test_driver_order_rotates_oldest_vintage_first():
         ]
         assert rounds == sorted(rounds), (
             f"verified tier {want_tier} not vintage-ascending"
+        )
+    due = [
+        k
+        for k in ordered
+        if _mirror_tier(k, verified, recorded, vintage, upcoming) == 3
+    ]
+    flags = [is_streaming_key(k) for k in due]
+    assert flags == sorted(flags, reverse=True), (
+        "due tier: streaming keys must precede batch keys"
+    )
+    for grp_flag in (True, False):
+        rounds = [vintage.get(k, 0) for k in due if is_streaming_key(k) is grp_flag]
+        assert rounds == sorted(rounds), (
+            f"due tier ({'streaming' if grp_flag else 'batch'} sub-group) "
+            "not vintage-ascending"
         )
 
 
@@ -561,3 +582,58 @@ def test_closure_sources_respects_package_boundary():
 
     parts = closure_sources(uses_pkg_and_sub)
     assert "module:bigdatawork_spark.session" in parts
+
+
+def test_closure_sources_boundary_from_import_and_module_attr(monkeypatch):
+    """ADVICE r15: the r14 boundary fix covered only the ast.Import
+    branch.  A foreign prefix-sharing module reached via `from`-import or
+    via a referenced object's __module__ must be excluded too — otherwise
+    a `bigdatawork_spark_extras` helper would fold into the closure
+    fingerprint (spurious staleness on third-party edits)."""
+    import sys
+    import types
+
+    from bigdatawork_spark.registry import closure_sources
+
+    # install a REAL (fake) foreign module so resolution succeeds and the
+    # old bare-prefix match would have traversed its contents
+    foreign = types.ModuleType("bigdatawork_spark_extras")
+    exec("def foreign_helper():\n    return 41\n", foreign.__dict__)
+    foreign.foreign_helper.__module__ = "bigdatawork_spark_extras"
+    monkeypatch.setitem(sys.modules, "bigdatawork_spark_extras", foreign)
+
+    # from-import form (registry.py ImportFrom branch)
+    def uses_foreign_from(spark, sf_dir):
+        from bigdatawork_spark_extras import foreign_helper
+        return foreign_helper
+
+    parts = closure_sources(uses_foreign_from)
+    assert not any("bigdatawork_spark_extras" in t for t in parts), sorted(
+        parts
+    )
+
+    # __module__ form (the identifier-scan omod check): a global binding
+    # whose object CLAIMS a foreign prefix-sharing module.  The function is
+    # defined normally in THIS file (so inspect.getsource works and the
+    # identifier scan runs over real source) and the foreign helper is
+    # injected into this module's globals, which ARE the function's
+    # __globals__.
+    monkeypatch.setitem(
+        globals(), "foreign_helper", foreign.foreign_helper
+    )
+
+    def uses_foreign_global(spark, sf_dir):
+        return foreign_helper  # noqa: F821 — injected above
+
+    parts = closure_sources(uses_foreign_global)
+    assert not any("bigdatawork_spark_extras" in t for t in parts), sorted(
+        parts
+    )
+
+    # sanity: a legitimate package-local from-import still traverses
+    def uses_local_from(spark, sf_dir):
+        from bigdatawork_spark.plans.explain import formatted_plan
+        return formatted_plan
+
+    parts = closure_sources(uses_local_from)
+    assert any("formatted_plan" in t for t in parts), sorted(parts)

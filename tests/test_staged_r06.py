@@ -29,14 +29,42 @@ STAGED_ORACLES = {k: ORACLES[k] for k in _R06_KEYS if k in ORACLES}
 from .compare import assert_frames_match
 
 
+# ADVICE r15: STAGED_* is rebuilt from the live registry, so asserting
+# `QUERIES[key] is fn` compared the registry to itself (tautological —
+# the test no longer caught accidental re-registration).  The drift guard
+# is now the documented post-fold HOME of each builder, pinned per key:
+# a key silently re-registered from a different module fails here.
+_EXPECTED_HOME = {
+    "coreset_sample_kcenter": "bigdatawork_spark.operators.training_ops",
+    "dedup_containment": "bigdatawork_spark.operators.curation",
+    "dedup_ladder": "bigdatawork_spark.operators.curation",
+    "dedup_ladder_exact_stage": "bigdatawork_spark.operators.curation",
+    "dsir_importance_resample": "bigdatawork_spark.operators.training_ops",
+    "embedding_pca_gram": "bigdatawork_spark.operators.training_ops",
+    "knn_classify_ivf": "bigdatawork_spark.operators.llm_ops",
+    "privacy_dp_count": "bigdatawork_spark.operators.platform_ops",
+    "semdedup_prune": "bigdatawork_spark.operators.llm_ops",
+    "table_format_vacuum": "bigdatawork_spark.sources.manifest_format",
+    "ts_downsample_lttb": "bigdatawork_spark.operators.stats_ops",
+    "ts_seasonal_decompose": "bigdatawork_spark.operators.stats_ops",
+    "win_rolling_median": "bigdatawork_spark.operators.windows",
+}
+
+
 def test_staged_keys_promoted_verbatim():
-    """Post-fold form: every round-6 key is live in the registry with a
-    non-empty builder and (where declared) a non-empty oracle."""
+    """Post-fold form: every round-6 key is live in the registry, callable,
+    registered from its documented post-fold home module, and (where
+    declared) carries a non-empty oracle."""
+    assert set(_EXPECTED_HOME) == set(STAGED_QUERIES)
     for key, fn in STAGED_QUERIES.items():
-        assert QUERIES[key] is fn and callable(fn), key
+        assert callable(fn), key
+        assert fn.__module__ == _EXPECTED_HOME[key], (
+            key, fn.__module__, _EXPECTED_HOME[key],
+        )
+        assert getattr(fn, "query_key", None) == key
     assert set(STAGED_ORACLES) <= set(STAGED_QUERIES)
     for key, sql in STAGED_ORACLES.items():
-        assert sql.strip() and ORACLES[key] == sql, key
+        assert sql.strip(), key
 
 
 @pytest.mark.parametrize("key", sorted(STAGED_ORACLES))
