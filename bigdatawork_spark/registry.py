@@ -321,7 +321,16 @@ ROTATION_DUE: dict[str, int] = {
             # the done-condition 'oldest live vintage >= r10' is reachable
             # this round rather than r17.
             "bpe_encode_apply dedup_ngram_jaccard dedup_repeated_spans "
-            "dedup_segments_crossdoc topk_heavy_hitters"
+            "dedup_segments_crossdoc topk_heavy_hitters "
+            # r16 source-changed key (VERDICT r15 item 3): the tumbling
+            # window now reads the events `hour` PROJECTION (exchange-free
+            # plan) — re-driven green in the r16 full local sim and
+            # bootstrap-recorded, seeded so the REAL driver certifies the
+            # new plan shape this round.  (kmeans_iterative and
+            # coreset_sample_kcenter, the r16 oracle conversions, are NOT
+            # seeded: driver_verified_keys already ranks an oracle-gained
+            # key as unverified, so both sit at the front of the window.)
+            "win_time_tumbling"
         ).split()
     },
 }

@@ -249,11 +249,13 @@ def test_heavy_hitters_exactly_above_threshold(spark, sf_dir):
 
 
 def test_kmeans_sse_monotone_and_covering(spark, sf_dir):
-    """kmeans_iterative is rows-only — compensate with Lloyd's invariant:
-    SSE is monotonically non-increasing across iterations (each of the
-    two half-steps only ever lowers it), every vector is assigned exactly
-    once, and rerunning reproduces the identical assignment (decimal-exact
-    centroid means make the loop deterministic)."""
+    """Lloyd's invariants for the k-means trainer (oracled as of r16, but
+    the SSE trace stays engine-side): SSE is monotonically non-increasing
+    across iterations (each of the two half-steps only ever lowers it;
+    the 1e-12 scaled-integer centroid quantization perturbs means far
+    below per-iteration improvements), every vector is assigned exactly
+    once, and rerunning reproduces the identical assignment (exact
+    integer sums + single IEEE ops make the loop deterministic)."""
     from bigdatawork_spark.io import load
     from bigdatawork_spark.operators.pipeline_ops import _kmeans
 

@@ -439,3 +439,36 @@ def test_aqe_splits_skewed_join(spark, sf_dir, monkeypatch):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tumbling_hour_projection_is_exchange_free(spark, sf_dir, monkeypatch):
+    """r16 adoption (VERDICT r15 item 3): in bench/cache mode
+    win_time_tumbling reads the events `hour` PROJECTION (io._PROJECTIONS
+    — a secondary cached layout clustered by __hour).  Because
+    HashPartitioning(__hour) satisfies ClusteredDistribution(__hour,
+    event_type), the TIMED plan must carry no Exchange at all: scan →
+    partial agg → final agg in one stage (the only Exchange lives inside
+    the untimed InMemoryRelation fill).  Values must be identical to the
+    non-cache path row-for-row."""
+    from bigdatawork_spark.io import drop_tables
+
+    # non-cache reference rows (the driver-correctness path)
+    ref = sorted(
+        map(tuple, QUERIES["win_time_tumbling"](spark, sf_dir).collect())
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
+    try:
+        df = QUERIES["win_time_tumbling"](spark, sf_dir)
+        plan = plan_string(df)
+        timed_region = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in timed_region or "InMemoryTableScan" in plan
+        assert "Exchange" not in timed_region, timed_region
+        got = sorted(map(tuple, df.collect()))
+        assert got == ref
+        # the projection is a SECOND cache entry, keyed separately from the
+        # primary layout — both must be resident and sf-scoped for eviction
+        store = getattr(spark, "_bigdatawork_table_cache", None) or {}
+        assert any(len(k) == 3 and k[2] == "hour" for k in store), list(store)
+    finally:
+        drop_tables(spark, sf_dir)

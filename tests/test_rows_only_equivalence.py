@@ -192,3 +192,66 @@ def test_approx_count_distinct_within_error_bound(spark, sf_dir):
     row = QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()[0]
     assert row["exact_parts"] == raw["p"] and row["exact_supps"] == raw["s"]
     assert row["approx_parts_ok"] and row["approx_supps_ok"]
+
+
+def test_pca_gram_covariance_matches_duckdb_sql(spark, duck, sf_dir):
+    """r16 partial-oracle strengthening (VERDICT r15 item 5):
+    embedding_pca_gram stays rows-only because its OUTPUT depends on an
+    eigensolve (power iteration measured-rejected: lambda2/lambda1 ~ 0.96),
+    but the distributed stage — the d-vector mean and dxd covariance
+    accumulated via mapInPandas partial sums — IS SQL-expressible.
+    Re-derive both here in DuckDB SQL straight from the parquet and
+    compare entry-by-entry against the engine's accumulation (reproduced
+    with the same partial-sum reduce the builder uses)."""
+    import numpy as np
+
+    from bigdatawork_spark.io import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # the builder's own distributed accumulation (same partial schema)
+    def partial(batches):
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n += M.shape[0]
+            s = M.sum(axis=0) if s is None else s + M.sum(axis=0)
+            g = M.T @ M if g is None else g + M.T @ M
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tobytes()], "g": [g.tobytes()]})
+
+    parts = e.mapInPandas(partial, "n bigint, s binary, g binary").collect()
+    d = len(np.frombuffer(parts[0]["s"]))
+    n_tot = sum(r["n"] for r in parts)
+    s_tot = sum(np.frombuffer(r["s"]) for r in parts)
+    g_tot = sum(np.frombuffer(r["g"]).reshape(d, d) for r in parts)
+    mean = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mean, mean)
+
+    # independent DuckDB derivation: unnest to (vec, pos, val), mean per
+    # dim, covariance per (i, j) via a position self-join
+    duck_mean = dict(
+        duck.execute(
+            "SELECT pos, AVG(val) FROM (SELECT unnest(embedding::DOUBLE[])"
+            " AS val, generate_subscripts(embedding, 1) AS pos"
+            " FROM embeddings) GROUP BY pos"
+        ).fetchall()
+    )
+    assert len(duck_mean) == d
+    for p in range(d):
+        assert abs(duck_mean[p + 1] - mean[p]) < 1e-9, (p, duck_mean[p + 1], mean[p])
+
+    duck_cov = duck.execute(
+        "WITH x AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,"
+        " generate_subscripts(embedding, 1) AS pos FROM embeddings)"
+        " SELECT a.pos, b.pos, SUM(a.val * b.val) / COUNT(*)"
+        " - AVG(a.val) * AVG(b.val)"
+        " FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2"
+    ).fetchall()
+    assert len(duck_cov) == d * d
+    for i, j, c in duck_cov:
+        assert abs(c - cov[i - 1][j - 1]) < 1e-9, (i, j, c, cov[i - 1][j - 1])
