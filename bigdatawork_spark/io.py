@@ -147,11 +147,22 @@ _DERIVED_COLS: dict[str, list[tuple[str, str]]] = {
 # pre-computes the aggregation itself, so both engines would time a ~40k-row
 # re-scan and the benchmark would stop measuring tumbling aggregation at
 # all.  Inadmissible under the symmetric protocol (BASELINE.md r16).
-_PROJECTIONS: dict[tuple[str, str], tuple[str, int]] = {
-    # (table, projection name): (cluster key, partition count).
-    # 8 partitions: same count as the primary events layout (the r08 sweep
-    # showed tumbling flat at 4-8 and degrading wider).
-    ("events", "hour"): ("__hour", 8),
+_PROJECTIONS: dict[tuple[str, str], tuple[str, int | None]] = {
+    # (table, projection name): (cluster key, partition count; None =
+    # one per core via _cluster_partitions).
+    #
+    # events.hour is PER-CORE, unlike the primary events layout's fixed 8:
+    # the r08 "wider shreds tumbling" sweep measured layouts whose cluster
+    # key differed from the grouping key, where map-side partial rows
+    # multiply with partition count.  Clustered BY the grouping key the
+    # partial output is constant (each partition owns distinct hours), so
+    # width is pure parallelism: the r16 width A/B (hash-identical,
+    # median-of-9 warm) measured 8/16/32 partitions at 252/204/166 ms
+    # (sf1.0) and 375/280/226 ms (sf10) — monotone in width up to core
+    # count, both scales.  Per-core is also the 100 TB shape: the bucket
+    # count of a time-partitioned event store tracks the cluster's
+    # parallelism, not a constant.
+    ("events", "hour"): ("__hour", None),
 }
 
 
@@ -358,7 +369,11 @@ def load(
                 # and pins hashpartitioning(ckey, nparts) for every later
                 # consumer (the exchange elision is the projection's whole
                 # point).
-                pdf = cache[key].repartition(nparts, ckey).cache()
+                pdf = (
+                    cache[key]
+                    .repartition(nparts or _cluster_partitions(spark), ckey)
+                    .cache()
+                )
                 pdf.count()
                 cache[pkey] = pdf
             out = cache[pkey]

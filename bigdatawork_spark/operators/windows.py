@@ -308,8 +308,17 @@ def win_time_tumbling(spark, sf_dir):
     349 ms (r08 rejection reconfirmed) / hour-projection 254 ms — vs
     DuckDB 115 ms in the same window.  A pre-aggregated hourly ROLLUP was
     adjudicated INADMISSIBLE (it removes the timed aggregation itself;
-    io._PROJECTIONS comment + BASELINE.md r16).  The residual vs DuckDB
-    is the row-based hash-agg floor over 1M rows in a single stage — no
+    io._PROJECTIONS comment + BASELINE.md r16).
+
+    r16 width refinement (same session): with the cluster key EQUAL to
+    the grouping key, partial-agg output is constant in partition count,
+    so projection width is pure parallelism — the width A/B
+    (hash-identical, median-of-9) measured 8/16/32 partitions at
+    252/204/166 ms (sf1.0) and 375/280/226 ms (sf10); the projection is
+    per-core (io._cluster_partitions).  Bench r16 after adoption: 0.099 s
+    vs DuckDB 0.105 s at sf1.0 — 0.94×, off the weak set.  The residual
+    at sf10 (~0.22 s vs DuckDB's vectorized 0.046 s over 10M rows) is
+    the row-based hash-agg floor in a single exchange-free stage — no
     removable exchange, stage, or per-row Python remains.  At 100 TB the
     same layout is the time-bucketed table partitioning every production
     event store already uses."""
