@@ -468,24 +468,41 @@ def _recorded_sf10(path: str | None = None) -> dict | None:
         q_keys = sorted(
             set().union(*(set(r.get("spark_queries") or {}) for r in runs))
         )
-        per_q = {}
-        for k in q_keys:
-            s = [r["spark_queries"][k] for r in runs
-                 if k in (r.get("spark_queries") or {})]
-            d = [r["duckdb_queries"][k] for r in runs
-                 if k in (r.get("duckdb_queries") or {})]
-            if s and d:
-                sm, dm = _median(s), _median(d)
-                per_q[k] = {
-                    "spark": round(sm, 4),
-                    "duckdb": round(dm, 4),
-                    "ratio": round(sm / dm, 3) if dm else None,
-                }
+
+        def _per_query_medians(rs):
+            out = {}
+            for k in q_keys:
+                s = [r["spark_queries"][k] for r in rs
+                     if k in (r.get("spark_queries") or {})]
+                d = [r["duckdb_queries"][k] for r in rs
+                     if k in (r.get("duckdb_queries") or {})]
+                if s and d:
+                    sm, dm = _median(s), _median(d)
+                    out[k] = {
+                        "spark": round(sm, 4),
+                        "duckdb": round(dm, 4),
+                        "ratio": round(sm / dm, 3) if dm else None,
+                    }
+            return out
+
+        per_q = _per_query_medians(runs)
+        # CURRENT-SHAPE companion (r16): the record accumulates runs
+        # across plan-shape changes, so the all-runs median can lag an
+        # adopted layout for rounds (observed: win_time_tumbling's r16
+        # hour-projection shows 0.25 s in current-shape runs while the
+        # all-runs median still reads the seven pre-projection runs'
+        # 0.42 s — a reader would conclude the adoption didn't help).
+        # A trailing-3 window (probes are recorded at session close on
+        # the final tree) keeps a current reading next to the stability
+        # statistic; neither replaces the other and the protocol string
+        # names both.
+        per_q_recent = _per_query_medians(runs[-3:])
         all_pass_ratios = [p for r in runs for p in r.get("pass_ratios", [])]
         return {
             "recorded": True,
             "n_runs": len(runs),
             "per_query_median_across_runs": per_q,
+            "per_query_median_recent3": per_q_recent,
             "spark_sec_median_across_runs": round(
                 sum(v["spark"] for v in per_q.values()), 4
             ),
@@ -522,7 +539,10 @@ def _recorded_sf10(path: str | None = None) -> dict | None:
                 " interleaved pass/median protocol as sf1_0)."
                 " PRIMARY statistic: per_query_median_across_runs (per-"
                 "query medians over ALL recorded runs — the stable"
-                " structure); batch pass-ratio bands are SECONDARY with"
+                " structure); per_query_median_recent3 is the CURRENT-"
+                "SHAPE companion (trailing-3 window — the all-runs median"
+                " lags adopted plan-shape changes by design); batch"
+                " pass-ratio bands are SECONDARY with"
                 " pass_ratio_spread stating the host-weather spread;"
                 " trimmed medians (drop min/max pass) present for >=5-pass"
                 " runs; spark_sec / spark_queries / duckdb_queries are"

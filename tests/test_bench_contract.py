@@ -218,3 +218,30 @@ def test_recorded_sf10_per_query_primary_and_trimmed(tmp_path):
     assert out["pass_ratio_spread"] == [0.3, 3.0]
     assert out["ratio_vs_duckdb_trimmed_band"] == [0.77]
     assert "per_query_median_across_runs" in out["protocol"]
+
+
+def test_recorded_sf10_recent3_current_shape_window(tmp_path):
+    """r16: the record accumulates runs across plan-shape changes, so the
+    all-runs median lags an adopted layout; per_query_median_recent3 is
+    the trailing-3 current-shape companion (observed motivator: tumbling's
+    hour-projection reads 0.25 s in current-shape runs while the all-runs
+    median still reads the pre-projection 0.42 s)."""
+    import json
+
+    def run(spark_q1):
+        return {"ratio_vs_duckdb": 1.0, "pass_ratios": [1.0],
+                "spark_sec": 9.0, "duckdb_sec": 9.0,
+                "spark_queries": {"q1": spark_q1},
+                "duckdb_queries": {"q1": 0.1},
+                "rows": {"lineitem": 60000000}}
+
+    # 4 old-shape runs at 0.42s, 3 current-shape runs at 0.25s: the
+    # all-runs median still reads old (7 values, median = 0.42), while
+    # the trailing-3 window reads the adopted shape.
+    band = {"runs": [run(0.42)] * 4 + [run(0.25)] * 3}
+    p = tmp_path / "DECADE_SF10.json"
+    p.write_text(json.dumps(band))
+    out = bench._recorded_sf10(str(p))
+    assert out["per_query_median_across_runs"]["q1"]["spark"] == 0.42
+    assert out["per_query_median_recent3"]["q1"]["spark"] == 0.25
+    assert "per_query_median_recent3" in out["protocol"]
