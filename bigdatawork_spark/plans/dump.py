@@ -23,7 +23,7 @@ HEADLINE_NOTES = {
     "win_row_number": "single shuffle on user_id; window runs in one pass per partition",
     "dedup_exact": "sha2 group keys — shuffle carries 64-byte hashes, not documents",
     "join_inner_shuffle": "SortMergeJoin above broadcast threshold (the honest fact⋈fact shuffle)",
-    "win_time_tumbling": "tumbling window = plain groupBy on the bucketed ts; partial agg applies",
+    "win_time_tumbling": "tumbling window = plain groupBy on the bucketed ts; partial agg applies — shown cache-off with its Exchange; in the bench cache mode the query reads the hour-clustered events PROJECTION (io._PROJECTIONS, r16) and the plan is exchange-free (single stage, pinned by tests/test_plans.py::test_tumbling_hour_projection_is_exchange_free)",
     "wordcount": "explode→partial-agg; stopword skew handled by AQE at runtime",
     "sim_cosine_topk": "probe set broadcast; dot product folds JVM-side (no Python)",
     "tfidf_keywords": "zero token-level shuffles (r7): vocab df via distinct-per-doc explode (map-side combined to |vocab| rows), dict sc.broadcast (capped), tf+score+top-3 inside one Arrow mapInPandas pass — the only exchange is the doc-row round-robin that restores scan parallelism",
