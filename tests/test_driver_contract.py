@@ -637,3 +637,26 @@ def test_closure_sources_boundary_from_import_and_module_attr(monkeypatch):
 
     parts = closure_sources(uses_local_from)
     assert any("formatted_plan" in t for t in parts), sorted(parts)
+
+
+def test_oracle_fixed_sf_declaration_is_accurate():
+    """ORACLE_FIXED_SF (r16) declares the keys whose oracle SQL names the
+    contract's sf0.01 path literally (DuckDB parquet_metadata() rejects
+    subquery arguments, so the path can't come from the registered view).
+    A cross-scale simulation must downgrade exactly these keys to
+    rows-only at non-contract SFs — so the set must (a) only contain
+    oracled keys, (b) each oracle must really embed the contract dir, and
+    (c) no OTHER oracle may hard-code a testdata path (it would fail the
+    same way parquet_layout_audit did in the r16 sf0.1 full sim)."""
+    from bigdatawork_spark.registry import ORACLE_FIXED_SF
+
+    contract_dir = "/root/testdata/sf0.01"
+    assert ORACLE_FIXED_SF <= set(ORACLES)
+    for key in ORACLE_FIXED_SF:
+        assert contract_dir in ORACLES[key], key
+    for key, sql in ORACLES.items():
+        if key not in ORACLE_FIXED_SF:
+            assert "/root/testdata" not in sql, (
+                f"{key} hard-codes a testdata path but is not declared"
+                " in ORACLE_FIXED_SF"
+            )

@@ -17,6 +17,11 @@ from pyspark.sql import SparkSession
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 SF_DIR = __import__("os").environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+CONTRACT_SF_DIR = "/root/testdata/sf0.01"
+try:
+    from bigdatawork_spark.registry import ORACLE_FIXED_SF as FIXED_SF_ORACLE_KEYS
+except ImportError:  # older tree without the declaration
+    FIXED_SF_ORACLE_KEYS = frozenset()
 
 args = sys.argv[1:]
 limit = int(args[0]) if len(args) == 1 and args[0].isdigit() else None
@@ -71,6 +76,15 @@ for i, k in enumerate(keys):
         continue
     if k not in oracles:
         print(f"[{i+1}/{len(keys)}] {k}: rows-only OK ({len(sdf)} rows, {time.time()-tk:.1f}s)")
+        continue
+    if k in FIXED_SF_ORACLE_KEYS and SF_DIR.rstrip("/") != CONTRACT_SF_DIR:
+        # the oracle names the contract's sf0.01 path literally (see
+        # registry.ORACLE_FIXED_SF) — hash-comparing it against the
+        # engine at THIS sf_dir would diff two different inputs
+        print(
+            f"[{i+1}/{len(keys)}] {k}: rows-only OK at non-contract SF"
+            f" (fixed-sf0.01 oracle; {len(sdf)} rows, {time.time()-tk:.1f}s)"
+        )
         continue
     try:
         odf = con.execute(oracles[k]).fetchdf()
