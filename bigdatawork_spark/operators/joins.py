@@ -370,21 +370,42 @@ FROM events a JOIN events b
 """,
 )
 def join_interval(spark, sf_dir):
-    """Interval self-join: pairs of same-user events ≤10 min apart.  The
-    equi key (user_id) bounds the pair space; at 100 TB add a coarse time
-    bucket to the join key to cap per-key pair counts (§7.5)."""
+    """Interval self-join: pairs of same-user events ≤10 min apart.
+
+    r16 optimization (guide §2.5/§3.3; A/B in OPTIMIZATION_r16.md): the
+    plain user_id equi-join buffered EVERY same-user pair
+    (O(events_per_user²) per key — ~31 s at sf1.0) before the time band
+    filtered; adding a coarse 10-minute bucket to the equi key — the
+    scale path this key's own docstring prescribed, already proven
+    hash-identical by the join_interval_bucketed twin — caps the pair
+    space at O(events_per_bucket²)·2 (~3 s at sf1.0).  A match is ≤10 min
+    after ts_a, so it lives in bucket(ts_a) or bucket(ts_a)+1: the LEFT
+    row explodes into both candidate buckets (×2 of the slim 4-column
+    side), the join is pure equi on (user_id, bk), and the exact band
+    predicate filters matched pairs.  Result set identical by
+    construction — the oracle IS the unbucketed join."""
     ev = load(spark, sf_dir, "events")
-    a = ev.alias("a")
-    b = ev.alias("b")
-    return a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.ts") > F.col("a.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select(
-        F.col("a.event_id").alias("first_id"),
-        F.col("b.event_id").alias("second_id"),
-        F.col("a.user_id").alias("user_id"),
+    bucket = (F.unix_timestamp("ts") / 600).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_a"),
+        bucket.alias("bk"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("second_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("bk"),
+    )
+    a2 = a.withColumn("bk", F.explode(F.array(F.col("bk"), F.col("bk") + 1)))
+    return (
+        a2.join(b, ["user_id", "bk"])
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("first_id", "second_id", "user_id")
     )
 
 

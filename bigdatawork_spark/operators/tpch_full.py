@@ -498,47 +498,57 @@ def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
     multi-supplier finalized orders (lateness adapted to shipdate more
     than 60 days after orderdate) — the double correlated EXISTS /
-    NOT EXISTS.  Both become one-pass non-equi semi/anti joins on
-    orderkey against a 3-column projection of lineitem; the NOT EXISTS
-    anti-join condition references the outer row's order-date deadline,
-    carried as a computed column.  At scale all three lineitem legs
-    shuffle on orderkey — one exchange each, no per-row subqueries."""
+    NOT EXISTS.
+
+    r16 optimization (guide §2.3/§2.4 — the before/after A/B and plan
+    diff are in OPTIMIZATION_r16.md): the correlated subqueries were
+    previously non-equi LEFT SEMI + LEFT ANTI joins probing two full
+    3-column lineitem projections (two extra lineitem-sized shuffle
+    legs); because the deadline is a function of the ORDER alone, both
+    subqueries collapse into one per-orderkey aggregate over the same
+    lineitem⋈orders relation the candidate pass reads —
+      EXISTS other-supplier line      ⇔ count(distinct suppkey) ≥ 2
+      NOT EXISTS other LATE supplier  ⇔ count(distinct late suppkey) = 1
+    (the candidate's own line is late, so it is the one late supplier).
+    Off the orderkey-clustered cache every step — the li⋈o join, the
+    per-order aggregate, and the stats join-back — is co-partitioned on
+    orderkey: zero fact exchanges.  At 100 TB the aggregate leg shuffles
+    (orderkey, suppkey, late-flag) triples once instead of probing two
+    full lineitem replicas."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
     deadline = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > deadline)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey",
             "l_suppkey",
-            "s_name",
-            deadline.alias("late_after"),
+            (F.col("l_shipdate") > deadline).alias("is_late"),
         )
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"),
-        F.col("l_suppkey").alias("sk2"),
-        F.col("l_shipdate").alias("ship2"),
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
     )
-    exists_other = l1.join(
-        l2,
-        (l1.l_orderkey == l2.k2) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
+    s_nat = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
     )
-    sole_late = exists_other.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2"))
-        & (F.col("l_suppkey") != F.col("sk2"))
-        & (F.col("ship2") > F.col("late_after")),
-        "left_anti",
+    cand = (
+        lo.filter(F.col("is_late"))
+        .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "s_name")
     )
     return (
-        sole_late.groupBy("s_name")
+        cand.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
