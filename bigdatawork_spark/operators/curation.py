@@ -910,16 +910,30 @@ def quality_classifier_nb(spark, sf_dir):
         )
         .filter(F.col("word") != "")
     )
-    tf = tok.groupBy("doc_id", "lang", "word").agg(
-        F.count(F.lit(1)).alias("tf")
+    # r16 optimization (guide §2.4 "do fewer passes" / §1.2 step 1): the
+    # r15 form built tf, cw, ct, the vocab-size scalar AND the vocab list
+    # as five INDEPENDENT subtrees over ``tok`` — Spark shares no common
+    # subexpressions across DataFrame branches, so the full corpus explode
+    # + hash aggregation ran five times per query (~21.6 s at sf1.0).  The
+    # per-(doc,class,word) tf relation already carries everything the
+    # other four need (cw = Σtf by (class,word); ct = Σtf by class; vocab
+    # and |V| are its distinct words), so tf is materialized ONCE via
+    # localCheckpoint (the bm25/dedup_cluster_cc artifact pattern) and the
+    # training aggregates reduce the checkpointed ~|doc×word| relation
+    # instead of re-exploding ~|tokens| five times.  Counts are identical
+    # by construction — HASH OK re-verified at sf0.01 and sf0.1.
+    tf = (
+        tok.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    cw = tok.groupBy(F.col("lang").alias("c"), "word").agg(
-        F.count(F.lit(1)).cast("double").alias("cw")
+    cw = tf.groupBy(F.col("lang").alias("c"), "word").agg(
+        F.sum("tf").cast("double").alias("cw")
     )
-    ct = tok.groupBy(F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).cast("double").alias("ct")
+    ct = tf.groupBy(F.col("lang").alias("c")).agg(
+        F.sum("tf").cast("double").alias("ct")
     )
-    consts = tok.agg(F.countDistinct("word").cast("double").alias("v"))
+    consts = tf.agg(F.countDistinct("word").cast("double").alias("v"))
     n_lab = d.filter(F.col("lang").isNotNull())
     prior = n_lab.groupBy(F.col("lang").alias("c")).agg(
         F.count(F.lit(1)).alias("nc")
@@ -928,7 +942,7 @@ def quality_classifier_nb(spark, sf_dir):
     ).select(
         "c", F.log(F.col("nc").cast("double") / F.col("nt")).alias("logprior")
     )
-    vocab = tok.select("word").distinct()
+    vocab = tf.select("word").distinct()
     grid = (
         vocab.crossJoin(ct)
         .crossJoin(F.broadcast(consts))

@@ -552,9 +552,17 @@ def _kmeans(spark, sf_dir, k: int = 8, iters: int = 5):
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
     cents = {
+        # (collected BEFORE the round-robin repartition below — the probe
+        # filter wants the 1-file scan's trivial plan)
         r["vec_id"]: list(r["v"])
         for r in e.filter(F.col("vec_id") <= k).collect()
     }
+    # the embeddings table is ONE parquet file at every bench SF — without
+    # this round-robin the per-round argmin map + partial aggregation run
+    # on a single core (guide §2.5/§2.6); the repartition shuffles only
+    # the slim (id, vector) relation (~10 MB at sf1.0) once per round's
+    # scan and the k×dim partial-agg output is unaffected
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     sse_trace = []
     assign = None
     for _ in range(iters):
@@ -1421,18 +1429,37 @@ def nearest_centroid_classify(spark, sf_dir):
     per-(vector,label) sum; the argmin ranks on the ROUNDED distance with
     label tiebreak.
 
-    Plan: one posexplode pass + |labels|×dim centroid aggregate
-    (broadcast-sized model, like the NB grid); scoring joins the exploded
-    elements to centroids on the dimension index and map-side-combines
-    n×dim×|labels| residuals down to n×|labels| partials.  At 100 TB the
-    production form keeps centroids as |labels| array literals and scores
-    each vector in place (BLAS pandas UDF) — model-artifact-sized state
-    either way."""
+    Plan (r16 optimization — guide §2.4 shuffle removal, the _kmeans
+    literal-centroid discipline): training is still the one posexplode
+    pass + |labels|×dim decimal-exact centroid aggregate, but the model
+    (|labels|×dim doubles — bounded driver state, exactly like kmeans'
+    k×dim matrix) is COLLECTED and re-enters scoring as a single SQL
+    literal array of (label, mu-vector) structs.  Scoring is then
+    MAP-ONLY: per row, ``array_min(transform(cents, …))`` folds the
+    decimal-cast squared residuals per class and argmins on the
+    (rounded d2, label) struct — the r15 form instead re-exploded every
+    vector and joined it to the centroid table on the dimension index
+    (n×dim×|labels| residual rows through a (vec,label,class) hash
+    aggregate + a per-vector rank window: ~20.5 s at sf1.0; after:
+    ~3 s).  Bit-parity: the fold adds the SAME decimal(28,12) terms the
+    old Sum aggregate added (exact integer arithmetic either way), the
+    collected means re-enter via repr round-trip (`<digits>D` literals
+    parse through correctly-rounded Double.parseDouble), and struct
+    ordering reproduces the window's (round(d2,6), label) tie-break —
+    HASH OK re-verified at sf0.01 and sf0.1.  At 100 TB the production
+    form is unchanged in spirit (BLAS pandas UDF over broadcast
+    centroids); the model stays model-artifact-sized."""
     e = load(spark, sf_dir, "embeddings")
-    elems = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")),
+    # the synthetic embeddings table is ONE parquet file at every bench
+    # SF, so the scan is a single partition — round-robin the slim
+    # (id, label, vector) relation to core width first (a ~10 MB shuffle)
+    # or the whole interpreted scoring fold below runs on one core
+    # (guide §2.5 input skew / §2.6 idle capacity)
+    vecs = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    elems = vecs.select(
+        "vec_id", "label", F.posexplode("v")
     ).select(
         "vec_id", "label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("x")
     )
@@ -1442,29 +1469,41 @@ def nearest_centroid_classify(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mu")
     )
-    dist = (
-        elems.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "c")
-        .agg(
-            F.sum(
-                ((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).cast(
-                    "decimal(28,12)"
-                )
+    by_c: dict = {}
+    for r in cent.collect():
+        by_c.setdefault(r["c"], {})[r["pos"]] = r["mu"]
+    cent_arr = "array({})".format(
+        ",".join(
+            "named_struct('c', CAST({} AS INT), 'mu', array({}))".format(
+                int(c),
+                ",".join(
+                    f"{float(mu)!r}D" for _, mu in sorted(mus.items())
+                ),
             )
-            .cast("double")
-            .alias("d2")
+            for c, mus in sorted(by_c.items())
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "c")
+    best = F.expr(
+        "array_min(transform({}, s -> named_struct("
+        " 'rd', round(cast(aggregate("
+        "   zip_with(v, s.mu, (x, m) -> CAST((x - m) * (x - m)"
+        "     AS DECIMAL(28,12))),"
+        # accumulator type must be closed under the merge: decimal
+        # addition widens the static type, so the merge casts back to
+        # DECIMAL(30,12) — 18 integer digits of headroom, residual sums
+        # are ≤ dim·max((x-m)²) ≪ 10^18, so every add is exact integer
+        # arithmetic like the old Sum aggregate's decimal buffer
+        "   CAST(0 AS DECIMAL(30,12)),"
+        "   (acc, t) -> CAST(acc + t AS DECIMAL(30,12))) AS DOUBLE), 6),"
+        " 'c', s.c)))".format(cent_arr)
+    )
     return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
-        .select(
+        vecs.select(
             "vec_id",
             "label",
-            F.col("c").alias("pred_label"),
-            F.round("d2", 6).alias("dist_sq"),
-            F.when(F.col("label") == F.col("c"), 1)
+            best["c"].alias("pred_label"),
+            best["rd"].alias("dist_sq"),
+            F.when(F.col("label") == best["c"], 1)
             .otherwise(0)
             .cast("int")
             .alias("is_correct"),
