@@ -52,9 +52,35 @@ def stamp_mtimes(src: str, order: int, stamped: set) -> None:
             os.utime(f, (t, t))
 
 
+# Default-source staging memo, ON the session object (io.py's pattern —
+# dies with the session, id-reuse-safe).  ~10 streaming keys stage the
+# IDENTICAL single-chunk copy of events; the staged dir is immutable
+# input (every query still computes from it with a fresh checkpoint), so
+# re-writing it per key was pure waste — measured 8.9 s cold / 2.1 s warm
+# per write at sf1.0, ~20 s/round across the streaming family (r16,
+# guide §1.2 "don't compute things you throw away").  Chunked callers
+# (batch-boundary-sensitive replays) keep fresh dirs.
+_SRC_MEMO_ATTR = "_bigdatawork_stream_src_memo"
+
+
 def _events_source_dir(spark, sf_dir, chunks: list | None = None) -> str:
     """Write events (µs timestamps — streaming reader also rejects ns) into
-    a fresh dir as one file per chunk predicate, in order."""
+    a fresh dir as one file per chunk predicate, in order.  The default
+    (single catch-all chunk) staging is memoized per (session, sf_dir)."""
+    memo = None
+    if chunks is None:
+        memo = getattr(spark, _SRC_MEMO_ATTR, None)
+        if memo is None:
+            memo = {}
+            try:
+                setattr(spark, _SRC_MEMO_ATTR, memo)
+            except Exception:
+                memo = None  # un-taggable session: stage per call
+        if memo is not None:
+            got = memo.get(sf_dir)
+            # guard against cleanup()/tmp-reaper having removed the dir
+            if got and glob.glob(os.path.join(got, "*.parquet")):
+                return got
     src = _fresh_dir("src")
     ev = load(spark, sf_dir, "events")
     preds = chunks or [F.lit(True)]
@@ -62,6 +88,8 @@ def _events_source_dir(spark, sf_dir, chunks: list | None = None) -> str:
     for i, pred in enumerate(preds):
         ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
         stamp_mtimes(src, i, stamped)
+    if memo is not None:
+        memo[sf_dir] = src
     return src
 
 
@@ -71,6 +99,37 @@ def _read_stream(spark: SparkSession, src: str, max_files: int | None = None):
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
     return reader.parquet(src)
+
+
+def _drain_to_parquet(sdf, tag: str, output_mode: str = "append"):
+    """availableNow drain through a foreachBatch parquet sink — the
+    high-volume alternative to ``_drain_to_memory`` (r16, guide §5 "the
+    driver should do almost no data work"): the memory sink collects
+    every batch row into DRIVER memory and the result is then scanned
+    from a LocalTableScan, which serialized ~1M-row pass-through results
+    row by row (A/B at sf1.0: stream_static_join drain 11.8 s → 2.8 s);
+    foreachBatch writes batch rows executor-side in parallel and the
+    result reads back as ordinary parquet.  Same rows, same modes, same
+    checkpoint discipline — only the sink I/O path changes.  Returns the
+    read-back DataFrame (schema preserved even when the stream emits
+    zero rows)."""
+    out = _fresh_dir(f"out-{tag}")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _fresh_dir(f"chk-{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        return spark.createDataFrame([], sdf.schema)
+    return spark.read.schema(sdf.schema).parquet(out)
 
 
 def _drain_to_memory(sdf, name: str, output_mode: str = "append") -> None:
@@ -90,9 +149,8 @@ def source_stream_file(spark, sf_dir):
     """File-based streaming source over an events parquet dir → memory."""
     src = _events_source_dir(spark, sf_dir)
     sdf = _read_stream(spark, src).filter(F.col("event_type") == "purchase")
-    name = f"t_{uuid.uuid4().hex[:8]}"
-    _drain_to_memory(sdf, name)
-    return spark.table(name).select("event_id", "user_id", "value").orderBy("event_id")
+    out = _drain_to_parquet(sdf, "srcfile")
+    return out.select("event_id", "user_id", "value").orderBy("event_id")
 
 
 @register("source_stream_rate")
@@ -228,9 +286,7 @@ def stream_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    name = f"t_{uuid.uuid4().hex[:8]}"
-    _drain_to_memory(sdf, name, output_mode="append")
-    return spark.table(name).orderBy("event_id")
+    return _drain_to_parquet(sdf, "dedup").orderBy("event_id")
 
 
 @register("stream_stateful_count")
@@ -263,7 +319,22 @@ def stream_stateful_count(spark, sf_dir):
         )
     )
     name = f"t_{uuid.uuid4().hex[:8]}"
-    _drain_to_memory(sdf, name, output_mode="update")
+    # r16 (guide §2.6 idle capacity): the per-group pandas dispatch is the
+    # cost here (~15k groups, one Python worker per state partition), and
+    # the session default of 8 shuffle partitions left 3/4 of the cores
+    # idle during the drain — widen the stateful operator to core width
+    # for THIS query only (shuffle partitions are read at query start;
+    # restored after).  State stays bounded: one long per user either
+    # way, just spread over more stores.  Measured 14 s → ~5 s at sf1.0.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        _drain_to_memory(sdf, name, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("user_id")
 
 
@@ -282,9 +353,7 @@ def stream_static_join(spark, sf_dir):
         .join(F.broadcast(weights), "event_type")
         .select("event_id", "event_type", "value", "weight")
     )
-    name = f"t_{uuid.uuid4().hex[:8]}"
-    _drain_to_memory(sdf, name)
-    return spark.table(name).orderBy("event_id")
+    return _drain_to_parquet(sdf, "staticjoin").orderBy("event_id")
 
 
 @register("stream_stream_join")
@@ -520,11 +589,9 @@ def stream_session(spark, sf_dir):
             F.max("ts").alias("last_event"),
         )
     )
-    name = f"t_{uuid.uuid4().hex[:8]}"
-    _drain_to_memory(sdf, name, output_mode="append")
+    out = _drain_to_parquet(sdf, "session", output_mode="append")
     return (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)
+        out.filter(F.col("user_id") >= 0)
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
