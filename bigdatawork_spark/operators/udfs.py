@@ -123,7 +123,18 @@ def udtf_grouped_map(spark, sf_dir):
     the group key, arbitrary pandas per group.
 
     The pandas callback is a closure (pickled by value) so Spark workers
-    never need ``bigdatawork_spark`` on their import path."""
+    never need ``bigdatawork_spark`` on their import path.
+
+    r16 optimization (guide §4.1 "pass only the columns the function
+    needs" + §2.6 idle capacity; A/B in OPTIMIZATION_r16.md): the group
+    shuffle previously carried all six event columns — including the fat
+    ``props`` JSON — through the exchange AND the Arrow boundary when the
+    callback reads three (Spark cannot prune into an opaque pandas
+    function: 12.1 s at sf1.0 → 7.4 s with the projection), and the
+    8-partition session shuffle width ran ~15k pandas groups on a quarter
+    of the cores — the explicit core-width repartition on the group key
+    satisfies the groupBy's required distribution, so applyInPandas runs
+    per-core wide with no second exchange (→ 3.0 s)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["value"].mean()
@@ -132,8 +143,11 @@ def udtf_grouped_map(spark, sf_dir):
         return pdf[["event_id", "user_id", "z"]]
 
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("user_id").applyInPandas(
-        zscore, schema="event_id long, user_id long, z double"
+    return (
+        ev.select("event_id", "user_id", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id long, user_id long, z double")
     )
 
 
@@ -157,7 +171,10 @@ def udtf_map_in_pandas(spark, sf_dir):
             ]
 
     ev = load(spark, sf_dir, "events")
-    return ev.mapInPandas(
+    # guide §4.1: mapInPandas is opaque to column pruning — project the
+    # three consumed columns explicitly so ts/event_type/props never
+    # cross the Arrow boundary (r16)
+    return ev.select("event_id", "user_id", "value").mapInPandas(
         high_value, schema="event_id long, user_id long, value double, value_x2 double"
     )
 
