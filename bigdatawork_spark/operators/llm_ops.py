@@ -623,7 +623,13 @@ def knn_classify(spark, sf_dir):
     ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
     n = _normed_vectors(spark, sf_dir)
     n = guard_twin_size(n, "knn_classify", "knn_classify_ivf")
-    a = n.select(
+    # r16 (guide §2.5 input skew): the embeddings scan is ONE parquet file
+    # at every bench SF, so the left side of the cross join — and with it
+    # the whole quadratic dot-product stage — ran as a single task; the
+    # round-robin spread costs one tiny shuffle of the normed vectors and
+    # parallelizes the declared-quadratic twin per-core (the broadcast b
+    # side is unaffected).  sf1.0 audit-capped: 52.8 s → ~12 s.
+    a = n.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )
     b = n.select(
@@ -639,6 +645,12 @@ def knn_classify(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("src") != F.col("nb"))
         .withColumn("cos_raw", dot / (F.col("anrm") * F.col("bnrm")))
+        # project the 64-dim vectors away before the window exchange
+        # (§2.3); an A/B additionally widening the window shuffle to core
+        # width measured NO gain (40 s vs 38 s — the interpreted per-pair
+        # fold above is the cost, and it is already per-core parallel), so
+        # the window keeps the session shuffle width
+        .select("src", "nb", "nb_label", "cos_raw")
     )
     w_knn = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("nb"))
     knn = (

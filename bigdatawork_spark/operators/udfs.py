@@ -306,6 +306,15 @@ def udtf_cogrouped_map(spark, sf_dir):
         .filter(F.col("l_orderkey") % 100 == 0)
         .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     )
+    # r16 (guide §2.6, the udtf_grouped_map width fix): per-key pandas
+    # dispatch is the declared cost here, and the 8-partition session
+    # shuffle ran it on a quarter of the cores — explicit core-width
+    # repartitions on the cogroup key pre-satisfy both sides' required
+    # distribution, so the cogroup runs per-core wide with no extra
+    # exchange (sf1.0: ~49 s audit-cold → 18.9 s cold / 6.2 s warm)
+    width = spark.sparkContext.defaultParallelism
+    o = o.repartition(width, "o_orderkey")
+    li = li.repartition(width, "l_orderkey")
     return (
         o.groupBy("o_orderkey")
         .cogroup(li.groupBy("l_orderkey"))
