@@ -52,7 +52,7 @@ EXTRA_NOTES = {
     "dq_referential_audit": "three anti joins over key columns only; union of 1-row aggregates",
     "merge_upsert": "MERGE INTO as a single full-outer join on the key",
     "q2_min_cost_supplier": "correlated MIN decorrelated: region-filtered offer relation computes once, per-part MIN joins back on partkey; top-100 via TakeOrderedAndProject",
-    "q21_waiting_suppliers": "double correlated EXISTS/NOT EXISTS as one-pass non-equi LEFT SEMI + LEFT ANTI joins on orderkey (3-column lineitem projections)",
+    "q21_waiting_suppliers": "double correlated EXISTS/NOT EXISTS collapsed into ONE per-orderkey distinct-supplier aggregate (n_supp>=2 ∧ n_late_supp=1) over the same li⋈o relation the candidate pass reads — no semi/anti probes of full lineitem replicas (r16; ~39 s → ~3.5 s at sf1.0)",
     "q13_cust_order_distribution": "filter-inside-LEFT-JOIN pushed to the orders scan; double aggregation, second one over ~distinct-count rows",
     "graph_pagerank": "final PageRank iteration: rank⋈transition broadcast join → keyed decimal-exact contribution sum (5 driver-loop rounds, data stays distributed)",
     "contamination_ngram": "benchmark shingle set DISTINCT then broadcast; training shingles never shuffle — LEFT SEMI probe + keyed count",
