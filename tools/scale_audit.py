@@ -29,12 +29,13 @@ BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 # demonstrate — not a plan defect an exchange/broadcast fix could remove —
 # and the reason goes on the record here and in the per-key output line.
 #
-#   udtf_cogrouped_map: cogrouped applyInPandas pays ~3 ms of pandas
-#   invocation overhead PER KEY (measured, docstring at
-#   operators/udfs.py); the sf1.0 1-in-100 sample is ~15k keys → ~50 s,
-#   pinned at the 45 s boundary for four rounds (45.1 s in r14, ~55 s
-#   standalone).  The exchange is one co-partitioning shuffle per side —
-#   already minimal; the per-key Python dispatch IS the operator.
+#   udtf_cogrouped_map: RETIRED from this tier in r16 — the round-16
+#   optimization (explicit column pruning into the Arrow boundary +
+#   core-width cogroup dispatch, OPTIMIZATION_r16.md §9) took it from
+#   49.4 s to 3.8 s in the post-optimization audit, an order of
+#   magnitude under the standard budget; the four-round 45 s-boundary
+#   standoff (45.1 s in r14, ~55 s standalone) was dispatch width and
+#   Arrow payload, not inherent per-key cost.
 #   stream_stream_join / stream_stream_left_join: each maintains TWO
 #   per-side join state stores over 1M events/side at sf1.0, replayed as
 #   2 micro-batches to prove cross-trigger state — the per-batch state
@@ -49,7 +50,6 @@ BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
 #   quadratic is the twin's verification role, not a plan defect; the
 #   registered key's production path is the IVF/LSH family.
 HEAVY_AUDIT_KEYS: dict[str, float] = {
-    "udtf_cogrouped_map": 120.0,
     "stream_stream_join": 120.0,
     "stream_stream_left_join": 120.0,
     "knn_classify": 120.0,
