@@ -477,14 +477,27 @@ def stream_stateful_tws(spark, sf_dir):
     the batch-groupBy equivalence test covers both paths.
 
     Measured on this build (PySpark 4.1.2 local): the new API fails with
-    'TransformWithStateInPySpark driver worker exited unexpectedly', so the
-    fallback path is the one that runs.  The try-first structure means a
-    fixed build upgrades automatically."""
+    'TransformWithStateInPySpark driver worker exited unexpectedly' —
+    root cause is an ImportError of the protobuf state-message bindings
+    (`google.protobuf` is absent here), which the separately-spawned
+    driver worker hits in pre-init.  The worker runs the same Python
+    environment as this process, so the SAME import is probed HERE first
+    (r16 optimization, guide §1.2 "don't compute things you throw
+    away"): on builds where it fails, the ~2 s doomed streaming-query
+    start + crash + unwind is skipped and the fallback runs directly;
+    on a build with working protobuf the probe passes and the real path
+    is attempted — the try-first auto-upgrade is preserved.  The probe
+    also keeps the doomed attempt's session-wide RocksDB providerClass
+    set from leaking into every later streaming query (see the provider
+    A/B note in OPTIMIZATION_r16.md §11)."""
     import pandas as pd
 
     src = _events_source_dir(spark, sf_dir)
     name = f"t_{uuid.uuid4().hex[:8]}"
     try:
+        # Availability probe: the exact import the transformWithState
+        # driver worker needs; ImportError here == guaranteed crash there.
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -504,23 +517,34 @@ def stream_stateful_tws(spark, sf_dir):
             def close(self) -> None:
                 pass
 
+        # transformWithState requires the RocksDB provider — set it for
+        # THIS query only and restore after: leaking it session-wide made
+        # every later streaming key's state op run under RocksDB, which
+        # the r16 provider A/B measured 3.6× SLOWER for the stream-stream
+        # join state op locally (14.0 s vs 49.9 s warm at sf1.0;
+        # OPTIMIZATION_r16.md §11).
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(prov_key)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            prov_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        sdf = (
-            _read_stream(spark, src)
-            .groupBy("user_id")
-            .transformWithStateInPandas(
-                CountProcessor(),
-                outputStructType="user_id long, n_events long",
-                outputMode="Update",
-                timeMode="None",
+        try:
+            sdf = (
+                _read_stream(spark, src)
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    CountProcessor(),
+                    outputStructType="user_id long, n_events long",
+                    outputMode="Update",
+                    timeMode="None",
+                )
             )
-        )
-        _drain_to_memory(sdf, name, output_mode="update")
-        return spark.table(name).orderBy("user_id")
+            _drain_to_memory(sdf, name, output_mode="update")
+            return spark.table(name).orderBy("user_id")
+        finally:
+            spark.conf.set(prov_key, prev_provider)
     except Exception:
         # fallback: classic arbitrary-state API, same semantics
         return stream_stateful_count.__wrapped__(spark, sf_dir) if hasattr(

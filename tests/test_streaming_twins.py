@@ -59,6 +59,23 @@ def test_stream_stateful_tws_matches_batch_groupby(spark, sf_dir):
     assert_frames_match(tws, batch, "stream_stateful_tws≡batch")
 
 
+def test_stream_stateful_tws_does_not_leak_state_store_provider(spark, sf_dir):
+    """Guard for the r16 provider-leak fix (OPTIMIZATION_r16.md §11): the
+    tws primary path must set its required RocksDB providerClass for ITS
+    query only.  Before the fix the doomed transformWithState attempt set
+    it session-wide and crashed, so every later streaming key's state op
+    silently ran under RocksDB — measured 3.6× slower for the
+    stream-stream join state op locally.  Whichever path runs (probe
+    short-circuit here; real transformWithState on a build with working
+    protobuf), the session conf must be unchanged afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    QUERIES["stream_stateful_tws"](spark, sf_dir).count()
+    assert spark.conf.get(key) == before, (
+        f"stream_stateful_tws leaked providerClass: {spark.conf.get(key)}"
+    )
+
+
 def test_minhash_recalls_exact_jaccard_pairs(spark, sf_dir):
     """dedup_near_minhash (approx) must recover ≥80% of the exact twin's
     high-similarity pairs (SURVEY §5.2 LSH recall contract)."""
