@@ -620,15 +620,123 @@ def knn_classify(spark, sf_dir):
     small-n verification and recall measurement; route real corpora to
     the IVF key.  (IVF, not LSH — BRP-LSH degenerates to a cross join on
     unit-norm corpora; SCALE.md §9.)  Guarded: raises above
-    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
+    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5).
+
+    r16 scorer (guide §4.1/§4.2): the all-pairs stage is a numpy
+    ``mapInPandas`` against the sc.broadcast guarded corpus instead of a
+    crossJoin + interpreted ``aggregate(zip_with(...))`` fold — the HOF
+    lambda ran outside codegen and allocated a 64-element array per pair
+    (sf1.0 audit: 51 s capped).  UNLIKE sim_cosine_topk, this key's oracle
+    ranks on the UN-ROUNDED cos_raw, so a BLAS matmul (pairwise/FMA sum
+    order, ±1 ulp) could flip near-ties; the scorer therefore accumulates
+    the dot products dimension-at-a-time (``acc += A[:,d]*B[:,d]`` over a
+    zeros init), which is the SAME IEEE-754 operation sequence as the fold
+    — ((0.0+p0)+p1)+… with products formed first — so cos_raw is
+    bit-identical, not merely close, and the top-5 SET (all the vote
+    consumes) cannot move.  Spark's non-ANSI double semantics are
+    replicated exactly (probed this round): divisor == 0.0 → NULL (ranks
+    LAST under desc), NaN operands with nonzero divisor → NaN (ranks
+    FIRST), ties by nb ASC via a stable (class, -cos) lexsort over the
+    nb-sorted corpus.  ``_knn_classify_expr`` keeps the crossJoin+fold
+    formulation; tests assert frame identity on the edge corpora (zero
+    vector, NaN element, 1e±20 magnitudes, exact duplicate)."""
+    import numpy as np
+    import pandas as pd
+
     n = _normed_vectors(spark, sf_dir)
     n = guard_twin_size(n, "knn_classify", "knn_classify_ivf")
-    # r16 (guide §2.5 input skew): the embeddings scan is ONE parquet file
-    # at every bench SF, so the left side of the cross join — and with it
-    # the whole quadratic dot-product stage — ran as a single task; the
-    # round-robin spread costs one tiny shuffle of the normed vectors and
-    # parallelizes the declared-quadratic twin per-core (the broadcast b
-    # side is unaffected).  sf1.0 audit-capped: 52.8 s → ~12 s.
+    # Bounded by the guard (≤ TWIN_MAX_ROWS = 50k rows ≈ 26 MB of f64):
+    # collect + broadcast the corpus once, sorted by vec_id so stable
+    # sorting breaks rank ties by nb ASC positionally.
+    bpdf = n.select("vec_id", "label", "e", "nrm").toPandas()
+    order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+    nb_ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
+    nb_labels = bpdf["label"].to_numpy(dtype=np.int64)[order]
+    Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
+    bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
+    bc = spark.sparkContext.broadcast((nb_ids, nb_labels, Bm, bnrm))
+    # round-robin spread (r16, guide §2.5): the embeddings scan is ONE
+    # parquet file at every bench SF — without it the whole quadratic
+    # scoring stage runs as a single task.
+    a = n.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
+    )
+
+    def topk(batches):
+        ids, labels, B, bn = bc.value
+        ncorp, ndim = B.shape
+        k = min(5, ncorp - 1)
+        for pdf in batches:
+            if not len(pdf) or k <= 0:
+                continue
+            A = np.array(pdf["ae"].tolist(), dtype=np.float64)
+            anrm = pdf["anrm"].to_numpy(dtype=np.float64)
+            src = pdf["src"].to_numpy(dtype=np.int64)
+            step = max(1, 4_000_000 // ncorp)  # cap acc at ~32 MB
+            for s in range(0, len(src), step):
+                Ac, an, sr = A[s:s + step], anrm[s:s + step], src[s:s + step]
+                m = len(sr)
+                acc = np.zeros((m, ncorp))
+                for d in range(ndim):  # fold-order sum: bit-equal to the expr twin
+                    acc += Ac[:, d:d + 1] * B[:, d]
+                denom = an[:, None] * bn[None, :]
+                zden = denom == 0.0
+                with np.errstate(all="ignore"):
+                    cos = acc / denom
+                nan = np.isnan(cos) & ~zden
+                # rank classes under cos DESC: NaN(0) < real(1) < NULL(2);
+                # self-pairs (3) are excluded — ncorp-1 ≥ k real candidates
+                # remain, so class 3 never reaches the top k.
+                cls = np.ones((m, ncorp), dtype=np.int8)
+                cls[nan] = 0
+                cls[zden] = 2
+                pos = np.searchsorted(ids, sr)
+                ok = (pos < ncorp) & (ids[np.minimum(pos, ncorp - 1)] == sr)
+                cls[np.flatnonzero(ok), pos[ok]] = 3
+                rk = np.where(nan | zden, 0.0, -cos)
+                top = np.lexsort((rk, cls), axis=-1)[:, :k]
+                yield pd.DataFrame(
+                    {
+                        "src": np.repeat(sr, k),
+                        "nb_label": labels[top].ravel(),
+                    }
+                )
+
+    knn = a.mapInPandas(topk, "src bigint, nb_label int")
+    votes = knn.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("src").orderBy(
+        F.col("votes").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w_vote))
+        .filter(F.col("rv") == 1)
+        .select("src", F.col("nb_label").alias("pred_label"))
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        e.join(pred, e.vec_id == pred.src)
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _knn_classify_expr(spark, sf_dir):
+    """Pure-expr twin of ``knn_classify`` (the pre-r16 formulation):
+    crossJoin + per-pair ``aggregate(zip_with(...))`` fold + window top-5.
+    Unregistered — kept as the oracle-parity reference for the vectorized
+    scorer; the differential test asserts frame identity, INCLUDING on the
+    edge corpora (zero vector → NULL cos ranks last, NaN element → NaN cos
+    ranks first, 1e±20 magnitudes, exact duplicate → true float tie broken
+    by nb)."""
+    n = _normed_vectors(spark, sf_dir)
+    n = guard_twin_size(n, "knn_classify", "knn_classify_ivf")
     a = n.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )
@@ -645,11 +753,6 @@ def knn_classify(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("src") != F.col("nb"))
         .withColumn("cos_raw", dot / (F.col("anrm") * F.col("bnrm")))
-        # project the 64-dim vectors away before the window exchange
-        # (§2.3); an A/B additionally widening the window shuffle to core
-        # width measured NO gain (40 s vs 38 s — the interpreted per-pair
-        # fold above is the cost, and it is already per-core parallel), so
-        # the window keeps the session shuffle width
         .select("src", "nb", "nb_label", "cos_raw")
     )
     w_knn = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("nb"))

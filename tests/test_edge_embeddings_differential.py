@@ -127,6 +127,19 @@ def test_finite_contract_agree(key, spark, finite_dir, finite_duck):
     assert_frames_match(spark_pd, oracle_pd, f"edge-emb-finite:{key}")
 
 
+def test_knn_scorer_equals_expr_twin_on_adversarial_corpus(spark, full_dir):
+    """The r16 numpy scorer's semantics ledger, pinned where it matters:
+    the zero vector (denom == 0 → Spark NULL cos, ranks LAST), the NaN
+    element (NaN cos, ranks FIRST), 1e±20 magnitudes, and the exact
+    duplicate (true float tie → nb ASC) must all rank identically to the
+    crossJoin + zip_with fold the scorer replaced."""
+    from bigdatawork_spark.operators.llm_ops import _knn_classify_expr
+
+    fast = QUERIES["knn_classify"](spark, full_dir).toPandas()
+    twin = _knn_classify_expr(spark, full_dir).toPandas()
+    assert_frames_match(fast, twin, "edge-emb:knn_classify≡expr-twin")
+
+
 def test_cosine_zero_norm_fails_loudly_naming_the_vector(spark, full_dir):
     """A zero-norm embedding makes cosine undefined; the scorer must
     refuse with the offending vec_id in the message, not emit NaN ranks

@@ -210,6 +210,20 @@ def test_sim_cosine_vectorized_equals_expr_twin(spark, sf_dir):
     assert_frames_match(fast, twin, "sim_cosine_topk≡expr-twin")
 
 
+def test_knn_classify_vectorized_equals_expr_twin(spark, sf_dir):
+    """The r16 fold-order mapInPandas scorer must return the IDENTICAL
+    frame to the crossJoin + zip_with formulation it replaced.  Unlike
+    sim_cosine_topk this key ranks on the UN-ROUNDED cos_raw, so the
+    scorer replicates the fold's exact IEEE-754 add order (dim-at-a-time
+    accumulation) rather than a BLAS matmul — bit-equal cosines, not
+    merely close ones."""
+    from bigdatawork_spark.operators.llm_ops import _knn_classify_expr
+
+    fast = QUERIES["knn_classify"](spark, sf_dir).toPandas()
+    twin = _knn_classify_expr(spark, sf_dir).toPandas()
+    assert_frames_match(fast, twin, "knn_classify≡expr-twin")
+
+
 def test_stream_curate_cross_batch_dedup_is_nonvacuous(spark, sf_dir):
     """The replay injection makes the cross-batch anti-join load-bearing:
     arrivals (gated) strictly exceed the landed count at EVERY SF, and
