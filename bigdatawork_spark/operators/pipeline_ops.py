@@ -282,7 +282,76 @@ def dedup_embedding_cosine(spark, sf_dir):
     13.4 s at synthetic sf1.0 where this twin exceeds the budget
     (SCALE.md §8).  Keep this key for exact small-n verification and
     recall measurement of the clustered path.  Guarded: raises above
-    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5)."""
+    ``TWIN_MAX_ROWS`` input vectors (VERDICT r07 item 5).
+
+    r16 scorer (guide §4.1/§4.2, the knn_classify discipline): the
+    all-pairs stage is a numpy ``mapInPandas`` against the sc.broadcast
+    guarded corpus instead of a crossJoin + interpreted
+    ``aggregate(zip_with(...))`` fold (sf1.0 audit: 16.5 s).  The oracle
+    thresholds on the UN-ROUNDED cos_raw, so the scorer accumulates dots
+    dimension-at-a-time (same IEEE-754 op sequence as the fold →
+    bit-identical cos_raw); the ``>= 0.45`` decision replicates Spark's
+    semantics exactly — NULL on zero denominator drops the pair, NaN
+    compares GREATEST and keeps it (both probed this round) — and the
+    surviving cos_raw doubles cross Arrow bit-exact so the final
+    ``round(..., 6)`` stays Spark's half-up.  ``_dedup_embedding_cosine_expr``
+    keeps the crossJoin+fold form; tests assert frame identity on the
+    edge corpora."""
+    import numpy as np
+    import pandas as pd
+
+    n = _normed_vectors(spark, sf_dir)
+    n = guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
+    bpdf = n.select("vec_id", "e", "nrm").toPandas()
+    order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+    ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
+    Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
+    bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
+    bc = spark.sparkContext.broadcast((ids, Bm, bnrm))
+    a = n.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
+    )
+
+    def pairs_over(batches):
+        bids, B, bn = bc.value
+        ncorp, ndim = B.shape
+        for pdf in batches:
+            if not len(pdf) or not ncorp:
+                continue
+            A = np.array(pdf["ae"].tolist(), dtype=np.float64)
+            an = pdf["anrm"].to_numpy(dtype=np.float64)
+            ia = pdf["id_a"].to_numpy(dtype=np.int64)
+            step = max(1, 4_000_000 // ncorp)
+            for s in range(0, len(ia), step):
+                Ac, anc, iac = A[s:s + step], an[s:s + step], ia[s:s + step]
+                acc = np.zeros((len(iac), ncorp))
+                for d in range(ndim):  # fold-order sum: bit-equal to the expr twin
+                    acc += Ac[:, d:d + 1] * B[:, d]
+                denom = anc[:, None] * bn[None, :]
+                zden = denom == 0.0  # Spark /0 → NULL → the >= filter drops it
+                with np.errstate(all="ignore"):
+                    cos = acc / denom
+                    keep = ((cos >= 0.45) | np.isnan(cos)) & ~zden
+                keep &= bids[None, :] > iac[:, None]
+                r, c = np.nonzero(keep)
+                if len(r):
+                    yield pd.DataFrame(
+                        {"id_a": iac[r], "id_b": bids[c], "cos_raw": cos[r, c]}
+                    )
+
+    cand = a.mapInPandas(pairs_over, "id_a bigint, id_b bigint, cos_raw double")
+    return cand.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_embedding_cosine_expr(spark, sf_dir):
+    """Pure-expr twin of ``dedup_embedding_cosine`` (the pre-r16 form):
+    crossJoin + per-pair ``aggregate(zip_with(...))`` fold + threshold.
+    Unregistered — the oracle-parity reference for the vectorized scorer;
+    the differential test asserts frame identity, INCLUDING on the edge
+    corpora (zero vector → NULL cos dropped, NaN element → NaN compares
+    greatest and survives, 1e±20 magnitudes, exact duplicate)."""
     n = _normed_vectors(spark, sf_dir)
     n = guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
     a = n.select(

@@ -127,17 +127,29 @@ def test_finite_contract_agree(key, spark, finite_dir, finite_duck):
     assert_frames_match(spark_pd, oracle_pd, f"edge-emb-finite:{key}")
 
 
-def test_knn_scorer_equals_expr_twin_on_adversarial_corpus(spark, full_dir):
-    """The r16 numpy scorer's semantics ledger, pinned where it matters:
-    the zero vector (denom == 0 → Spark NULL cos, ranks LAST), the NaN
-    element (NaN cos, ranks FIRST), 1e±20 magnitudes, and the exact
-    duplicate (true float tie → nb ASC) must all rank identically to the
-    crossJoin + zip_with fold the scorer replaced."""
-    from bigdatawork_spark.operators.llm_ops import _knn_classify_expr
+def _expr_twin(key):
+    if key == "knn_classify":
+        from bigdatawork_spark.operators.llm_ops import _knn_classify_expr
 
-    fast = QUERIES["knn_classify"](spark, full_dir).toPandas()
-    twin = _knn_classify_expr(spark, full_dir).toPandas()
-    assert_frames_match(fast, twin, "edge-emb:knn_classify≡expr-twin")
+        return _knn_classify_expr
+    from bigdatawork_spark.operators.pipeline_ops import (
+        _dedup_embedding_cosine_expr,
+    )
+
+    return _dedup_embedding_cosine_expr
+
+
+@pytest.mark.parametrize("key", ["knn_classify", "dedup_embedding_cosine"])
+def test_scorer_equals_expr_twin_on_adversarial_corpus(key, spark, full_dir):
+    """The r16 numpy scorers' semantics ledger, pinned where it matters:
+    the zero vector (denom == 0 → Spark NULL cos: ranks LAST / fails the
+    threshold), the NaN element (NaN cos: ranks FIRST / compares greatest
+    and survives the threshold), 1e±20 magnitudes, and the exact duplicate
+    (true float tie → id ASC) must all behave identically to the
+    crossJoin + zip_with fold each scorer replaced."""
+    fast = QUERIES[key](spark, full_dir).toPandas()
+    twin = _expr_twin(key)(spark, full_dir).toPandas()
+    assert_frames_match(fast, twin, f"edge-emb:{key}≡expr-twin")
 
 
 def test_cosine_zero_norm_fails_loudly_naming_the_vector(spark, full_dir):

@@ -33,7 +33,6 @@ BNLJ_OK = {
     "mixture_resample",         # per-source target-rate stats fold
     "vector_quantize",          # 1-row global min/max fold
     "sim_ann_ivf",              # k-centroid broadcast assign/probe
-    "dedup_embedding_cosine",   # normed-probe broadcast threshold pairs
     "skyline_pareto",           # bounded candidate set after pre-filter
     "q11_important_stock",      # TPC-H Q11 scalar-subquery threshold fold
     "q22_dormant_customers",    # TPC-H Q22 scalar avg-acctbal fold

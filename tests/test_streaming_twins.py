@@ -224,6 +224,20 @@ def test_knn_classify_vectorized_equals_expr_twin(spark, sf_dir):
     assert_frames_match(fast, twin, "knn_classify≡expr-twin")
 
 
+def test_dedup_embedding_cosine_vectorized_equals_expr_twin(spark, sf_dir):
+    """The r16 fold-order mapInPandas scorer must return the IDENTICAL
+    frame to the crossJoin + zip_with formulation it replaced: bit-equal
+    cos_raw (dim-at-a-time accumulation), identical >= 0.45 decisions
+    (NULL drops, NaN keeps), Spark-side half-up rounding."""
+    from bigdatawork_spark.operators.pipeline_ops import (
+        _dedup_embedding_cosine_expr,
+    )
+
+    fast = QUERIES["dedup_embedding_cosine"](spark, sf_dir).toPandas()
+    twin = _dedup_embedding_cosine_expr(spark, sf_dir).toPandas()
+    assert_frames_match(fast, twin, "dedup_embedding_cosine≡expr-twin")
+
+
 def test_stream_curate_cross_batch_dedup_is_nonvacuous(spark, sf_dir):
     """The replay injection makes the cross-batch anti-join load-bearing:
     arrivals (gated) strictly exceed the landed count at EVERY SF, and
