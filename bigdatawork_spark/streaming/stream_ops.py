@@ -63,33 +63,93 @@ def stamp_mtimes(src: str, order: int, stamped: set) -> None:
 _SRC_MEMO_ATTR = "_bigdatawork_stream_src_memo"
 
 
+def _get_memo(spark):
+    memo = getattr(spark, _SRC_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, _SRC_MEMO_ATTR, memo)
+        except Exception:
+            memo = None  # un-taggable session: stage per call
+    return memo
+
+
+def _memo_lookup(memo, key):
+    got = memo.get(key) if memo is not None else None
+    # guard against cleanup()/tmp-reaper having removed the dir
+    if got and glob.glob(os.path.join(got, "*.parquet")):
+        return got
+    return None
+
+
 def _events_source_dir(spark, sf_dir, chunks: list | None = None) -> str:
     """Write events (µs timestamps — streaming reader also rejects ns) into
     a fresh dir as one file per chunk predicate, in order.  The default
-    (single catch-all chunk) staging is memoized per (session, sf_dir)."""
+    (single catch-all chunk) staging is memoized per (session, sf_dir).
+
+    r17 (guide §2.6/§6): the default staging is written CORE-WIDTH (one
+    round-robin file per core) instead of ``coalesce(1)`` — the staged
+    file set is the scan split plan for every downstream availableNow
+    drain, and a single file made each consumer's scan a 1-task stage
+    (sink_stream_memory's pass-through drain was 7.8-8.5 s at sf1.0 with
+    the whole read+project serialized on one core; 2.1-2.4 s at core
+    width; neutral on the join/agg consumers — A/B in
+    OPTIMIZATION_r17.md).  All files carry the same synthetic mtime, and
+    no default-staging consumer sets maxFilesPerTrigger, so it stays ONE
+    micro-batch with identical rows.  Chunked callers keep one file per
+    chunk — their file boundaries ARE the trigger boundaries."""
     memo = None
     if chunks is None:
-        memo = getattr(spark, _SRC_MEMO_ATTR, None)
-        if memo is None:
-            memo = {}
-            try:
-                setattr(spark, _SRC_MEMO_ATTR, memo)
-            except Exception:
-                memo = None  # un-taggable session: stage per call
-        if memo is not None:
-            got = memo.get(sf_dir)
-            # guard against cleanup()/tmp-reaper having removed the dir
-            if got and glob.glob(os.path.join(got, "*.parquet")):
-                return got
+        memo = _get_memo(spark)
+        got = _memo_lookup(memo, sf_dir)
+        if got:
+            return got
     src = _fresh_dir("src")
     ev = load(spark, sf_dir, "events")
-    preds = chunks or [F.lit(True)]
     stamped: set = set()
-    for i, pred in enumerate(preds):
-        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
-        stamp_mtimes(src, i, stamped)
+    if chunks is None:
+        width = spark.sparkContext.defaultParallelism
+        ev.repartition(width).write.mode("append").parquet(src)
+        stamp_mtimes(src, 0, stamped)
+    else:
+        for i, pred in enumerate(chunks):
+            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            stamp_mtimes(src, i, stamped)
     if memo is not None:
         memo[sf_dir] = src
+    return src
+
+
+def _sentinel_events_source_dir(spark, sf_dir) -> str:
+    """Staging shared by stream_session and stream_stream_left_join: the
+    full events table as file 1, then two single-row far-future sentinel
+    files (2024-02-15 / 2024-02-16) as files 2-3 — the two-sentinel
+    watermark-advance lifecycle both keys replay one file per trigger.
+    The two keys previously each wrote this IDENTICAL immutable staging
+    per call (~2-4 s warm at sf1.0); memoized per (session, sf_dir) like
+    the default staging (r17, guide §1.2 — every query still computes
+    from it with a fresh checkpoint).  The events chunk stays ONE file:
+    it must land in one trigger under maxFilesPerTrigger=1."""
+    memo = _get_memo(spark)
+    key = (sf_dir, "__sentinel__")
+    got = _memo_lookup(memo, key)
+    if got:
+        return got
+    src = _fresh_dir("src")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    stamped: set = set()
+    stamp_mtimes(src, 0, stamped)
+    for i, day in enumerate((15, 16)):
+        spark.sql(
+            f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
+            f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
+            " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
+            " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stamp_mtimes(src, i + 1, stamped)
+    if memo is not None:
+        memo[key] = src
     return src
 
 
@@ -307,8 +367,17 @@ def stream_stateful_count(spark, sf_dir):
         state.update((n,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
+    # r17 (guide §4.1): applyInPandasWithState is OPAQUE to the optimizer —
+    # without the explicit select, all 6 event columns (including the fat
+    # props JSON) crossed the REQUIRED_BY_STATEFUL_OPERATOR exchange, the
+    # per-partition sort, AND the Arrow boundary, when count_events only
+    # ever reads len(pdf).  Projecting to the grouping key alone shuffles
+    # and ships 8 bytes/row: measured 4.0-4.4 s → 2.4 s warm (first
+    # invocation 10.2 → 2.9 s) at sf1.0.  arrow.maxRecordsPerBatch A/B'd
+    # at 10k/50k/200k on top: no effect (2.34-2.40 s), rejected.
     sdf = (
         _read_stream(spark, src)
+        .select("user_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             count_events,
@@ -414,20 +483,9 @@ def stream_stream_left_join(spark, sf_dir):
     measured quirk as stream_session / stream_watermark_late).  The right
     side filters to purchases BUT keeps sentinels, otherwise its watermark
     would never advance and the NULL rows would never flush.  Twin-equal
-    to the DuckDB-verified batch join_interval_left."""
-    src = _fresh_dir("src")
-    ev = load(spark, sf_dir, "events")
-    ev.coalesce(1).write.mode("append").parquet(src)
-    stamped: set = set()
-    stamp_mtimes(src, 0, stamped)
-    for i, day in enumerate((15, 16)):
-        spark.sql(
-            f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
-            f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
-            " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
-            " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
-        ).coalesce(1).write.mode("append").parquet(src)
-        stamp_mtimes(src, i + 1, stamped)
+    to the DuckDB-verified batch join_interval_left.  Source staging is
+    the memoized sentinel layout shared with stream_session (r17)."""
+    src = _sentinel_events_source_dir(spark, sf_dir)
     left = (
         _read_stream(spark, src, max_files=1)
         .select(
@@ -531,8 +589,11 @@ def stream_stateful_tws(spark, sf_dir):
             "RocksDBStateStoreProvider",
         )
         try:
+            # same §4.1 projection as stream_stateful_count: only the
+            # grouping key crosses the stateful exchange + Arrow boundary
             sdf = (
                 _read_stream(spark, src)
+                .select("user_id")
                 .groupBy("user_id")
                 .transformWithStateInPandas(
                     CountProcessor(),
@@ -590,20 +651,17 @@ def stream_session(spark, sf_dir):
     watermark past every real session (the watermark application lags the
     progress log by one batch, hence TWO sentinels — same measured quirk
     as stream_watermark_late).  Sentinel rows are excluded from output.
-    Equals the batch twin on real users (test_streaming_twins)."""
-    src = _fresh_dir("src")
-    ev = load(spark, sf_dir, "events")
-    ev.coalesce(1).write.mode("append").parquet(src)
-    stamped: set = set()
-    stamp_mtimes(src, 0, stamped)
-    for i, day in enumerate((15, 16)):
-        spark.sql(
-            f"SELECT CAST({10**9 + i} AS LONG) AS event_id,"
-            f" TIMESTAMP '2024-02-{day} 00:00:00' AS ts,"
-            " CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type,"
-            " CAST(0.0 AS DOUBLE) AS value, '{}' AS props"
-        ).coalesce(1).write.mode("append").parquet(src)
-        stamp_mtimes(src, i + 1, stamped)
+    Equals the batch twin on real users (test_streaming_twins).
+
+    r17 measured notes: source staging is the memoized sentinel layout
+    shared with stream_stream_left_join (was ~2-4 s of per-call
+    coalesce(1) re-staging); the session-window state op itself was
+    A/B'd with ``sessionWindow.merge.sessionsInLocalPartition`` at
+    sf1.0 (interleaved, 4 rounds: off 4.9-6.2 s, on 4.8-6.4 s — no
+    reliable win, REJECTED); no pre-state select is needed because the
+    session aggregate is a native operator, so the scan already prunes
+    to (user_id, ts) — see the plan dump in plans/r17/."""
+    src = _sentinel_events_source_dir(spark, sf_dir)
     sdf = (
         _read_stream(spark, src, max_files=1)
         .withWatermark("ts", "10 minutes")
