@@ -262,6 +262,42 @@ TWIN_AUDIT_ENV = "SPARK_GRAFT_TWIN_AUDIT_CAP"
 #: audit mode; cleared/read by tools/scale_audit.py around each key.
 TWIN_CAPS_APPLIED: dict[str, tuple[int, int]] = {}
 
+#: Byte cap for the collected/broadcast scorer corpora (VERDICT r16
+#: item 7): guard_twin_size bounds ROWS (≤ 50k), this bounds BYTES
+#: (50k × 64 dims × 8 B ≈ 26 MB at the contract width, with headroom
+#: for wider corpora) — the guard is the DRIVER/EXECUTOR MEMORY bound
+#: for these twins, not just their quadratic-cost bound.
+SCORER_BCAST_MAX_BYTES = 64 << 20
+
+# Session-scoped memo for the vectorized twins' collected+broadcast
+# corpus (ADVICE r16: each invocation used to create a fresh ~26 MB
+# broadcast that was never destroyed, accumulating on driver and
+# executors for the session lifetime).  INPUT staging, not result
+# caching — the value is a deterministic projection of the immutable
+# per-sf_dir embeddings table (the events-staging-memo pattern); keyed
+# by (key, sf_dir, audit-cap env) so audit-capped and uncapped corpora
+# never alias.  Dies with the session object.
+_SCORER_MEMO_ATTR = "_bigdatawork_scorer_corpus_memo"
+
+
+def _corpus_broadcast(spark, key: str, sf_dir: str, build):
+    import os
+
+    memo = getattr(spark, _SCORER_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, _SCORER_MEMO_ATTR, memo)
+        except Exception:
+            memo = None  # un-taggable session: build per call
+    cache_key = (key, sf_dir, os.environ.get(TWIN_AUDIT_ENV))
+    if memo is not None and cache_key in memo:
+        return memo[cache_key]
+    val = build()
+    if memo is not None:
+        memo[cache_key] = val
+    return val
+
 
 def guard_twin_size(df: DataFrame, key: str, production_key: str,
                     limit: int = TWIN_MAX_ROWS,
@@ -639,26 +675,54 @@ def knn_classify(spark, sf_dir):
     FIRST), ties by nb ASC via a stable (class, -cos) lexsort over the
     nb-sorted corpus.  ``_knn_classify_expr`` keeps the crossJoin+fold
     formulation; tests assert frame identity on the edge corpora (zero
-    vector, NaN element, 1e±20 magnitudes, exact duplicate)."""
+    vector, NaN element, 1e±20 magnitudes, exact duplicate).
+
+    NOTE (VERDICT r16 item 7): ``guard_twin_size`` is load-bearing for
+    DRIVER/EXECUTOR MEMORY here, not just quadratic cost — the guarded
+    corpus is collected to the driver and broadcast (≤ 50k×64 f64 ≈
+    26 MB; byte-asserted against ``SCORER_BCAST_MAX_BYTES``)."""
     import numpy as np
     import pandas as pd
 
     n = _normed_vectors(spark, sf_dir)
+    sel = n.select("vec_id", "label", "e", "nrm")
     n = guard_twin_size(n, "knn_classify", "knn_classify_ivf")
-    # Bounded by the guard (≤ TWIN_MAX_ROWS = 50k rows ≈ 26 MB of f64):
-    # collect + broadcast the corpus once, sorted by vec_id so stable
-    # sorting breaks rank ties by nb ASC positionally.
-    bpdf = n.select("vec_id", "label", "e", "nrm").toPandas()
-    order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
-    nb_ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
-    nb_labels = bpdf["label"].to_numpy(dtype=np.int64)[order]
-    Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
-    bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
-    bc = spark.sparkContext.broadcast((nb_ids, nb_labels, Bm, bnrm))
+
+    # Bounded by the guard — which is thereby also the DRIVER/EXECUTOR
+    # MEMORY bound for this key (≤ TWIN_MAX_ROWS = 50k rows ≈ 26 MB of
+    # f64; SCORER_BCAST_MAX_BYTES asserts the byte form): collect +
+    # broadcast the corpus once per (session, sf_dir, audit-cap), sorted
+    # by vec_id so stable sorting breaks rank ties by nb ASC positionally.
+    def _build():
+        bpdf = n.select("vec_id", "label", "e", "nrm").toPandas()
+        order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+        nb_ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        nb_labels = bpdf["label"].to_numpy(dtype=np.int64)[order]
+        Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
+        if Bm.ndim != 2:  # empty corpus: keep a 2-D shape for the unpack
+            Bm = Bm.reshape((len(bpdf), 0))
+        assert Bm.nbytes <= SCORER_BCAST_MAX_BYTES, (
+            f"knn_classify corpus broadcast {Bm.nbytes}B exceeds the "
+            f"{SCORER_BCAST_MAX_BYTES}B cap")
+        bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
+        return (
+            spark.sparkContext.broadcast((nb_ids, nb_labels, Bm, bnrm)),
+            bpdf,
+        )
+
+    bc, bpdf = _corpus_broadcast(spark, "knn_classify", sf_dir, _build)
     # round-robin spread (r16, guide §2.5): the embeddings scan is ONE
     # parquet file at every bench SF — without it the whole quadratic
     # scoring stage runs as a single task.
-    a = n.repartition(spark.sparkContext.defaultParallelism).select(
+    if "knn_classify" in TWIN_CAPS_APPLIED:
+        # audit mode capped the input with limit(): that plan's row
+        # selection is not guaranteed stable across jobs on multi-file
+        # input, so derive the probe side from the SAME materialization
+        # the broadcast corpus came from (ADVICE r16).
+        probe_src = spark.createDataFrame(bpdf, schema=sel.schema)
+    else:
+        probe_src = n
+    a = probe_src.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )
 

@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
-from .llm_ops import _normed_vectors, guard_twin_size
+from .llm_ops import (
+    SCORER_BCAST_MAX_BYTES,
+    TWIN_CAPS_APPLIED,
+    _corpus_broadcast,
+    _normed_vectors,
+    guard_twin_size,
+)
 
 
 @register(
@@ -296,19 +302,44 @@ def dedup_embedding_cosine(spark, sf_dir):
     surviving cos_raw doubles cross Arrow bit-exact so the final
     ``round(..., 6)`` stays Spark's half-up.  ``_dedup_embedding_cosine_expr``
     keeps the crossJoin+fold form; tests assert frame identity on the
-    edge corpora."""
+    edge corpora.
+
+    NOTE (VERDICT r16 item 7): ``guard_twin_size`` is load-bearing for
+    DRIVER/EXECUTOR MEMORY here, not just quadratic cost — the guarded
+    corpus is collected to the driver and broadcast (≤ 50k×64 f64 ≈
+    26 MB; byte-asserted against ``SCORER_BCAST_MAX_BYTES``)."""
     import numpy as np
     import pandas as pd
 
     n = _normed_vectors(spark, sf_dir)
+    sel = n.select("vec_id", "e", "nrm")
     n = guard_twin_size(n, "dedup_embedding_cosine", "semdedup_prune")
-    bpdf = n.select("vec_id", "e", "nrm").toPandas()
-    order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
-    ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
-    Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
-    bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
-    bc = spark.sparkContext.broadcast((ids, Bm, bnrm))
-    a = n.repartition(spark.sparkContext.defaultParallelism).select(
+
+    # Bounded by the guard — which is thereby also the DRIVER/EXECUTOR
+    # MEMORY bound for this key (≤ 50k rows ≈ 26 MB of f64; the assert
+    # states the byte cap); collected + broadcast once per (session,
+    # sf_dir, audit-cap) — see _corpus_broadcast (ADVICE r16).
+    def _build():
+        bpdf = n.select("vec_id", "e", "nrm").toPandas()
+        order = np.argsort(bpdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = bpdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        Bm = np.array(bpdf["e"].tolist(), dtype=np.float64)[order]
+        if Bm.ndim != 2:  # empty corpus: keep a 2-D shape for the unpack
+            Bm = Bm.reshape((len(bpdf), 0))
+        assert Bm.nbytes <= SCORER_BCAST_MAX_BYTES, (
+            f"dedup_embedding_cosine corpus broadcast {Bm.nbytes}B exceeds "
+            f"the {SCORER_BCAST_MAX_BYTES}B cap")
+        bnrm = bpdf["nrm"].to_numpy(dtype=np.float64)[order]
+        return spark.sparkContext.broadcast((ids, Bm, bnrm)), bpdf
+
+    bc, bpdf = _corpus_broadcast(spark, "dedup_embedding_cosine", sf_dir, _build)
+    if "dedup_embedding_cosine" in TWIN_CAPS_APPLIED:
+        # audit mode capped the input with limit(): derive the probe side
+        # from the same materialization as the broadcast (ADVICE r16)
+        probe_src = spark.createDataFrame(bpdf, schema=sel.schema)
+    else:
+        probe_src = n
+    a = probe_src.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ae"), F.col("nrm").alias("anrm")
     )
 

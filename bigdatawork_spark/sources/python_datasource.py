@@ -197,13 +197,18 @@ def source_python_stream(spark, sf_dir):
             return [InputPartition(f) for f in added]
 
         def read(self, partition):
+            # r17 (guide §4.2, VERDICT r16 item 6): yield the Arrow record
+            # batches themselves — the streaming DataSource API accepts
+            # them exactly like the batch reader's, and the previous
+            # to_pylist() row loop pickled ~1M python tuples per drain
+            # (measured 6.7 s → 3.2 s warm at sf1.0; same rows, same
+            # class, oracle HASH unchanged).
             import pyarrow.parquet as pq
 
-            for batch in pq.ParquetFile(partition.value).iter_batches(
+            pf = pq.ParquetFile(partition.value)
+            yield from pf.iter_batches(
                 columns=["event_id", "event_type", "value"]
-            ):
-                for row in batch.to_pylist():
-                    yield (row["event_id"], row["event_type"], row["value"])
+            )
 
         def commit(self, end) -> None:
             pass
@@ -222,15 +227,26 @@ def source_python_stream(spark, sf_dir):
     spark.dataSource.register(ManifestStreamSource)
 
     from ..streaming.stream_ops import _fresh_dir
-    import uuid as _uuid
 
-    name = f"t_{_uuid.uuid4().hex[:8]}"
+    # r17 (guide §5 "the driver should do almost no data work"): the drain
+    # used to go through a memory sink, collecting ~1M rows into DRIVER
+    # memory before the aggregate re-scanned them from a LocalTableScan —
+    # the same pathology _drain_to_parquet fixed for the high-volume
+    # streaming keys in r16.  foreachBatch writes batch rows
+    # executor-side and the aggregate reads ordinary parquet: drain+agg
+    # 3.2-4.4 s → 2.1-2.4 s at sf1.0.  The processingTime trigger +
+    # processAllAvailable lifecycle stays (the Python streaming source is
+    # the surface under test; availableNow is not part of its contract).
+    out = _fresh_dir("pyds-stream-out")
+
+    def _write(batch_df, batch_id) -> None:
+        batch_df.write.mode("append").parquet(out)
+
     q = (
         spark.readStream.format("bdw_manifest_stream")
         .option("path", path)
         .load()
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(_write)
         .outputMode("append")
         .option("checkpointLocation", _fresh_dir("chk-pyds-stream"))
         .trigger(processingTime="500 milliseconds")
@@ -241,7 +257,7 @@ def source_python_stream(spark, sf_dir):
     finally:
         q.stop()
     return (
-        spark.table(name)
+        spark.read.parquet(out)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -152,6 +152,36 @@ def test_scorer_equals_expr_twin_on_adversarial_corpus(key, spark, full_dir):
     assert_frames_match(fast, twin, f"edge-emb:{key}≡expr-twin")
 
 
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_emb_empty")
+    schema = pa.schema(
+        [("vec_id", pa.int64()),
+         ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int64())]
+    )
+    pq.write_table(
+        pa.table({"vec_id": [], "embedding": [], "label": []}, schema=schema),
+        f"{d}/embeddings.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("key", ["knn_classify", "dedup_embedding_cosine"])
+def test_scorer_empty_corpus_returns_empty_like_expr_twin(key, spark, empty_dir):
+    """ADVICE r17: an empty embeddings table used to blow up the numpy
+    scorers inside the executor (``ncorp, ndim = B.shape`` on a (0,)
+    array) while the expr twins returned an empty frame gracefully; the
+    2-D reshape at broadcast-build time must keep them aligned."""
+    fast = QUERIES[key](spark, empty_dir).toPandas()
+    twin = _expr_twin(key)(spark, empty_dir).toPandas()
+    assert len(fast) == 0 and len(twin) == 0
+    assert list(fast.columns) == list(twin.columns)
+
+
 def test_cosine_zero_norm_fails_loudly_naming_the_vector(spark, full_dir):
     """A zero-norm embedding makes cosine undefined; the scorer must
     refuse with the offending vec_id in the message, not emit NaN ranks
