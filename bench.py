@@ -36,6 +36,37 @@ HEADLINE = [
     "tfidf_keywords",
 ]
 
+# Registry slow-tail tier (VERDICT r16 item 2): the keys whose round-over-
+# round optimization evidence previously lived only in self-reported
+# tools/scale_audit.py runs.  Timed ONCE each per bench invocation at the
+# bench SF — single cold-shape run, FIXED order so rounds compare
+# like-for-like (the first streaming key, sink_stream_memory, absorbs the
+# session's one-time memoized events staging; that attribution is stable
+# across rounds by construction) — and reported under "audit_tier" WITHOUT
+# touching the headline metric or the "queries" map (additions-only to the
+# JSON contract).  Disable with SPARK_GRAFT_BENCH_AUDIT_TIER=0.
+AUDIT_TIER = [
+    "dedup_ngram_jaccard",
+    "char_ngram_profile",
+    "kmeans_iterative",
+    "knn_classify",
+    "dedup_embedding_cosine",
+    "nearest_centroid_classify",
+    "quality_classifier_nb",
+    "q21_waiting_suppliers",
+    "join_interval",
+    "udtf_cogrouped_map",
+    "udtf_grouped_map",
+    "udtf_map_in_pandas",
+    "source_python_datasource",
+    "sink_stream_memory",
+    "stream_static_join",
+    "stream_stateful_count",
+    "stream_session",
+    "stream_sliding",
+    "source_python_stream",
+]
+
 # Opt-in second tier (SPARK_GRAFT_BENCH_EXTENDED=1): newer operator families,
 # timed and reported under "extended_queries" WITHOUT touching the headline
 # metric — evidence of their cost profile with zero comparability impact.
@@ -590,6 +621,9 @@ def _compact_summary_line(payload: dict) -> str:
             },
         }
     }
+    tier = payload.get("audit_tier") or {}
+    if tier.get("keys"):
+        compact["bench_summary"]["audit_tier"] = tier["keys"]
     sf10 = payload.get("sf10") or {}
     if sf10:
         compact["bench_summary"]["sf10"] = {
@@ -606,7 +640,9 @@ def _compact_summary_line(payload: dict) -> str:
     # pass_ratios lists are droppable too (r13 review: a large
     # SPARK_GRAFT_BENCH_PASSES made the two lists alone exceed the cap
     # after all three maps were gone); the median scalars always survive
-    for drop in ("duckdb_queries", "spark_queries", "queries",
+    # audit_tier drops FIRST: the headline contract fields outrank the
+    # tail-visibility block when the 1900-char stdout cap bites
+    for drop in ("audit_tier", "duckdb_queries", "spark_queries", "queries",
                  "pass_ratios_allruns", "pass_ratios", "pass_totals",
                  "sf10"):
         if len(line) <= 1900:
@@ -804,6 +840,35 @@ def main() -> None:
             # Drop the 10× cache so any later phase (EXTENDED tier) times
             # sf0.1 under the same memory conditions as previous rounds.
             _drop_cache(spark, SF1_DIR)
+
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_AUDIT_TIER") != "0":
+        # Slow-tail visibility block (VERDICT r16 item 2): one cold-shape
+        # timed run per AUDIT_TIER key at the bench SF.  Best-effort — a
+        # failing tail key records an error string, never discards the
+        # headline results above.
+        tier: dict = {}
+        for key in AUDIT_TIER:
+            if key not in QUERIES:
+                continue
+            try:
+                t0 = time.perf_counter()
+                _materialize(QUERIES[key](spark, sf_dir))
+                tier[key] = round(time.perf_counter() - t0, 2)
+            except Exception as ex:  # noqa: BLE001
+                tier[key] = f"ERR:{type(ex).__name__}"[:24]
+        payload["audit_tier"] = {
+            "keys": tier,
+            "total_sec": round(
+                sum(v for v in tier.values() if isinstance(v, float)), 2
+            ),
+            "protocol": (
+                "registry slow-tail tier: ONE cold-shape timed run per key"
+                " at the bench SF, fixed order (first streaming key absorbs"
+                " the session's one-time memoized events staging),"
+                " whole-row hash materialization; single-run numbers carry"
+                " host weather — compare round-over-round, not key-to-key"
+            ),
+        }
 
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1":
         ext = time_keys([k for k in EXTENDED if k in QUERIES], sf_dir)
