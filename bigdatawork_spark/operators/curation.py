@@ -1144,26 +1144,38 @@ def dedup_repeated_spans(spark, sf_dir):
 
     Scale: the gram explode repartitions the compact doc rows first (the
     winnow lesson — single small file, fan-out projection); the repeat
-    table is a count >= 2 aggregation whose shuffle carries 32-byte
+    table is a count >= 2 aggregation whose shuffle carries 8-byte
     hashes; the mark join is hash-keyed (AQE broadcast when the repeat
     set fits, skew-handled SMJ otherwise); islands are one window pass
-    per doc.  At 100 TB swap md5 for xxhash64 JVM-side (the oracle
-    mirror is what pins md5 here) and de-anchor stride-s grams (s ~ k/2)
-    to cut the explode volume 10× at k-char resolution loss."""
+    per doc.  At 100 TB de-anchor stride-s grams (s ~ k/2) to cut the
+    explode volume 10× at k-char resolution loss.
+
+    r17 (guide §2.3 narrower types): the gram hash ``h`` is ENGINE-
+    INTERNAL — only span POSITIONS cross engines — so Spark now groups
+    on ``xxhash64`` int64 ids while the oracle keeps md5, the exact
+    discipline dedup_ngram_jaccard's r08 adjudication set ("only
+    intersection SIZES cross engines").  The 27M-row cache + repeat
+    shuffle carry 8 bytes instead of a 32-char hex string, and the 27M
+    md5 computations go away: interleaved A/B at sf1.0 12.3-14.6 s →
+    8.2-8.6 s, output verified row-identical (49 890 spans both forms;
+    oracle HASH green at sf0.01/0.1).  Cross-engine divergence would
+    need a 64-bit collision among the corpus's distinct grams that md5
+    does not share (~1e-8 at sf1.0's gram count) — same accepted-risk
+    class as the jaccard gram ids."""
     d = (
         load(spark, sf_dir, "documents")
         .filter("text is not null and length(text) >= 20")
         .repartition("doc_id")
     )
     # cache: g feeds both the repeat aggregation and the mark join —
-    # uncached, the 27M-row explode+md5 runs twice (sf1.0: 28.6 s -> 21.4 s)
+    # uncached, the 27M-row explode+hash runs twice (sf1.0: 28.6 s -> 21.4 s)
     g = (
         d.selectExpr(
             "doc_id",
             "explode(sequence(1, length(text) - 19)) as pos",
             "lower(text) as lt",
         )
-        .selectExpr("doc_id", "pos", "md5(substring(lt, pos, 20)) as h")
+        .selectExpr("doc_id", "pos", "xxhash64(substring(lt, pos, 20)) as h")
         .cache()
     )
     rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where("cnt >= 2")

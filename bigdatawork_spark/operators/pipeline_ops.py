@@ -1421,6 +1421,11 @@ def multimodal_png_decode(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # pmod for hash-derived (possibly negative) doc_ids — see
     # multimodal_image_resize (r14 edge-corpus campaign)
+    # r17 (guide §2.5/§2.6): the 1-file documents scan ran the ENCODE
+    # stage — the pure-python zlib/filter loop, the expensive half of the
+    # key — as a single task; only decode was parallel (it sits behind
+    # the repartition exchange).  Round-robin the slim (doc_id, meta)
+    # rows first: 10.9 s → 3.4 s warm at sf1.0, same rows/hashes.
     docs = d.select(
         "doc_id",
         F.struct(
@@ -1428,7 +1433,7 @@ def multimodal_png_decode(spark, sf_dir):
             (3 + F.pmod(F.col("doc_id") * 53, F.lit(23))).cast("long").alias("height"),
             F.lit("png").alias("format"),
         ).alias("meta"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches):
         for pdf in batches:

@@ -338,8 +338,21 @@ def stream_watermark_late(spark, sf_dir):
 @register("stream_dedup")
 def stream_dedup(spark, sf_dir):
     """Duplicate events arrive in two micro-batches; state-backed
-    dropDuplicatesWithinWatermark keeps one copy per event_id."""
-    src = _events_source_dir(spark, sf_dir, chunks=[F.lit(True), F.lit(True)])
+    dropDuplicatesWithinWatermark keeps one copy per event_id.
+
+    r17 staging (guide §1.2): the second micro-batch is BY DEFINITION a
+    byte-identical re-delivery of the first, so it is staged as a file
+    COPY of chunk 1 instead of a second full Spark write of events —
+    same rows in both triggers, one staged write instead of two
+    (8.6 → ~4 s at sf1.0)."""
+    src = _fresh_dir("src")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    stamped: set = set()
+    stamp_mtimes(src, 0, stamped)
+    f1 = glob.glob(os.path.join(src, "*.parquet"))[0]
+    shutil.copyfile(f1, os.path.join(src, "replay-" + os.path.basename(f1)))
+    stamp_mtimes(src, 1, stamped)
     sdf = (
         _read_stream(spark, src, max_files=1)
         .withWatermark("ts", "30 days")
