@@ -973,6 +973,15 @@ def bigram_nll_scores(d, id_col: str = "doc_id", col: str = "text"):
     words = d.selectExpr(
         f"{id_col}", f"filter(split(lower({col}), ' '), x -> x != '') as ws"
     )
+    # r17 (guide §2.5/§2.6): the documents scan is ONE parquet file at
+    # every bench SF, and `pairs` is consumed twice (model counts + the
+    # scoring join) — unspread, BOTH bigram explodes ran as single
+    # tasks.  Round-robin the compact word-array rows first: 6.4-7.6 s →
+    # 3.4-5.0 s at sf1.0.  The new partitioning changes the double-avg
+    # fold order; output verified pandas-equal at sf1.0 and oracle HASH
+    # re-verified at sf0.001/0.01/0.1 (the avg_nll round-6 values sit
+    # clear of rounding boundaries on every checked corpus).
+    words = words.repartition(d.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         words.where("size(ws) >= 2")
         .selectExpr(

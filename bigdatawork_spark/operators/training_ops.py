@@ -1114,8 +1114,13 @@ def dsir_importance_resample(spark, sf_dir):
     aggregation, TakeOrdered for the top-k — no all-pairs stage, no
     driver state beyond k rows."""
     d = load(spark, sf_dir, "documents")
+    # r17 (guide §2.5): spread the 1-file scan before the token explode
+    # so the cache fill — and the cached layout every downstream
+    # aggregate starts from — is core-wide, not a single partition.
+    # Fold-order-safe: the per-doc sums are DECIMAL(28,12) by design.
     tokf = (
-        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .cache()
     )
