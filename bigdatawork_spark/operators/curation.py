@@ -1659,9 +1659,20 @@ def _hashed_documents(spark, sf_dir, *, augmented: bool, cache: bool = True):
                     pass  # the old relation's session may already be stopped
         per = _SPLIT_CACHE.setdefault(sf_dir, {})
     if augmented not in per:
-        per[augmented] = _hashed_documents(
-            spark, sf_dir, augmented=augmented, cache=False
-        ).cache()
+        # r17 (guide §2.5): the documents scan is ONE parquet file at
+        # every bench SF, so the sha256 pass and the cached layout every
+        # _split consumer (incremental dedup family, both admission
+        # streams) filters from were a SINGLE partition — every
+        # downstream batch write/scan ran one task.  Round-robin to core
+        # width before the hash+cache (wm staging 5.6-6.8 → ~2 s warm;
+        # all consumers keyed/ordered, so layout is semantics-free).
+        # The cache=False path keeps the trivial scan-visible plan the
+        # plan-pinning tests rely on.
+        per[augmented] = (
+            _hashed_documents(spark, sf_dir, augmented=augmented, cache=False)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
     return per[augmented]
 
 
