@@ -310,11 +310,18 @@ def zorder_cluster(spark, sf_dir):
         (F.col("o_custkey") % 1024).cast("bigint").alias("x"),
         (F.dayofyear("o_orderdate") % 512).cast("bigint").alias("y"),
     )
-    zval = F.expr(
-        "aggregate(sequence(0, 9), 0L, (acc, i) -> acc"
-        " + shiftleft(shiftright(x, i) & 1, 2*i)"
-        " + shiftleft(shiftright(y, i) & 1, 2*i + 1))"
+    # r17 (guide §4.1 — higher-order functions run on the INTERPRETED
+    # expression path, outside whole-stage codegen): the aggregate(
+    # sequence(0,9), ...) bit-fold allocated a 10-element array and ran
+    # an interpreted lambda per row; unrolling the 10 fixed iterations
+    # into a flat 20-term arithmetic expression keeps the interleave in
+    # codegen.  A/B at sf1.0: 3.6-3.9 s → 0.4-0.8 s, output identical.
+    _terms = " + ".join(
+        f"shiftleft(shiftright(x, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright(y, {i}) & 1, {2 * i + 1})"
+        for i in range(10)
     )
+    zval = F.expr(f"cast({_terms} as bigint)")
     return (
         keyed.select(zval.alias("zval"))
         .groupBy(F.floor(F.col("zval") / 4096).alias("z_bucket"))

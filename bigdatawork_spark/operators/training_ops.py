@@ -56,6 +56,12 @@ def contamination_ngram(spark, sf_dir):
     words = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= 5
     )
+    # r17 (guide §2.5/§2.6): `grams` is consumed by BOTH the bench and
+    # train branches, and the documents scan is one parquet file — both
+    # shingle explodes ran as single tasks.  Round-robin the compact
+    # word arrays first: 5.1-6.0 s → 2.2-2.5 s at sf1.0 (output
+    # pandas-equal; counts are keyed, fold-order-free).
+    words = words.repartition(spark.sparkContext.defaultParallelism)
     grams = words.select(
         "doc_id",
         F.explode(
